@@ -1,0 +1,254 @@
+"""Scene compiler: Python scene graph -> flat device buffers.
+
+This replaces the reference's scene-construction-time closure nesting
+(Geometry.hs builds a tree of Haskell functions) with an explicit compile
+step, the TPU-native design from SURVEY.md §7:
+
+* **Transforms are baked** into primitive parameters (world space), so the
+  hot loop never inverse-transforms rays (reference does so per hit test,
+  Geometry.hs:388-391).  Planar primitives support arbitrary affines
+  (q, u, v transform covariantly and the normal is recomputed from the new
+  edges — more general than the reference's Euclidean-only warning);
+  spheres support rotation + translation + uniform scale.
+* **Motion** (Geometry.hs:447-456) becomes two per-primitive world-space
+  displacement vectors, applied to ray origins in-kernel.
+* **Materials and textures are interned** into flat tables.
+* **Media** (Geometry.hs:298-330) get their own boundary-primitive buffer
+  with static per-volume slice bounds.
+* A threaded **BVH** (scene/bvh.py) is built host-side when the scene is
+  big enough to warrant it; small scenes use dense all-primitive
+  intersection, which maps better onto the VPU.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..materials.materials import Material, compile_materials
+from ..textures.textures import Texture, compile_textures
+from . import builder as B
+from .bvh import build_bvh, prim_aabbs
+from .types import BVH, PRIM_PAD, PRIM_SPHERE, Primitives, Scene, Volumes
+
+_DEFAULT_TRI_UVS = np.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+
+
+@dataclasses.dataclass
+class _Rows:
+    kind: list
+    p0: list
+    e1: list
+    e2: list
+    uvs: list
+    mat: list
+    mv0: list
+    mv1: list
+
+    @classmethod
+    def empty(cls):
+        return cls([], [], [], [], [], [], [], [])
+
+    def n(self):
+        return sum(k.shape[0] for k in self.kind)
+
+
+class _Interner:
+    def __init__(self):
+        self.textures: dict[Texture, int] = {}
+        self.materials: dict[Material, int] = {}
+
+    def material_id(self, m: Material) -> int:
+        if m not in self.materials:
+            if m.texture not in self.textures:
+                self.textures[m.texture] = len(self.textures)
+            self.materials[m] = len(self.materials)
+        return self.materials[m]
+
+
+def _bake_block(block: B.PrimBlock, matrix: np.ndarray, mv0, mv1, mat_id: int,
+                rows: _Rows):
+    a = matrix[:3, :3]
+    b = matrix[:3, 3]
+    n = block.p0.shape[0]
+    kind = np.full(n, block.kind, np.int32)
+    if block.kind == PRIM_SPHERE:
+        ata = a.T @ a
+        s2 = np.trace(ata) / 3.0
+        if not np.allclose(ata, s2 * np.eye(3), atol=1e-9 * max(s2, 1.0)):
+            raise ValueError(
+                "transform: spheres only support rotation+translation+"
+                "uniform scale (non-uniform scale would make an ellipsoid)"
+            )
+        p0 = block.p0 @ a.T + b
+        e1 = np.zeros((n, 3))
+        e1[:, 0] = block.e1[:, 0] * np.sqrt(s2)
+        e2 = np.zeros((n, 3))
+    else:
+        p0 = block.p0 @ a.T + b
+        e1 = block.e1 @ a.T
+        e2 = block.e2 @ a.T
+    uvs = (
+        np.broadcast_to(_DEFAULT_TRI_UVS[None], (n, 3, 2)).copy()
+        if block.uvs is None else np.asarray(block.uvs, np.float64)
+    )
+    rows.kind.append(kind)
+    rows.p0.append(p0)
+    rows.e1.append(e1)
+    rows.e2.append(e2)
+    rows.uvs.append(uvs)
+    rows.mat.append(np.full(n, mat_id, np.int32))
+    rows.mv0.append(np.broadcast_to(mv0, (n, 3)).copy())
+    rows.mv1.append(np.broadcast_to(mv1, (n, 3)).copy())
+
+
+def _walk(node: B.Geom, matrix, mv0, mv1, material, interner, rows: _Rows,
+          volumes: list, allow_media: bool):
+    if isinstance(node, B.WithMaterial):
+        # Outermost attachment wins (the reference's `<$` functor replaces
+        # every value below it, Geometry.hs:44-47).
+        eff = material if material is not None else node.material
+        _walk(node.child, matrix, mv0, mv1, eff, interner, rows, volumes,
+              allow_media)
+    elif isinstance(node, B.Transform):
+        _walk(node.child, matrix @ node.matrix, mv0, mv1, material, interner,
+              rows, volumes, allow_media)
+    elif isinstance(node, B.Moving):
+        lin = matrix[:3, :3]
+        _walk(node.child, matrix, mv0 + lin @ node.v0, mv1 + lin @ node.v1,
+              material, interner, rows, volumes, allow_media)
+    elif isinstance(node, B.Group):
+        for c in node.children:
+            _walk(c, matrix, mv0, mv1, material, interner, rows, volumes,
+                  allow_media)
+    elif isinstance(node, B.Medium):
+        if not allow_media:
+            raise ValueError("constant_medium cannot be nested inside another")
+        if material is None:
+            raise ValueError(
+                "constant_medium needs a material attached with with_material"
+            )
+        vol_rows = _Rows.empty()
+        _walk(node.child, matrix, mv0, mv1, None, interner, vol_rows, [],
+              allow_media=False)
+        if vol_rows.n() == 0:
+            raise ValueError("constant_medium: empty boundary geometry")
+        volumes.append((node.density, interner.material_id(material), vol_rows))
+    elif isinstance(node, B.PrimBlock):
+        if node.p0.shape[0] == 0:
+            return
+        if material is None and allow_media:
+            raise ValueError("primitive reached compile without a material; "
+                             "wrap it in with_material(...)")
+        mat_id = interner.material_id(material) if material is not None else 0
+        _bake_block(node, matrix, mv0, mv1, mat_id, rows)
+    else:
+        raise TypeError(f"unknown scene node {type(node)!r}")
+
+
+def _rows_to_primitives(rows: _Rows, perm=None, pad_to: int = 1) -> Primitives:
+    kind = np.concatenate(rows.kind)
+    p0 = np.concatenate(rows.p0)
+    e1 = np.concatenate(rows.e1)
+    e2 = np.concatenate(rows.e2)
+    uvs = np.concatenate(rows.uvs)
+    mat = np.concatenate(rows.mat)
+    mv0 = np.concatenate(rows.mv0)
+    mv1 = np.concatenate(rows.mv1)
+    if perm is not None:
+        kind, p0, e1, e2, uvs, mat, mv0, mv1 = (
+            x[perm] for x in (kind, p0, e1, e2, uvs, mat, mv0, mv1)
+        )
+    n = kind.shape[0]
+    n_pad = -n % pad_to
+    if n_pad:
+        kind = np.concatenate([kind, np.full(n_pad, PRIM_PAD, np.int32)])
+        z3 = np.zeros((n_pad, 3))
+        p0 = np.concatenate([p0, z3])
+        e1 = np.concatenate([e1, z3])
+        e2 = np.concatenate([e2, z3])
+        uvs = np.concatenate([uvs, np.zeros((n_pad, 3, 2))])
+        mat = np.concatenate([mat, np.zeros(n_pad, np.int32)])
+        mv0 = np.concatenate([mv0, z3])
+        mv1 = np.concatenate([mv1, z3])
+    has_motion = bool(np.any(mv0 != 0.0) or np.any(mv1 != 0.0))
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return Primitives(
+        kind=jnp.asarray(kind), p0=f32(p0), e1=f32(e1), e2=f32(e2),
+        uvs=f32(uvs), mat=jnp.asarray(mat), mv0=f32(mv0), mv1=f32(mv1),
+        n=int(n), has_motion=has_motion,
+    )
+
+
+def compile_scene(root: B.Geom, *, accel: str = "auto", leaf_size: int = 4,
+                  dense_threshold: int = 128, pad_to: int = 8) -> Scene:
+    """Compile a scene graph into a :class:`Scene` of device buffers.
+
+    ``accel``: "auto" (BVH above ``dense_threshold`` primitives), "dense",
+    or "bvh".
+    """
+    interner = _Interner()
+    rows = _Rows.empty()
+    volumes: list = []
+    _walk(root, np.eye(4), np.zeros(3), np.zeros(3), None, interner, rows,
+          volumes, allow_media=True)
+    if rows.n() == 0 and not volumes:
+        raise ValueError("compile_scene: empty scene")
+
+    n_surface = rows.n()
+    use_bvh = accel == "bvh" or (accel == "auto" and n_surface > dense_threshold)
+
+    bvh = None
+    perm = None
+    if use_bvh and n_surface > 0:
+        kind = np.concatenate(rows.kind)
+        p0 = np.concatenate(rows.p0)
+        e1 = np.concatenate(rows.e1)
+        e2 = np.concatenate(rows.e2)
+        mv0 = np.concatenate(rows.mv0)
+        mv1 = np.concatenate(rows.mv1)
+        lo, hi = prim_aabbs(kind, p0, e1, e2, mv0, mv1)
+        perm, nodes = build_bvh(lo, hi, leaf_size=leaf_size)
+        bvh = BVH(
+            lo=jnp.asarray(nodes["lo"]), hi=jnp.asarray(nodes["hi"]),
+            start=jnp.asarray(nodes["start"]), count=jnp.asarray(nodes["count"]),
+            skip=jnp.asarray(nodes["skip"]), n_nodes=int(nodes["lo"].shape[0]),
+        )
+
+    prims = _rows_to_primitivies_or_empty(rows, perm, pad_to)
+
+    vol = None
+    if volumes:
+        starts = []
+        counts = []
+        merged = _Rows.empty()
+        for density, mat_id, vrows in volumes:
+            starts.append(merged.n())
+            counts.append(vrows.n())
+            for field in ("kind", "p0", "e1", "e2", "uvs", "mat", "mv0", "mv1"):
+                getattr(merged, field).extend(getattr(vrows, field))
+        vol_prims = _rows_to_primitives(merged, None, 1)
+        vol = Volumes(
+            prims=vol_prims,
+            density=jnp.asarray([v[0] for v in volumes], jnp.float32),
+            mat=jnp.asarray([v[1] for v in volumes], jnp.int32),
+            starts=tuple(starts), counts=tuple(counts),
+        )
+
+    textures = compile_textures(list(interner.textures))
+    materials = compile_materials(list(interner.materials), interner.textures)
+    return Scene(prims=prims, materials=materials, textures=textures,
+                 bvh=bvh, volumes=vol)
+
+
+def _rows_to_primitivies_or_empty(rows: _Rows, perm, pad_to) -> Primitives:
+    if rows.n() == 0:
+        z3 = jnp.zeros((1, 3), jnp.float32)
+        return Primitives(
+            kind=jnp.full((1,), PRIM_PAD, jnp.int32), p0=z3, e1=z3, e2=z3,
+            uvs=jnp.zeros((1, 3, 2), jnp.float32),
+            mat=jnp.zeros((1,), jnp.int32), mv0=z3, mv1=z3, n=0,
+            has_motion=False,
+        )
+    return _rows_to_primitives(rows, perm, pad_to)

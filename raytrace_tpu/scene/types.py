@@ -1,0 +1,84 @@
+"""Compiled scene representation: flat struct-of-arrays device buffers.
+
+The reference represents a scene as a *closure tree* — nested Haskell
+functions built at scene-construction time (``Geometry m a``,
+Geometry.hs:42).  On TPU, the scene is instead compiled to flat indexed
+buffers: one tagged row per primitive, an interned material/texture table,
+an optional flat threaded BVH, and a separate buffer for volume-boundary
+primitives.  Everything is a pytree, so the whole scene can be donated to
+jit, replicated across a device mesh, and differentiated (gradients flow
+to primitive params / material colors directly through these leaves).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..materials.materials import MaterialTable
+from ..textures.textures import TextureTable
+
+# Primitive kinds
+PRIM_PAD = -1       # padding row; never hit
+PRIM_SPHERE = 0     # p0 = center, e1[0] = radius       (Geometry.hs:58-92)
+PRIM_PARALLELOGRAM = 1  # p0 = q, e1 = u, e2 = v        (Geometry.hs:147-151)
+PRIM_TRIANGLE = 2   # p0, e1 = p1-p0, e2 = p2-p0, uvs   (Geometry.hs:169-176)
+
+
+class Primitives(struct.PyTreeNode):
+    """Tagged primitive rows (SoA).  Transforms are baked into the params at
+    compile time (TPU-first: no per-ray inverse transform; see
+    scene/compile.py), so rows are always in world space.  ``mv0``/``mv1``
+    are motion-blur displacements at time 0 / 1 (Geometry.hs:447-456)."""
+    kind: jnp.ndarray   # i32[N]
+    p0: jnp.ndarray     # f32[N,3]
+    e1: jnp.ndarray     # f32[N,3]
+    e2: jnp.ndarray     # f32[N,3]
+    uvs: jnp.ndarray    # f32[N,3,2] triangle corner uvs
+    mat: jnp.ndarray    # i32[N]
+    mv0: jnp.ndarray    # f32[N,3]
+    mv1: jnp.ndarray    # f32[N,3]
+    n: int = struct.field(pytree_node=False, default=0)          # true count
+    has_motion: bool = struct.field(pytree_node=False, default=False)
+
+    def __len__(self):
+        return self.n
+
+
+class BVH(struct.PyTreeNode):
+    """Flat threaded ("stackless") BVH in depth-first order.
+
+    Traversal needs no stack: on AABB hit, the next node is ``i + 1``
+    (first child); on miss — or after processing a leaf — jump to
+    ``skip[i]``.  ``skip == n_nodes`` terminates.  Built host-side by
+    median split (the algorithm of Geometry.hs:369-377); leaves hold up to
+    ``leaf_size`` primitives re-ordered to be contiguous.
+    """
+    lo: jnp.ndarray     # f32[K,3]
+    hi: jnp.ndarray     # f32[K,3]
+    start: jnp.ndarray  # i32[K] leaf primitive start (undefined for internal)
+    count: jnp.ndarray  # i32[K] leaf primitive count; 0 for internal nodes
+    skip: jnp.ndarray   # i32[K] escape pointer
+    n_nodes: int = struct.field(pytree_node=False, default=0)
+
+
+class Volumes(struct.PyTreeNode):
+    """Constant-density media (Geometry.hs:298-330).  Each volume owns a
+    contiguous slice of ``prims`` (its closed boundary surface);
+    ``starts``/``counts`` are static per-volume slice bounds."""
+    prims: Primitives
+    density: jnp.ndarray   # f32[V]
+    mat: jnp.ndarray       # i32[V]
+    starts: tuple = struct.field(pytree_node=False, default=())
+    counts: tuple = struct.field(pytree_node=False, default=())
+
+    @property
+    def n_volumes(self):
+        return len(self.starts)
+
+
+class Scene(struct.PyTreeNode):
+    prims: Primitives
+    materials: MaterialTable
+    textures: TextureTable
+    bvh: BVH | None = None
+    volumes: Volumes | None = None
