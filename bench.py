@@ -1,0 +1,105 @@
+"""Benchmark: Cornell-box 200 spp forward+backward rays/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline (BASELINE.md): the reference renders Cornell 600px/200spp/depth50
+with redirection in ~60 s on a laptop — ~1.2 M primary rays/s, CPU,
+forward only.  ``vs_baseline`` is our fwd+bwd primary-rays/s over that
+forward-only 1.2 M/s.
+
+Runs on the default JAX platform (the driver provides the real TPU chip).
+Extra diagnostics go to stderr; stdout carries only the JSON line.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+BASELINE_RAYS_PER_S = 1.2e6
+
+WIDTH = 600          # Cornell config (test/Main.hs:188-218)
+SPP = 200
+DEPTH = 50
+BATCH_RAYS = 1 << 16
+FWD_BATCHES = 12
+BWD_BATCHES = 4
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from __graft_entry__ import _cornell_scene_and_settings
+    from raytrace_tpu.core import rng
+    from raytrace_tpu.diff.gradients import (
+        combine, partition, render_loss, render_tile,
+    )
+
+    scene, settings = _cornell_scene_and_settings(
+        width=WIDTH, spp=SPP, depth=DEPTH)
+    log(f"devices: {jax.devices()}")
+
+    n_pix = settings.image_width * settings.image_height
+    s_per = 4                       # samples per launch
+    pix_per = BATCH_RAYS // s_per   # pixels per launch
+    key = rng.base_key(0)
+    sample_ids = jnp.arange(s_per, dtype=jnp.int32)
+
+    def pix_batch(i):
+        start = (i * pix_per * 9973) % max(n_pix - pix_per, 1)
+        return jnp.arange(start, start + pix_per, dtype=jnp.int32)
+
+    # ---- forward: the production persistent-wavefront path ----
+    from raytrace_tpu.render.render import render_accumulate
+
+    acc, _ = render_accumulate(scene, settings, spp=1, spp_chunk=1)
+    acc.block_until_ready()
+    log("fwd (wavefront) compiled")
+    fwd_spp = 8
+    t0 = time.time()
+    acc, _ = render_accumulate(scene, settings, spp=fwd_spp, spp_chunk=1)
+    acc.block_until_ready()
+    dt = time.time() - t0
+    fwd_rays = n_pix * fwd_spp
+    fwd_rays_s = fwd_rays / dt
+    log(f"forward: {fwd_rays_s/1e6:.2f}M primary rays/s "
+        f"({fwd_rays} rays in {dt:.2f}s)")
+
+    # ---- forward+backward ----
+    params, statics = partition(scene)
+    vg = jax.jit(jax.value_and_grad(render_loss), static_argnums=())
+
+    def run_bwd(i):
+        target = jnp.zeros((pix_per, 3), jnp.float32)
+        return vg(params, statics, settings, key, pix_batch(i), sample_ids,
+                  target)
+
+    loss, grads = run_bwd(0)
+    jax.block_until_ready((loss, grads))
+    log("fwd+bwd compiled")
+    t0 = time.time()
+    for i in range(BWD_BATCHES):
+        loss, grads = run_bwd(i)
+    jax.block_until_ready((loss, grads))
+    dt = time.time() - t0
+    bwd_rays_s = BWD_BATCHES * BATCH_RAYS / dt
+    log(f"fwd+bwd: {bwd_rays_s/1e6:.2f}M primary rays/s "
+        f"({BWD_BATCHES} x {BATCH_RAYS} rays in {dt:.2f}s)  loss={float(loss):.4f}")
+
+    print(json.dumps({
+        "metric": "cornell600_200spp_depth50_fwd_bwd_primary_rays_per_sec_per_chip",
+        "value": round(bwd_rays_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(bwd_rays_s / BASELINE_RAYS_PER_S, 2),
+        "forward_only_rays_per_sec": round(fwd_rays_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

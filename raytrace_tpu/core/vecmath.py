@@ -84,8 +84,10 @@ def refract(ior_ratio, cos_theta, normal, u):
     ior_ratio = jnp.asarray(ior_ratio)[..., None]
     cos_theta = jnp.asarray(cos_theta)[..., None]
     perp = ior_ratio * (u + cos_theta * normal)
-    para = -jnp.sqrt(jnp.abs(1.0 - jnp.sum(perp * perp, axis=-1, keepdims=True))) * normal
-    return perp + para
+    # max() keeps sqrt' finite at grazing incidence (|perp| -> 1)
+    rem = jnp.maximum(jnp.abs(1.0 - jnp.sum(perp * perp, axis=-1, keepdims=True)),
+                      1e-12)
+    return perp - jnp.sqrt(rem) * normal
 
 
 # ---------------------------------------------------------------------------

@@ -114,7 +114,9 @@ def chunk_roots(kind, p0, e1, e2, mv0, mv1, has_motion, o, d, time):
     cc = oc_sq - (radius * radius)[None, :]
     disc = h * h - cc
     sphere_ok = disc >= 0.0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where: sqrt'(0) = inf would leak NaN into gradients of the
+    # masked-out branch, so feed sqrt a safe value where there is no hit
+    sq = jnp.sqrt(jnp.where(sphere_ok, jnp.maximum(disc, 1e-20), 1.0))
     s_r1 = h - sq
     s_r2 = h + sq
 
@@ -122,7 +124,12 @@ def chunk_roots(kind, p0, e1, e2, mv0, mv1, has_motion, o, d, time):
     u = e1
     v = e2
     cp = jnp.cross(u, v)                                  # [C,3]
-    cp_sq = jnp.maximum(vdot0(cp, cp), 1e-30)
+    cp_sq_raw = vdot0(cp, cp)
+    # degenerate (zero-area) rows: substitute dummy geometry so 1/cp_sq
+    # can't overflow into NaN gradients; they are masked out of plane_ok
+    degen = cp_sq_raw < 1e-24
+    cp = jnp.where(degen[:, None], jnp.asarray([0.0, 0.0, 1.0], DTYPE), cp)
+    cp_sq = jnp.where(degen, 1.0, cp_sq_raw)
     n_unit = cp * jax.lax.rsqrt(cp_sq)[:, None]           # unit normal
     n_s = cp / cp_sq[:, None]                             # scaled normal
     w_a = jnp.cross(v, n_s)                               # a = p_rel . w_a
@@ -153,7 +160,7 @@ def chunk_roots(kind, p0, e1, e2, mv0, mv1, has_motion, o, d, time):
 
     member_para = (0.0 <= a) & (a <= 1.0) & (0.0 <= b) & (b <= 1.0)
     member_tri = (a >= 0.0) & (b >= 0.0) & (a + b <= 1.0)
-    plane_ok = (jnp.abs(denom) > DENOM_EPS) & jnp.where(
+    plane_ok = (jnp.abs(denom) > DENOM_EPS) & ~degen[None, :] & jnp.where(
         is_para, member_para, member_tri
     )
 
@@ -284,13 +291,16 @@ def _single_prim_t(prims: Primitives, pi, o, d, time, tmin, tmax):
     h = vdot0(d, oc)
     cc = vdot0(oc, oc) - e1[:, 0] * e1[:, 0]
     disc = h * h - cc
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = jnp.sqrt(jnp.where(disc >= 0.0, jnp.maximum(disc, 1e-20), 1.0))
     s_r1 = h - sq
     s_r2 = h + sq
 
     # plane
     cp = jnp.cross(e1, e2)
-    cp_sq = jnp.maximum(vdot0(cp, cp), 1e-30)
+    cp_sq_raw = vdot0(cp, cp)
+    degen = cp_sq_raw < 1e-24
+    cp = jnp.where(degen[:, None], jnp.asarray([0.0, 0.0, 1.0], DTYPE), cp)
+    cp_sq = jnp.where(degen, 1.0, cp_sq_raw)
     n_unit = cp * jax.lax.rsqrt(cp_sq)[:, None]
     denom = vdot0(n_unit, d)
     denom_safe = jnp.where(jnp.abs(denom) > DENOM_EPS, denom, 1.0)
@@ -304,7 +314,7 @@ def _single_prim_t(prims: Primitives, pi, o, d, time, tmin, tmax):
         (0.0 <= a) & (a <= 1.0) & (0.0 <= b) & (b <= 1.0),
         (a >= 0.0) & (b >= 0.0) & (a + b <= 1.0),
     )
-    plane_ok = (jnp.abs(denom) > DENOM_EPS) & member
+    plane_ok = (jnp.abs(denom) > DENOM_EPS) & ~degen & member
 
     r1 = jnp.where(is_sphere, jnp.where(disc >= 0.0, s_r1, INF),
                    jnp.where(plane_ok, t_plane, INF))
@@ -343,14 +353,21 @@ def make_hit_record(prims: Primitives, idx, o, d, time, t) -> HitRecord:
     outward = (point - p0) / radius[:, None]
     s_front = vdot0(d, outward) <= 0.0
     s_normal = jnp.where(s_front[:, None], outward, -outward)
-    # sphereUV (Geometry.hs:100-104)
-    s_u = jnp.arctan2(outward[:, 0], outward[:, 2]) / (2.0 * jnp.pi) + 0.5
-    s_v = jnp.arccos(jnp.clip(-outward[:, 1], -1.0, 1.0)) / jnp.pi
+    # sphereUV (Geometry.hs:100-104); atan2 grads blow up when x=z=0 (the
+    # poles / padded rows), so feed it safe coordinates there
+    xz_ok = outward[:, 0] ** 2 + outward[:, 2] ** 2 > 1e-12
+    ox = jnp.where(xz_ok, outward[:, 0], 0.0)
+    oz = jnp.where(xz_ok, outward[:, 2], 1.0)
+    s_u = jnp.arctan2(ox, oz) / (2.0 * jnp.pi) + 0.5
+    s_v = jnp.arccos(jnp.clip(-outward[:, 1], -1.0 + 1e-6, 1.0 - 1e-6)) / jnp.pi
     s_uv = jnp.stack([s_u, s_v], axis=-1)
 
     # plane record (Geometry.hs:131-141)
     cp = jnp.cross(e1, e2)
-    cp_sq = jnp.maximum(vdot0(cp, cp), 1e-30)
+    cp_sq_raw = vdot0(cp, cp)
+    degen = cp_sq_raw < 1e-24
+    cp = jnp.where(degen[:, None], jnp.asarray([0.0, 0.0, 1.0], DTYPE), cp)
+    cp_sq = jnp.where(degen, 1.0, cp_sq_raw)
     n_unit = cp * jax.lax.rsqrt(cp_sq)[:, None]
     n_s = cp / cp_sq[:, None]
     p_rel = point - p0

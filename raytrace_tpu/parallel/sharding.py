@@ -1,0 +1,100 @@
+"""Multi-device sharding: the TPU answer to the reference's per-pixel
+CPU spark scheduler (Ray.hs:234-238; SURVEY.md §2.2).
+
+Parallelism map (path-tracing analogues of ML strategies):
+
+* **dp** — data parallel over *pixel tiles*: each device owns a slice of
+  the image's pixels.  Scene/BVH/material buffers are replicated.
+* **sp** — "sequence"/sample parallel over *samples-per-pixel*: the spp
+  axis is a real array axis sharded across devices; the per-pixel mean is
+  a cross-device reduction XLA lowers to an all-reduce over ICI.
+* **pp/ep** — documented N/A for a path tracer (SURVEY.md §2.2): the
+  bounce loop is sequential per ray and there is no MoE analogue.
+
+Because the RNG is keyed by absolute (pixel, sample) coordinates
+(core/rng.py), the rendered image is bit-identical for every (dp, sp)
+mesh shape, including (1, 1) — the determinism test the reference gets
+from its pre-split seed matrix.
+
+Gradients: parameter (scene) inputs are replicated; their gradients are
+partial sums on each device, which XLA all-reduces (psum over ICI)
+automatically during the backward pass — the "grads all-reduced
+overlapped with backward" story of the BASELINE north-star, with zero
+hand-written communication.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..diff.gradients import combine, partition, render_loss, render_tile
+from ..render.camera import CameraSettings
+from ..scene.types import Scene
+
+
+def make_mesh(n_devices: int | None = None, sp: int | None = None) -> Mesh:
+    """Build a (dp, sp) device mesh over the first ``n_devices`` devices.
+
+    ``sp`` (sample-parallel width) defaults to 2 when divisible, else 1.
+    """
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if sp is None:
+        sp = 2 if n % 2 == 0 and n > 1 else 1
+    assert n % sp == 0, f"n_devices={n} not divisible by sp={sp}"
+    arr = np.asarray(devices[:n]).reshape(n // sp, sp)
+    return Mesh(arr, ("dp", "sp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def sharded_render_fn(mesh: Mesh):
+    """Jitted sharded forward render of a pixel tile.
+
+    Call with (scene, settings, key, pixel_ids[P], sample_ids[S]); pixels
+    shard over dp, samples over sp, output [P, 3] sharded over dp.
+    """
+    def fwd(scene, settings, key, pixel_ids, sample_ids):
+        return render_tile(scene, settings, key, pixel_ids, sample_ids)
+
+    return jax.jit(
+        fwd,
+        in_shardings=(
+            replicated(mesh), replicated(mesh), replicated(mesh),
+            NamedSharding(mesh, P("dp")), NamedSharding(mesh, P("sp")),
+        ),
+        out_shardings=NamedSharding(mesh, P("dp")),
+    )
+
+
+def sharded_train_step_fn(mesh: Mesh, settings: CameraSettings,
+                          lr: float = 1e-2):
+    """Jitted sharded inverse-rendering training step.
+
+    ``step(scene, key, pixel_ids, sample_ids, target) -> (loss, scene')``:
+    renders the (dp x sp)-sharded tile differentiably, MSE vs target,
+    grads w.r.t. every float scene leaf (psum'd across the mesh by XLA),
+    SGD update on the replicated scene.
+    """
+
+    def step(scene: Scene, key, pixel_ids, sample_ids, target):
+        params, statics = partition(scene)
+        loss, grads = jax.value_and_grad(render_loss)(
+            params, statics, settings, key, pixel_ids, sample_ids, target)
+        new_params = jax.tree_util.tree_map(
+            lambda p, g: p - lr * g, params, grads)
+        return loss, combine(new_params, statics)
+
+    return jax.jit(
+        step,
+        in_shardings=(
+            replicated(mesh), replicated(mesh),
+            NamedSharding(mesh, P("dp")), NamedSharding(mesh, P("sp")),
+            NamedSharding(mesh, P("dp")),
+        ),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )

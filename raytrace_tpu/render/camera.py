@@ -116,9 +116,9 @@ def camera_frame(s: CameraSettings):
                 pixel_v=pixel_v, defocus_radius=defocus_radius)
 
 
-def generate_rays(s: CameraSettings, frame, pixel_ids, keys):
-    """Primary rays for flat pixel indices ``pixel_ids[R]`` with per-ray
-    keys.  Returns (origin[R,3], dir[R,3], time[R]).
+def generate_rays_from_uniforms(s: CameraSettings, frame, pixel_ids, u5):
+    """Primary rays for flat pixel indices ``pixel_ids[R]`` from a
+    [R, 5] uniform block (disk x2, pixel jitter x2, time).
 
     Semantics of getRay/samplePixel/sampleDefocusDisk (Ray.hs:153-172):
     thin-lens origin on the defocus disk, jittered target inside the pixel
@@ -129,14 +129,18 @@ def generate_rays(s: CameraSettings, frame, pixel_ids, keys):
     i = (pixel_ids % w).astype(DTYPE)
     j = (pixel_ids // w).astype(DTYPE)
 
-    disk = rng.in_unit_disk(rng.site(keys, 0))
+    disk = rng.disk_from_uniforms(u5[:, 0], u5[:, 1])
     origin = (s.center
               + disk[:, 0:1] * (frame["defocus_radius"] * frame["u"])
               + disk[:, 1:2] * (frame["defocus_radius"] * frame["v"]))
-    jitter = rng.uniform(rng.site(keys, 1), (2,))
     target = (frame["top_left"]
-              + (i + jitter[:, 0])[:, None] * frame["pixel_u"]
-              + (j + jitter[:, 1])[:, None] * frame["pixel_v"])
+              + (i + u5[:, 2])[:, None] * frame["pixel_u"]
+              + (j + u5[:, 3])[:, None] * frame["pixel_v"])
     direction = normalize(target - origin)
-    time = rng.uniform(rng.site(keys, 2))
-    return origin, direction, time
+    return origin, direction, u5[:, 4]
+
+
+def generate_rays(s: CameraSettings, frame, pixel_ids, keys):
+    """Primary rays from per-ray keys (one uniform block per lane)."""
+    u5 = rng.uniform_block(rng.site(keys, 0), 5)
+    return generate_rays_from_uniforms(s, frame, pixel_ids, u5)

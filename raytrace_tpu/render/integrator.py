@@ -2,24 +2,38 @@
 
 The reference integrator is a lazy recursion per ray (``rayColor``,
 Ray.hs:174-224).  The TPU-native design (SURVEY.md §3.2, BASELINE
-north-star) converts it to an *iterative wavefront*: one big buffer of live
-rays advances through a bounded ``lax.while_loop`` over bounce depth,
-carrying ``(radiance, throughput, alive)`` — each recursion level
+north-star) converts it to an *iterative wavefront*: a buffer of live rays
+advances through bounded bounce iterations carrying
+``(radiance, throughput, alive)`` — each recursion level
 ``emitted + weight * child`` becomes ``radiance += throughput * emitted;
 throughput *= weight``.  All material logic is evaluated branchlessly with
 masked selects over integer material tags; there is no per-ray control
 flow anywhere.
+
+Two drivers share one bounce body:
+
+* :func:`trace` — fixed ray batch, ``while_loop`` until all paths die
+  (or a bounded ``scan`` in differentiable mode).
+* :func:`trace_wavefront` — *persistent* wavefront with ray regeneration:
+  dead lanes are refilled with fresh (pixel, sample) work from a global
+  queue every iteration, so vector-lane occupancy stays ~100% regardless
+  of path-length variance — the TPU answer to "ray compaction"
+  (SURVEY.md §5 long-context).  Finished paths scatter-add into the image
+  accumulator at death.
+
+Randomness: each lane derives one key per bounce, and all the bounce's
+draws come from a single vectorized uniform block (threefry counters);
+sampling transforms are branchless (core/rng.py).
 
 Importance-sampled redirection with MIS mixture pdfs follows
 Ray.hs:112-151 and 187-224 exactly: CDF target selection, mixture pdf
 ``remProb * pdf_base + sum probs_i * t_i^2 / |cross_i . dir|``, and the
 reference's pdf<=0 path kill (Ray.hs:198).
 
-Differentiability: sampled directions and discrete choices are detached
-(they come from RNG); the mixture pdf *denominator* is wrapped in
-``stop_gradient`` so gradients flow through BRDF/throughput factors only —
-the reparameterized/detached-sampling scheme mandated by the BASELINE
-north-star.
+Differentiability: sampled directions and discrete choices are detached;
+the mixture-pdf *denominator* is wrapped in ``stop_gradient`` so gradients
+flow through BRDF/throughput factors only (reparameterized/detached
+sampling per the BASELINE north-star).
 """
 from __future__ import annotations
 
@@ -36,8 +50,24 @@ from ..materials.materials import (
 from ..ops.intersect import INF, make_hit_record, nearest_hit_t
 from ..scene.types import Scene
 from ..textures.textures import eval_texture
-from .camera import CameraSettings
+from .camera import CameraSettings, camera_frame, generate_rays_from_uniforms
 from .volumes import volume_candidates
+
+# uniform-block column layout for one bounce
+_U_SPEC0 = 0      # metal fuzz unit vector (z)
+_U_SPEC1 = 1      # metal fuzz unit vector (phi)
+_U_DIELECTRIC = 2
+_U_DIR0 = 3       # diffuse unit vector (z)
+_U_DIR1 = 4       # diffuse unit vector (phi)
+_U_CHOICE = 5     # redirect target CDF draw
+_U_TGT_I = 6
+_U_TGT_J = 7
+_N_BASE_U = 8     # + one column per volume
+
+
+def n_bounce_uniforms(scene: Scene) -> int:
+    nv = scene.volumes.n_volumes if scene.volumes is not None else 0
+    return _N_BASE_U + nv
 
 
 def _eval_redirect_pdf(s: CameraSettings, point, direction):
@@ -78,173 +108,340 @@ def _henyey_greenstein(g, mu):
     return (1.0 - g2) / jnp.power(jnp.maximum(1.0 + g2 - 2.0 * g * mu, 1e-12), 1.5)
 
 
-def trace(scene: Scene, s: CameraSettings, o, d, time, keys):
-    """Trace a batch of rays to completion; returns radiance [R, 3].
+def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
+                 use_pallas: bool):
+    """Nearest surface hit + record fields, via the Pallas megakernel when
+    enabled (TPU, dense scene) or the XLA path otherwise."""
+    r = o.shape[0]
+    if use_pallas:
+        from ..ops.pallas.intersect_kernel import (
+            pack_prims, pallas_nearest_record,
+        )
+        g = r // 128
+        resh = lambda x: x.reshape(g, 128)
+        tbl = pack_prims(scene.prims)
+        t, idx, nx, ny, nz, fr, uu, vv, mat = pallas_nearest_record(
+            tbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
+            resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
+            n_prims=scene.prims.kind.shape[0], t_min=float(s.t_min),
+            has_motion=scene.prims.has_motion)
+        flat = lambda x: x.reshape(r)
+        normal = jnp.stack([flat(nx), flat(ny), flat(nz)], axis=-1)
+        flags = flat(fr)
+        front = (flags & 1).astype(bool)
+        is_sphere = (flags & 2).astype(bool)
+        # sphere uv (Geometry.hs:100-104) from the outward normal — done
+        # here because atan2/arccos have no Pallas TPU lowering
+        outward = normal * jnp.where(front, 1.0, -1.0)[:, None]
+        xz_ok = outward[:, 0] ** 2 + outward[:, 2] ** 2 > 1e-12
+        sx = jnp.where(xz_ok, outward[:, 0], 0.0)
+        sz = jnp.where(xz_ok, outward[:, 2], 1.0)
+        su = jnp.arctan2(sx, sz) / (2.0 * jnp.pi) + 0.5
+        sv = jnp.arccos(
+            jnp.clip(-outward[:, 1], -1.0 + 1e-6, 1.0 - 1e-6)) / jnp.pi
+        uv = jnp.stack([
+            jnp.where(is_sphere, su, flat(uu)),
+            jnp.where(is_sphere, sv, flat(vv)),
+        ], axis=-1)
+        return flat(t), flat(idx), normal, front, uv, flat(mat)
+    tmin = jnp.full((r,), s.t_min, DTYPE)
+    tmax = jnp.full((r,), INF, DTYPE)
+    t_srf, idx = nearest_hit_t(scene.prims, scene.bvh, o, d, time, tmin, tmax)
+    rec = make_hit_record(scene.prims, idx, o, d, time,
+                          jnp.where(jnp.isfinite(t_srf), t_srf, 1.0))
+    return t_srf, idx, rec.normal, rec.front, rec.uv, rec.mat
 
-    ``keys`` are per-ray typed RNG keys (shard-invariant, see core/rng.py).
+
+def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
+           radiance, throughput, alive, use_pallas: bool = False):
+    """Advance every live lane by one bounce.
+
+    ``uniforms[R, n_bounce_uniforms]`` supplies all randomness.  Returns
+    ``(o', d', radiance', throughput', alive', died_now)``.
     """
     r = o.shape[0]
-    zeros3 = jnp.zeros((r, 3), DTYPE)
-
     has_targets = s.n_redirect > 0
     if has_targets:
-        probs_sum = jnp.sum(s.redirect_prob)
-        rem_prob = 1.0 - probs_sum
+        rem_prob = 1.0 - jnp.sum(s.redirect_prob)
         cdf = jnp.cumsum(s.redirect_prob)
+
+    # --- intersect: surfaces + media (global argmin; SURVEY.md §3.3) ---
+    t_srf, idx, normal, front, uv, mat_id = _surface_hit(
+        scene, s, o, d, time, use_pallas)
+
+    if scene.volumes is not None:
+        tmin = jnp.full((r,), s.t_min, DTYPE)
+        nv = scene.volumes.n_volumes
+        u_sc = uniforms[:, _N_BASE_U:_N_BASE_U + nv]
+        t_vol, _ = volume_candidates(scene.volumes, o, d, time, tmin, u_sc)
+        v_best = jnp.argmin(t_vol, axis=1)
+        t_med = jnp.min(t_vol, axis=1)
+        in_medium = t_med < t_srf
+        t_hit = jnp.where(in_medium, t_med, t_srf)
+    else:
+        in_medium = jnp.zeros((r,), bool)
+        t_hit = t_srf
+
+    hit_any = jnp.isfinite(t_hit)
+
+    # --- miss: background (Ray.hs:179) ---
+    bg = s.background(o, d).astype(DTYPE)
+    miss = alive & ~hit_any
+    radiance = radiance + jnp.where(miss[:, None], throughput * bg, 0.0)
+
+    # --- hit point; medium overrides (arbitrary normal/uv, Geometry.hs:320-326)
+    t_safe = jnp.where(hit_any, t_hit, 1.0)  # keep grads NaN-free on miss
+    point = o + t_safe[:, None] * d
+    if scene.volumes is not None:
+        med = in_medium[:, None]
+        normal = jnp.where(med, -d, normal)
+        front = jnp.where(in_medium, True, front)
+        uv = jnp.where(med, 0.0, uv)
+        mat_id = jnp.where(in_medium, scene.volumes.mat[v_best], mat_id)
+
+    kind = scene.materials.kind[mat_id]
+    tex_id = scene.materials.tex[mat_id]
+    param = scene.materials.param[mat_id]
+    albedo = eval_texture(scene.textures, tex_id, point, uv)
+
+    live_hit = alive & hit_any
+
+    # --- emitted (Ray.hs:181-183): only lightSource emits ---
+    emitted = jnp.where((kind == MAT_LIGHT)[:, None], albedo, 0.0)
+    radiance = radiance + jnp.where(live_hit[:, None],
+                                    throughput * emitted, 0.0)
+
+    # --- behaviour classes ---
+    is_absorb = (kind == MAT_LIGHT) | (kind == MAT_PITCH_BLACK)
+    is_hemi = (kind == MAT_LAMBERTIAN) | (kind == MAT_LOMMEL)
+    is_spec = (kind == MAT_MIRROR) | (kind == MAT_METAL) | \
+              (kind == MAT_DIELECTRIC) | (kind == MAT_TRANSPARENT)
+
+    # --- specular family (Material.hs:65-112) ---
+    refl = reflect(normal, d)
+    fuzz_u = rng.unit_vector_from_uniforms(uniforms[:, _U_SPEC0],
+                                           uniforms[:, _U_SPEC1])
+    metal_dir = refl + param[:, None] * fuzz_u
+    metal_ok = vdot0(metal_dir, normal) > 0.0          # Material.hs:76-77
+    metal_dir = normalize(metal_dir)
+
+    ior = jnp.maximum(param, 1e-6)
+    ior_ratio = jnp.where(front, 1.0 / ior, ior)       # Material.hs:90
+    cos_t = jnp.minimum(1.0, vdot0(normal, -d))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    cannot = ior_ratio * sin_t > 1.0
+    r0 = (1.0 - ior_ratio) / (1.0 + ior_ratio)
+    r0 = r0 * r0
+    schlick = r0 + (1.0 - r0) * jnp.power(1.0 - cos_t, 5.0)
+    di_reflect = cannot | (uniforms[:, _U_DIELECTRIC] < schlick)
+    di_dir = jnp.where(di_reflect[:, None], refl,
+                       refract(ior_ratio, cos_t, normal, d))
+
+    spec_dir = jnp.where((kind == MAT_MIRROR)[:, None], refl, d)
+    spec_dir = jnp.where((kind == MAT_METAL)[:, None], metal_dir, spec_dir)
+    spec_dir = jnp.where((kind == MAT_DIELECTRIC)[:, None], di_dir, spec_dir)
+    spec_att = jnp.where((kind == MAT_DIELECTRIC)[:, None],
+                         jnp.ones_like(albedo), albedo)
+    spec_dead = (kind == MAT_METAL) & ~metal_ok
+
+    # --- diffuse family with redirection (Ray.hs:187-224) ---
+    unit_u = rng.unit_vector_from_uniforms(uniforms[:, _U_DIR0],
+                                           uniforms[:, _U_DIR1])
+    cos_dir = normalize(normal + unit_u)   # cosine-weighted (Ray.hs:191-192)
+    base_dir = jnp.where(is_hemi[:, None], cos_dir, unit_u)
+
+    if has_targets:
+        x_t = uniforms[:, _U_CHOICE]
+        # CDF threshold selection (Ray.hs:148-151): first target whose
+        # cumulative prob exceeds x; none -> base sample.
+        t_sel = jnp.sum((x_t[:, None] >= cdf[None, :]).astype(jnp.int32), 1)
+        use_target = t_sel < s.n_redirect
+        ti = jnp.minimum(t_sel, s.n_redirect - 1)
+        light_pt = (s.redirect_q[ti]
+                    + uniforms[:, _U_TGT_I, None] * s.redirect_u[ti]
+                    + uniforms[:, _U_TGT_J, None] * s.redirect_v[ti])
+        tgt_dir = normalize(light_pt - point)
+        diff_dir = jnp.where(use_target[:, None], tgt_dir, base_dir)
+    else:
+        diff_dir = base_dir
+    diff_dir = jax.lax.stop_gradient(diff_dir)
+
+    mu1 = vdot0(diff_dir, normal)
+    pdf_base = jnp.where(is_hemi, mu1 / jnp.pi, 0.25 / jnp.pi)
+    hemi_dead = is_hemi & (pdf_base <= 0.0)            # Ray.hs:198
+
+    if has_targets:
+        pdf_t = _eval_redirect_pdf(s, point, diff_dir)
+        pdf_mix = rem_prob * pdf_base + pdf_t
+    else:
+        pdf_mix = pdf_base
+    # detached sampling density; BRDF numerator stays differentiable
+    pdf_mix = jax.lax.stop_gradient(jnp.maximum(pdf_mix, 1e-12))
+
+    mu0 = -vdot0(d, normal)
+    lommel = 0.25 / jnp.maximum(mu0 + mu1, 1e-8)
+    hg = _henyey_greenstein(param, vdot0(d, diff_dir))
+    brdf_factor = jnp.ones((r,), DTYPE)
+    brdf_factor = jnp.where(kind == MAT_LOMMEL, lommel, brdf_factor)
+    brdf_factor = jnp.where(kind == MAT_ANISOTROPIC, hg, brdf_factor)
+    diff_w = albedo * (brdf_factor * pdf_base / pdf_mix)[:, None]
+
+    # --- combine ---
+    new_dir = jnp.where(is_spec[:, None], spec_dir, diff_dir)
+    weight = jnp.where(is_spec[:, None], spec_att, diff_w)
+    next_alive = live_hit & ~is_absorb & ~spec_dead & ~hemi_dead
+
+    throughput = jnp.where(next_alive[:, None], throughput * weight,
+                           throughput)
+    o_new = jnp.where(next_alive[:, None], point, o)
+    d_new = jnp.where(next_alive[:, None], new_dir, d)
+    died_now = alive & ~next_alive
+    return o_new, d_new, radiance, throughput, next_alive, died_now
+
+
+def pallas_eligible(scene: Scene, n_rays: int) -> bool:
+    """Static check: can the dense Pallas megakernel serve this scene?"""
+    from ..ops.pallas.intersect_kernel import MAX_DENSE_PRIMS
+    return (jax.default_backend() in ("tpu", "axon")
+            and scene.bvh is None
+            and scene.prims.kind.shape[0] <= MAX_DENSE_PRIMS
+            and n_rays % 128 == 0)
+
+
+def trace(scene: Scene, s: CameraSettings, o, d, time, keys,
+          differentiable: bool = False):
+    """Trace a fixed batch of rays to completion; returns radiance [R, 3].
+
+    ``keys`` are per-ray typed RNG keys (shard-invariant, see core/rng.py).
+
+    ``differentiable=True`` drives the same bounce body with a bounded
+    ``lax.scan`` (reverse-mode AD cannot cross ``while_loop``); each bounce
+    is rematerialized under ``jax.checkpoint``.
+    """
+    r = o.shape[0]
+    n_u = n_bounce_uniforms(scene)
+    use_pallas = (not differentiable) and pallas_eligible(scene, r)
+
+    def body(state):
+        depth, o, d, radiance, throughput, alive, time = state
+        dkeys = rng.mix_depth(keys, depth)
+        uniforms = rng.uniform_block(dkeys, n_u)
+        o, d, radiance, throughput, alive, _ = bounce(
+            scene, s, o, d, time, uniforms, radiance, throughput, alive,
+            use_pallas=use_pallas)
+        return depth + 1, o, d, radiance, throughput, alive, time
 
     def cond(state):
         depth = state[0]
         alive = state[5]
         return (depth < s.max_depth) & jnp.any(alive)
 
-    def body(state):
-        depth, o, d, radiance, throughput, alive, time = state
-        dkeys = rng.fold_depth(keys, depth)
-
-        # --- intersect: surface + media (global argmin; SURVEY.md §3.3) ---
-        tmin = jnp.full((r,), s.t_min, DTYPE)
-        tmax = jnp.full((r,), INF, DTYPE)
-        t_srf, idx = nearest_hit_t(scene.prims, scene.bvh, o, d, time,
-                                   tmin, tmax)
-
-        if scene.volumes is not None:
-            nv = scene.volumes.n_volumes
-            u_sc = rng.uniform(rng.site(dkeys, 10), (nv,))
-            t_vol, _ = volume_candidates(scene.volumes, o, d, time, tmin, u_sc)
-            v_best = jnp.argmin(t_vol, axis=1)
-            t_med = jnp.take_along_axis(t_vol, v_best[:, None], 1)[:, 0]
-            in_medium = t_med < t_srf
-            t_hit = jnp.where(in_medium, t_med, t_srf)
-        else:
-            in_medium = jnp.zeros((r,), bool)
-            t_hit = t_srf
-
-        hit_any = jnp.isfinite(t_hit)
-
-        # --- miss: background (Ray.hs:179) ---
-        bg = s.background(o, d).astype(DTYPE)
-        miss = alive & ~hit_any
-        radiance = radiance + jnp.where(miss[:, None], throughput * bg, 0.0)
-
-        # --- hit record (medium hits: arbitrary normal/uv, Geometry.hs:320-326)
-        t_safe = jnp.where(hit_any, t_hit, 1.0)  # keep grads NaN-free on miss
-        rec = make_hit_record(scene.prims, idx, o, d, time, t_safe)
-        point = o + t_safe[:, None] * d
-        normal = rec.normal
-        front = rec.front
-        uv = rec.uv
-        mat_id = rec.mat
-        if scene.volumes is not None:
-            med = in_medium[:, None]
-            normal = jnp.where(med, -d, normal)
-            front = jnp.where(in_medium, True, front)
-            uv = jnp.where(med, 0.0, uv)
-            mat_id = jnp.where(in_medium, scene.volumes.mat[v_best], mat_id)
-
-        kind = scene.materials.kind[mat_id]
-        tex_id = scene.materials.tex[mat_id]
-        param = scene.materials.param[mat_id]
-        albedo = eval_texture(scene.textures, tex_id, point, uv)
-
-        live_hit = alive & hit_any
-
-        # --- emitted (Ray.hs:181-183): only lightSource emits ---
-        emitted = jnp.where((kind == MAT_LIGHT)[:, None], albedo, 0.0)
-        radiance = radiance + jnp.where(live_hit[:, None],
-                                        throughput * emitted, 0.0)
-
-        # --- behaviour classes ---
-        is_absorb = (kind == MAT_LIGHT) | (kind == MAT_PITCH_BLACK)
-        is_hemi = (kind == MAT_LAMBERTIAN) | (kind == MAT_LOMMEL)
-        is_sphr = (kind == MAT_ISOTROPIC) | (kind == MAT_ANISOTROPIC)
-        is_spec = (kind == MAT_MIRROR) | (kind == MAT_METAL) | \
-                  (kind == MAT_DIELECTRIC) | (kind == MAT_TRANSPARENT)
-
-        # --- specular family (Material.hs:65-112) ---
-        refl = reflect(normal, d)
-        fuzz_u = rng.unit_vector(rng.site(dkeys, 1))
-        metal_dir = refl + param[:, None] * fuzz_u
-        metal_ok = vdot0(metal_dir, normal) > 0.0          # Material.hs:76-77
-        metal_dir = normalize(metal_dir)
-
-        ior = jnp.maximum(param, 1e-6)
-        ior_ratio = jnp.where(front, 1.0 / ior, ior)       # Material.hs:90
-        cos_t = jnp.minimum(1.0, vdot0(normal, -d))
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-        cannot = ior_ratio * sin_t > 1.0
-        r0 = (1.0 - ior_ratio) / (1.0 + ior_ratio)
-        r0 = r0 * r0
-        schlick = r0 + (1.0 - r0) * jnp.power(1.0 - cos_t, 5.0)
-        x_di = rng.uniform(rng.site(dkeys, 2))
-        di_reflect = cannot | (x_di < schlick)
-        di_dir = jnp.where(di_reflect[:, None], refl,
-                           refract(ior_ratio, cos_t, normal, d))
-
-        spec_dir = jnp.where((kind == MAT_MIRROR)[:, None], refl, d)
-        spec_dir = jnp.where((kind == MAT_METAL)[:, None], metal_dir, spec_dir)
-        spec_dir = jnp.where((kind == MAT_DIELECTRIC)[:, None], di_dir, spec_dir)
-        spec_att = jnp.where((kind == MAT_DIELECTRIC)[:, None],
-                             jnp.ones_like(albedo), albedo)
-        spec_dead = (kind == MAT_METAL) & ~metal_ok
-
-        # --- diffuse family with redirection (Ray.hs:187-224) ---
-        cos_dir = normalize(normal + rng.unit_vector(rng.site(dkeys, 3)))
-        sph_dir = rng.unit_vector(rng.site(dkeys, 4))
-        base_dir = jnp.where(is_hemi[:, None], cos_dir, sph_dir)
-
-        if has_targets:
-            x_t = rng.uniform(rng.site(dkeys, 5))
-            # CDF threshold selection (Ray.hs:148-151): first target whose
-            # cumulative prob exceeds x; none -> base sample.
-            t_sel = jnp.sum((x_t[:, None] >= cdf[None, :]).astype(jnp.int32), 1)
-            use_target = t_sel < s.n_redirect
-            ti = jnp.minimum(t_sel, s.n_redirect - 1)
-            ij = rng.uniform(rng.site(dkeys, 6), (2,))
-            light_pt = (s.redirect_q[ti]
-                        + ij[:, 0:1] * s.redirect_u[ti]
-                        + ij[:, 1:2] * s.redirect_v[ti])
-            tgt_dir = normalize(light_pt - point)
-            diff_dir = jnp.where(use_target[:, None], tgt_dir, base_dir)
-        else:
-            diff_dir = base_dir
-        diff_dir = jax.lax.stop_gradient(diff_dir)
-
-        mu1 = vdot0(diff_dir, normal)
-        pdf_base = jnp.where(is_hemi, mu1 / jnp.pi, 0.25 / jnp.pi)
-        hemi_dead = is_hemi & (pdf_base <= 0.0)            # Ray.hs:198
-
-        if has_targets:
-            pdf_t = _eval_redirect_pdf(s, point, diff_dir)
-            pdf_mix = rem_prob * pdf_base + pdf_t
-        else:
-            pdf_mix = pdf_base
-        # detached sampling density; BRDF numerator stays differentiable
-        pdf_mix = jax.lax.stop_gradient(jnp.maximum(pdf_mix, 1e-12))
-
-        mu0 = -vdot0(d, normal)
-        lommel = 0.25 / jnp.maximum(mu0 + mu1, 1e-8)
-        hg = _henyey_greenstein(param, vdot0(d, diff_dir))
-        brdf_factor = jnp.ones((r,), DTYPE)
-        brdf_factor = jnp.where(kind == MAT_LOMMEL, lommel, brdf_factor)
-        brdf_factor = jnp.where(kind == MAT_ANISOTROPIC, hg, brdf_factor)
-        diff_w = albedo * (brdf_factor * pdf_base / pdf_mix)[:, None]
-
-        # --- combine ---
-        new_dir = jnp.where(is_spec[:, None], spec_dir, diff_dir)
-        weight = jnp.where(is_spec[:, None], spec_att, diff_w)
-        next_alive = live_hit & ~is_absorb & ~spec_dead & ~hemi_dead
-
-        throughput = jnp.where(next_alive[:, None], throughput * weight,
-                               throughput)
-        o_new = jnp.where(next_alive[:, None], point, o)
-        d_new = jnp.where(next_alive[:, None], new_dir, d)
-        alive = next_alive & (alive & hit_any)
-
-        return depth + 1, o_new, d_new, radiance, throughput, alive, time
-
     state = (
-        jnp.zeros((), jnp.int32), o, d, zeros3,
+        jnp.zeros((), jnp.int32), o, d, jnp.zeros((r, 3), DTYPE),
         jnp.ones((r, 3), DTYPE), jnp.ones((r,), bool), time,
     )
-    state = jax.lax.while_loop(cond, body, state)
+    if differentiable:
+        ckpt_body = jax.checkpoint(body)
+
+        def scan_body(st, _):
+            return ckpt_body(st), None
+
+        state, _ = jax.lax.scan(scan_body, state, None, length=s.max_depth)
+    else:
+        state = jax.lax.while_loop(cond, body, state)
     return state[3]
+
+
+def trace_wavefront(scene: Scene, s: CameraSettings, base_key, n_pix: int,
+                    spp: int, n_lanes: int, acc=None, sample_offset: int = 0,
+                    with_stats: bool = False):
+    """Persistent wavefront: render ``n_pix * spp`` paths with a fixed pool
+    of ``n_lanes`` lanes, regenerating dead lanes from the work queue every
+    iteration.  Returns the [n_pix, 3] radiance *sum* over samples (divide
+    by spp for the image); pass ``acc`` to continue accumulating
+    (progressive rendering / checkpoint-resume).
+
+    Work item w maps to (pixel = w % n_pix, sample = w // n_pix); RNG keys
+    derive from those absolute coordinates, so the image is independent of
+    n_lanes, batching, and device layout.
+    """
+    total_work = n_pix * spp
+    n_u = n_bounce_uniforms(scene)
+    frame = camera_frame(s)
+    if acc is None:
+        acc = jnp.zeros((n_pix, 3), DTYPE)
+    lanes = min(n_lanes, -(-total_work // 128) * 128)
+    use_pallas = pallas_eligible(scene, lanes)
+
+    def body(state):
+        (acc, next_w, o, d, time, radiance, throughput, alive, pixel, sample,
+         depth, keys, iters, segments) = state
+
+        # --- regenerate dead lanes from the queue ---
+        dead = ~alive
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)
+        wi = next_w + rank
+        can = dead & (wi < total_work)
+        new_pixel = (wi % n_pix).astype(jnp.int32)
+        new_sample = (wi // n_pix).astype(jnp.int32) + sample_offset
+        canl = can[:, None]
+        nk = rng.ray_keys_fast(base_key, new_pixel, new_sample)
+        keys = jax.random.wrap_key_data(jnp.where(
+            canl, jax.random.key_data(nk), jax.random.key_data(keys)))
+        radiance = jnp.where(canl, 0.0, radiance)
+        throughput = jnp.where(canl, 1.0, throughput)
+        pixel = jnp.where(can, new_pixel, pixel)
+        sample = jnp.where(can, new_sample, sample)
+        depth = jnp.where(can, 0, depth)
+        alive = alive | can
+        next_w = next_w + jnp.sum(can.astype(jnp.int32))
+
+        # --- one uniform block per iteration: bounce draws + (for lanes
+        # regenerated this iteration, at depth 0) camera draws ---
+        dkeys = rng.mix_depth(keys, depth)
+        uniforms = rng.uniform_block(dkeys, n_u + 5)
+        no, nd, ntime = generate_rays_from_uniforms(
+            s, frame, pixel, uniforms[:, n_u:])
+        o = jnp.where(canl, no, o)
+        d = jnp.where(canl, nd, d)
+        time = jnp.where(can, ntime, time)
+
+        o, d, radiance, throughput, alive, died = bounce(
+            scene, s, o, d, time, uniforms, radiance, throughput, alive,
+            use_pallas=use_pallas)
+        depth = depth + 1
+        # depth cap kills lanes (reference depth<=0 -> black, Ray.hs:176)
+        capped = alive & (depth >= s.max_depth)
+        died = died | capped
+        alive = alive & ~capped
+
+        # --- flush finished paths into the accumulator ---
+        contrib = jnp.where(died[:, None], radiance, 0.0)
+        acc = acc.at[pixel].add(contrib, mode="drop")
+
+        segments = segments + jnp.sum((alive | died).astype(jnp.int32))
+        return (acc, next_w, o, d, time, radiance, throughput, alive, pixel,
+                sample, depth, keys, iters + 1, segments)
+
+    def cond(state):
+        next_w = state[1]
+        alive = state[7]
+        return (next_w < total_work) | jnp.any(alive)
+
+    z3 = jnp.zeros((lanes, 3), DTYPE)
+    init_keys = rng.ray_keys_fast(base_key, jnp.zeros(lanes, jnp.int32),
+                                  jnp.zeros(lanes, jnp.int32))
+    state = (
+        acc, jnp.zeros((), jnp.int32), z3,
+        jnp.ones((lanes, 3), DTYPE),  # dummy dirs (unit-ish)
+        jnp.zeros((lanes,), DTYPE), z3, jnp.ones((lanes, 3), DTYPE),
+        jnp.zeros((lanes,), bool),
+        jnp.zeros((lanes,), jnp.int32), jnp.zeros((lanes,), jnp.int32),
+        jnp.zeros((lanes,), jnp.int32), init_keys,
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    if with_stats:
+        return state[0], dict(iterations=state[-2], segments=state[-1],
+                              lanes=lanes)
+    return state[0]

@@ -1,16 +1,17 @@
 """Top-level render driver: the TPU equivalent of ``raytrace`` (Ray.hs:121).
 
 Replaces the reference's per-pixel spark fan-out (``A.makeArray A.Par``,
-Ray.hs:238) with a *tiled wavefront scheduler*: the (pixel x sample) space
-is cut into fixed-size ray batches, each batch is traced by one jitted
-wavefront launch, and results accumulate into a progressive
-(sum, sample-count) buffer — which doubles as the checkpoint/resume story
-(SURVEY.md §5).  Batches are deterministic in (pixel, sample) coordinates,
-so the image is independent of batch size, device count, and launch order.
+Ray.hs:238) with the *persistent wavefront* (render/integrator.py): one
+jitted launch processes chunks of the (pixel x sample) work queue with a
+fixed lane pool, regenerating dead lanes so occupancy stays ~100%.  Work
+items are deterministic in (pixel, sample) coordinates, so the image is
+independent of lane count, chunking, and device layout.
+
+Progressive rendering / checkpoint-resume: :func:`render_accumulate`
+returns the raw (sum, samples-done) pair that can be checkpointed and
+continued (SURVEY.md §5).
 """
 from __future__ import annotations
-
-import math
 
 import jax
 import jax.numpy as jnp
@@ -19,29 +20,19 @@ import numpy as np
 from ..core import rng
 from ..core.vecmath import DTYPE
 from ..scene.types import Scene
-from .camera import CameraSettings, camera_frame, generate_rays
-from .integrator import trace
+from .camera import CameraSettings
+from .integrator import trace_wavefront
 
 
-def _trace_batch(scene: Scene, settings: CameraSettings, seed_key,
-                 pixel_ids, sample_ids):
-    """Jittable: trace one (pixel, sample) batch -> radiance [R, 3]."""
-    keys = rng.ray_keys(seed_key, pixel_ids, sample_ids)
-    frame = camera_frame(settings)
-    o, d, time = generate_rays(settings, frame, pixel_ids, keys)
-    return trace(scene, settings, o, d, time, rng.site(keys, 7))
+def render_accumulate(scene: Scene, settings: CameraSettings, seed: int = 0,
+                      *, spp: int | None = None, n_lanes: int = 1 << 17,
+                      spp_chunk: int | None = None, acc=None, spp_done: int = 0,
+                      progress: bool = False):
+    """Accumulate radiance sums for ``spp`` samples/pixel.
 
-
-_trace_batch_jit = jax.jit(_trace_batch, static_argnames=())
-
-
-def render(scene: Scene, settings: CameraSettings, seed: int = 0,
-           *, rays_per_batch: int = 1 << 17, spp: int | None = None,
-           progress: bool = False):
-    """Render an image [H, W, 3] of linear RGB.
-
-    ``rays_per_batch`` bounds device memory; the image itself is invariant
-    to it.  ``spp`` overrides ``settings.samples_per_pixel``.
+    Returns ``(acc, spp_total)`` where ``acc[n_pix, 3]`` is the radiance
+    *sum*; ``acc / spp_total`` is the image.  Pass a previous ``(acc,
+    spp_done)`` to resume.  ``spp_chunk`` bounds work per device launch.
     """
     h = settings.image_height
     w = settings.image_width
@@ -49,39 +40,54 @@ def render(scene: Scene, settings: CameraSettings, seed: int = 0,
     spp = spp if spp is not None else settings.samples_per_pixel
     key = rng.base_key(seed)
 
-    # Choose a pixel-tile size and samples-per-launch so each launch is
-    # ~rays_per_batch rays with every launch shape identical (one compile).
-    pix_tile = min(n_pix, rays_per_batch)
-    s_per = max(1, rays_per_batch // pix_tile)
-    s_per = min(s_per, spp)
+    if spp_chunk is None:
+        # Each launch ends with a low-occupancy drain tail (long survivor
+        # paths); queue >= ~32 lane-fills per launch amortizes it.
+        spp_chunk = max(1, min(spp, -(-32 * n_lanes // max(n_pix, 1))))
 
-    acc = jnp.zeros((n_pix, 3), DTYPE)
-    n_tiles = -(-n_pix // pix_tile)
-    n_sbatches = -(-spp // s_per)
+    if acc is None:
+        acc = jnp.zeros((n_pix, 3), DTYPE)
 
-    base_pix = np.arange(pix_tile)
-    for ti in range(n_tiles):
-        start = ti * pix_tile
-        ids = start + base_pix
-        valid = jnp.asarray(ids < n_pix)
-        ids_c = jnp.asarray(np.minimum(ids, n_pix - 1), jnp.int32)
-        for sb in range(n_sbatches):
-            s0 = sb * s_per
-            n_s = min(s_per, spp - s0)
-            sample_ids = jnp.repeat(jnp.arange(s0, s0 + s_per), pix_tile)
-            tiled_pix = jnp.tile(ids_c, s_per)
-            out = _trace_batch_jit(scene, settings, key, tiled_pix,
-                                   sample_ids)
-            out = out.reshape(s_per, pix_tile, 3)
-            if n_s < s_per:  # drop overshoot samples in the last batch
-                out = out[:n_s]
-            contrib = jnp.where(valid[:, None], out.sum(0), 0.0)
-            acc = acc.at[ids_c].add(contrib)
-            if progress:
-                done = ti * n_sbatches + sb + 1
-                print(f"\r  batch {done}/{n_tiles * n_sbatches}",
-                      end="", flush=True)
+    done = 0
+    while done < spp:
+        n_s = min(spp_chunk, spp - done)
+        # samples [spp_done+done, spp_done+done+n_s) — encoded in the work
+        # queue via an offset key fold so sample ids stay absolute
+        acc = _sample_range(scene, settings, key, acc, n_pix,
+                            spp_done + done, n_s, n_lanes)
+        done += n_s
+        if progress:
+            print(f"\r  spp {done}/{spp}", end="", flush=True)
     if progress:
         print()
+    return acc, spp_done + spp
 
-    return np.asarray(acc / spp).reshape(h, w, 3)
+
+def _sample_range(scene, settings, key, acc, n_pix, s0, n_s, n_lanes):
+    """Trace absolute samples [s0, s0+n_s) for every pixel into acc.
+    ``s0`` is traced (one compile serves every chunk)."""
+    return _wavefront_offset_jit(scene, settings, key, acc,
+                                 jnp.asarray(s0, jnp.int32), n_pix=n_pix,
+                                 spp=n_s, n_lanes=min(n_lanes, n_pix * n_s))
+
+
+def _wavefront_offset(scene, settings, key, acc, s0, n_pix, spp, n_lanes):
+    return trace_wavefront(scene, settings, key, n_pix, spp, n_lanes, acc,
+                           sample_offset=s0)
+
+
+_wavefront_offset_jit = jax.jit(
+    _wavefront_offset, static_argnames=("n_pix", "spp", "n_lanes"))
+
+
+def render(scene: Scene, settings: CameraSettings, seed: int = 0,
+           *, spp: int | None = None, n_lanes: int = 1 << 17,
+           spp_chunk: int | None = None, progress: bool = False):
+    """Render an image [H, W, 3] of linear RGB."""
+    spp = spp if spp is not None else settings.samples_per_pixel
+    acc, total = render_accumulate(
+        scene, settings, seed, spp=spp, n_lanes=n_lanes,
+        spp_chunk=spp_chunk, progress=progress)
+    h = settings.image_height
+    w = settings.image_width
+    return np.asarray(acc / total).reshape(h, w, 3)

@@ -165,9 +165,14 @@ def _rows_to_primitives(rows: _Rows, perm=None, pad_to: int = 1) -> Primitives:
     if n_pad:
         kind = np.concatenate([kind, np.full(n_pad, PRIM_PAD, np.int32)])
         z3 = np.zeros((n_pad, 3))
+        # pad rows get non-degenerate dummy geometry (unit edges) so the
+        # vectorized intersection math stays NaN-free under backward AD;
+        # kind == PRIM_PAD guarantees they can never be hit
+        ex = np.zeros((n_pad, 3)); ex[:, 0] = 1.0
+        ey = np.zeros((n_pad, 3)); ey[:, 1] = 1.0
         p0 = np.concatenate([p0, z3])
-        e1 = np.concatenate([e1, z3])
-        e2 = np.concatenate([e2, z3])
+        e1 = np.concatenate([e1, ex])
+        e2 = np.concatenate([e2, ey])
         uvs = np.concatenate([uvs, np.zeros((n_pad, 3, 2))])
         mat = np.concatenate([mat, np.zeros(n_pad, np.int32)])
         mv0 = np.concatenate([mv0, z3])

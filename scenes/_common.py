@@ -22,7 +22,8 @@ def scene_main(name, build, default_width, default_spp, default_depth,
     p.add_argument("--out", default=f"{name}.png")
     p.add_argument("--tpu", action="store_true",
                    help="run on the default (TPU) backend instead of CPU")
-    p.add_argument("--rays-per-batch", type=int, default=1 << 17)
+    p.add_argument("--lanes", type=int, default=1 << 17,
+                   help="wavefront lane-pool size")
     args = p.parse_args()
 
     import jax
@@ -35,8 +36,8 @@ def scene_main(name, build, default_width, default_spp, default_depth,
     if args.seed is not None:
         seed = args.seed
     t0 = time.time()
-    img = rt.render(scene, settings, seed=seed,
-                    rays_per_batch=args.rays_per_batch, progress=True)
+    img = rt.render(scene, settings, seed=seed, n_lanes=args.lanes,
+                    progress=True)
     dt = time.time() - t0
     rays = settings.image_width * settings.image_height * settings.samples_per_pixel
     print(f"{name}: {dt:.1f}s, {rays/dt/1e6:.2f}M primary rays/s")

@@ -146,14 +146,16 @@ def test_mis_redirection_unbiased():
         rt.with_material(light, rt.parallelogram([343, 554, 332], [-130, 0, 0], [0, 0, -105])),
     ])
     scene = rt.compile_scene(world)
-    base = rt.CameraSettings(background=rt.const_background(0.0), max_depth=16)
+    # depth high enough that truncation bias (which redirection *reduces*,
+    # since guided paths find the light sooner) is negligible vs noise
+    base = rt.CameraSettings(background=rt.const_background(0.0), max_depth=40)
     redir = base.with_redirect_targets(
         [(0.25, [343, 554, 332], [-130, 0, 0], [0, 0, -105])])
-    n = 4096
+    n = 1 << 16  # the plain estimator is heavy-tailed; needs real statistics
     o, d = _repeat_rays([278, 278, -800], [0, 0, 1], n)
     plain = _trace_rays(scene, base, o, d, seed=1).mean()
     guided = _trace_rays(scene, redir, o, d, seed=2).mean()
-    assert abs(plain - guided) / max(plain, 1e-9) < 0.1
+    assert abs(plain - guided) / max(plain, 1e-9) < 0.08
 
 
 def test_hemisphere_kill_on_negative_pdf():

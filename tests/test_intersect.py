@@ -77,7 +77,8 @@ class TestSphere:
         _, _, rec = _hit(s, o, d)
         uv = np.asarray(rec.uv)
         np.testing.assert_allclose(uv[0], [0.5, 0.5], atol=1e-4)   # +z point
-        np.testing.assert_allclose(uv[1][1], 1.0, atol=1e-4)       # north pole
+        # north pole (v=1); the grad-safe arccos clamp costs ~5e-4 there
+        np.testing.assert_allclose(uv[1][1], 1.0, atol=1e-3)
         np.testing.assert_allclose(uv[2], [0.75, 0.5], atol=1e-4)  # +x point
 
 

@@ -1,0 +1,108 @@
+"""Pallas dense megakernel vs XLA reference path (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import raytrace_tpu as rt
+from raytrace_tpu.ops.intersect import make_hit_record, nearest_hit_t
+from raytrace_tpu.ops.pallas.intersect_kernel import (
+    pack_prims, pallas_nearest_record,
+)
+
+M = rt.lambertian(rt.constant_texture(0.5))
+M2 = rt.metal(0.1, rt.constant_texture(0.9))
+
+
+def _mixed_scene(motion=False):
+    items = [
+        rt.with_material(M, rt.sphere([0, 0, -5], 1.0)),
+        rt.with_material(M2, rt.sphere([3, 1, -8], 2.0)),
+        rt.with_material(M, rt.parallelogram([-5, -2, -10], [10, 0, 0], [0, 6, 0])),
+        rt.with_material(M2, rt.triangle([-2, -2, -3], [2, -2, -3], [0, 2, -3],
+                                         uv0=(0, 0), uv1=(1, 0), uv2=(0.3, 0.9))),
+        rt.with_material(M, rt.cuboid([4, -4, -6], [6, -2, -4])),
+    ]
+    if motion:
+        items.append(rt.moving([0, 0, 0], [2, 0, 0],
+                               rt.with_material(M, rt.sphere([-4, 0, -6], 1.0))))
+    return rt.compile_scene(rt.group(items), accel="dense")
+
+
+def _run_both(scene, n=512, seed=0, t_min=1e-3):
+    rng_ = np.random.default_rng(seed)
+    o = jnp.asarray(rng_.uniform(-6, 6, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng_.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    time = jnp.asarray(rng_.uniform(0, 1, n), jnp.float32)
+
+    # XLA path
+    tmin = jnp.full(n, t_min)
+    tmax = jnp.full(n, jnp.inf)
+    t_ref, i_ref = nearest_hit_t(scene.prims, None, o, d, time, tmin, tmax)
+    rec = make_hit_record(scene.prims, i_ref, o, d, time,
+                          jnp.where(jnp.isfinite(t_ref), t_ref, 1.0))
+
+    # Pallas kernel (interpret mode for CPU)
+    g = n // 128
+    resh = lambda x: x.reshape(g, 128)
+    tbl = pack_prims(scene.prims)
+    t, idx, nx, ny, nz, fr, uu, vv, mat = pallas_nearest_record(
+        tbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
+        resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
+        n_prims=scene.prims.kind.shape[0], t_min=t_min,
+        has_motion=scene.prims.has_motion, interpret=True)
+    flat = lambda x: np.asarray(x).reshape(n)
+    # decode kernel outputs the way _surface_hit does: flags bit0 = front,
+    # bit1 = sphere; sphere uv computed from the outward normal host-side
+    flags = flat(fr)
+    front = (flags & 1).astype(bool)
+    is_sphere = (flags & 2) > 0
+    normal = np.stack([flat(nx), flat(ny), flat(nz)], -1)
+    outward = normal * np.where(front, 1.0, -1.0)[:, None]
+    su = np.arctan2(outward[:, 0], outward[:, 2]) / (2 * np.pi) + 0.5
+    sv = np.arccos(np.clip(-outward[:, 1], -1 + 1e-6, 1 - 1e-6)) / np.pi
+    uv = np.stack([np.where(is_sphere, su, flat(uu)),
+                   np.where(is_sphere, sv, flat(vv))], -1)
+    return (
+        dict(t=np.asarray(t_ref), i=np.asarray(i_ref),
+             n=np.asarray(rec.normal), f=np.asarray(rec.front),
+             uv=np.asarray(rec.uv), m=np.asarray(rec.mat)),
+        dict(t=flat(t), i=flat(idx), n=normal, f=front, uv=uv, m=flat(mat)),
+    )
+
+
+def _compare(ref, pal):
+    hit = np.isfinite(ref["t"])
+    assert (hit == np.isfinite(pal["t"])).all()
+    np.testing.assert_allclose(pal["t"][hit], ref["t"][hit], rtol=2e-5,
+                               atol=1e-5)
+    assert (pal["i"][hit] == ref["i"][hit]).all()
+    assert (pal["m"][hit] == ref["m"][hit]).all()
+    assert (pal["f"][hit] == ref["f"][hit]).all()
+    np.testing.assert_allclose(pal["n"][hit], ref["n"][hit], rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(pal["uv"][hit], ref["uv"][hit], rtol=1e-3,
+                               atol=2e-3)
+
+
+def test_static_scene_matches():
+    scene = _mixed_scene(motion=False)
+    ref, pal = _run_both(scene)
+    assert np.isfinite(ref["t"]).sum() > 30  # sanity: plenty of hits
+    _compare(ref, pal)
+
+
+def test_motion_scene_matches():
+    scene = _mixed_scene(motion=True)
+    ref, pal = _run_both(scene, seed=3)
+    _compare(ref, pal)
+
+
+def test_large_scene_many_rays():
+    rng_ = np.random.default_rng(1)
+    centers = rng_.uniform(-10, 10, (100, 3))
+    radii = rng_.uniform(0.3, 1.2, 100)
+    scene = rt.compile_scene(
+        rt.with_material(M, rt.spheres(centers, radii)), accel="dense")
+    ref, pal = _run_both(scene, n=1024, seed=2)
+    _compare(ref, pal)
