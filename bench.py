@@ -12,10 +12,17 @@ Runs on the default JAX platform (the driver provides the real TPU chip).
 Extra diagnostics go to stderr; stdout carries only the JSON line.
 """
 import json
+import os
 import sys
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
@@ -58,12 +65,14 @@ def main():
     # ---- forward: the production persistent-wavefront path ----
     from raytrace_tpu.render.render import render_accumulate
 
-    acc, _ = render_accumulate(scene, settings, spp=1, spp_chunk=1)
+    fwd_spp = 64
+    acc, _ = render_accumulate(scene, settings, spp=fwd_spp,
+                               spp_chunk=fwd_spp)
     acc.block_until_ready()
     log("fwd (wavefront) compiled")
-    fwd_spp = 8
     t0 = time.time()
-    acc, _ = render_accumulate(scene, settings, spp=fwd_spp, spp_chunk=1)
+    acc, _ = render_accumulate(scene, settings, spp=fwd_spp,
+                               spp_chunk=fwd_spp)
     acc.block_until_ready()
     dt = time.time() - t0
     fwd_rays = n_pix * fwd_spp

@@ -88,13 +88,16 @@ def pack_prims(prims: Primitives) -> jnp.ndarray:
     return tbl
 
 
-def _kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tm,
-            t_out, i_out, nx_out, ny_out, nz_out, fr_out, u_out, v_out,
-            m_out, *, n_prims: int, t_min: float, has_motion: bool):
-    shp = ox.shape  # (BLOCK_G, 128)
-    oxv, oyv, ozv = ox[...], oy[...], oz[...]
-    dxv, dyv, dzv = dx[...], dy[...], dz[...]
-    tmv = tm[...] if has_motion else None
+def prim_loop(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *, n_prims: int,
+              t_min: float, has_motion: bool):
+    """Shared fused nearest-hit loop over the packed primitive table.
+
+    Operates on value tiles (any shape); returns
+    (t, idx_f, nx, ny, nz, front_f, u, v, mat_f, sphere_f) where the
+    normal faces the ray, ``front_f``/``sphere_f`` are 0/1 floats and
+    sphere uv is NOT yet computed (needs atan2; see callers).
+    """
+    shp = oxv.shape
 
     inf = jnp.float32(jnp.inf)
     init = (
@@ -208,20 +211,28 @@ def _kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tm,
     (bt, bi, cnx, cny, cnz, cfr, cu, cv, cm, csp) = jax.lax.fori_loop(
         0, n_prims, body, init)
 
-    # flip the normal toward the ray; sphere uv is computed by the caller
-    # (atan2/arccos have no Pallas TPU lowering) from the outward normal,
-    # which is recoverable as normal * (front ? +1 : -1).
-    front = cfr > 0.5
-    flip = jnp.where(front, 1.0, -1.0)
+    # flip the normal toward the ray
+    flip = jnp.where(cfr > 0.5, 1.0, -1.0)
+    return (bt, bi, cnx * flip, cny * flip, cnz * flip, cfr, cu, cv, cm, csp)
 
+
+def _kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tm,
+            t_out, i_out, nx_out, ny_out, nz_out, fr_out, u_out, v_out,
+            m_out, *, n_prims: int, t_min: float, has_motion: bool):
+    (bt, bi, nx, ny, nz, cfr, cu, cv, cm, csp) = prim_loop(
+        tbl_ref, ox[...], oy[...], oz[...], dx[...], dy[...], dz[...],
+        tm[...] if has_motion else None, n_prims=n_prims, t_min=t_min,
+        has_motion=has_motion)
     t_out[...] = bt
+    # sphere uv is computed by the caller (atan2/arccos have no cheap
+    # Pallas lowering here) from the outward normal = normal * (+-1 front).
     # sphere flag piggybacks on the front output: bit0 front, bit1 sphere
-    fr_out[...] = (front.astype(jnp.int32)
+    fr_out[...] = ((cfr > 0.5).astype(jnp.int32)
                    + 2 * (csp > 0.5).astype(jnp.int32))
     i_out[...] = bi.astype(jnp.int32)
-    nx_out[...] = cnx * flip
-    ny_out[...] = cny * flip
-    nz_out[...] = cnz * flip
+    nx_out[...] = nx
+    ny_out[...] = ny
+    nz_out[...] = nz
     u_out[...] = cu
     v_out[...] = cv
     m_out[...] = cm.astype(jnp.int32)

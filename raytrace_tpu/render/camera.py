@@ -144,3 +144,33 @@ def generate_rays(s: CameraSettings, frame, pixel_ids, keys):
     """Primary rays from per-ray keys (one uniform block per lane)."""
     u5 = rng.uniform_block(rng.site(keys, 0), 5)
     return generate_rays_from_uniforms(s, frame, pixel_ids, u5)
+
+
+def generate_ray_components(s: CameraSettings, frame, pixel_ids, u5):
+    """Like :func:`generate_rays_from_uniforms` but computed and returned
+    as seven 1-D component arrays (ox, oy, oz, dx, dy, dz, time) — the
+    wavefront keeps its state as SoA 1-D arrays because [R, 3] arrays
+    tile catastrophically on TPU (minor dim 3 in an (8, 128) tile)."""
+    w = s.image_width
+    i = (pixel_ids % w).astype(DTYPE)
+    j = (pixel_ids // w).astype(DTYPE)
+    r = jnp.sqrt(u5[:, 0])
+    th = (2.0 * jnp.pi) * u5[:, 1]
+    da = r * jnp.cos(th) * frame["defocus_radius"]
+    db = r * jnp.sin(th) * frame["defocus_radius"]
+    uu, vv = frame["u"], frame["v"]
+    tl, pu, pv = frame["top_left"], frame["pixel_u"], frame["pixel_v"]
+    ii = i + u5[:, 2]
+    jj = j + u5[:, 3]
+    out_o = []
+    out_d = []
+    for k in range(3):
+        ok = s.center[k] + da * uu[k] + db * vv[k]
+        tk = tl[k] + ii * pu[k] + jj * pv[k]
+        out_o.append(ok)
+        out_d.append(tk - ok)
+    inv = jax.lax.rsqrt(jnp.maximum(
+        out_d[0] * out_d[0] + out_d[1] * out_d[1] + out_d[2] * out_d[2],
+        1e-24))
+    return (out_o[0], out_o[1], out_o[2], out_d[0] * inv, out_d[1] * inv,
+            out_d[2] * inv, u5[:, 4])

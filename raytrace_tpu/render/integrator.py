@@ -50,7 +50,10 @@ from ..materials.materials import (
 from ..ops.intersect import INF, make_hit_record, nearest_hit_t
 from ..scene.types import Scene
 from ..textures.textures import eval_texture
-from .camera import CameraSettings, camera_frame, generate_rays_from_uniforms
+from .camera import (
+    CameraSettings, camera_frame, generate_ray_components,
+    generate_rays_from_uniforms,
+)
 from .volumes import volume_candidates
 
 # uniform-block column layout for one bounce
@@ -63,6 +66,8 @@ _U_CHOICE = 5     # redirect target CDF draw
 _U_TGT_I = 6
 _U_TGT_J = 7
 _N_BASE_U = 8     # + one column per volume
+
+LANE_ALIGN = 128  # lane-pool alignment (TPU lane width)
 
 
 def n_bounce_uniforms(scene: Scene) -> int:
@@ -109,10 +114,21 @@ def _henyey_greenstein(g, mu):
 
 
 def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
-                 use_pallas: bool):
+                 use_pallas: bool, diff: bool = False):
     """Nearest surface hit + record fields, via the Pallas megakernel when
-    enabled (TPU, dense scene) or the XLA path otherwise."""
+    enabled (TPU, dense scene) or the XLA path otherwise.
+
+    ``diff=True`` routes through the custom-VJP wrapper (Pallas forward,
+    winner-only analytic backward; ops/diff_intersect.py)."""
     r = o.shape[0]
+    if diff:
+        from ..ops.diff_intersect import make_diff_surface_hit
+        p = scene.prims
+        hit_fn = make_diff_surface_hit(p.has_motion, float(s.t_min),
+                                       use_pallas)
+        ints_f = (p.kind.astype(DTYPE), p.mat.astype(DTYPE))
+        return hit_fn((p.p0, p.e1, p.e2, p.uvs, p.mv0, p.mv1), ints_f,
+                      o, d, time)
     if use_pallas:
         from ..ops.pallas.intersect_kernel import (
             pack_prims, pallas_nearest_record,
@@ -153,7 +169,8 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
 
 
 def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
-           radiance, throughput, alive, use_pallas: bool = False):
+           radiance, throughput, alive, use_pallas: bool = False,
+           diff: bool = False):
     """Advance every live lane by one bounce.
 
     ``uniforms[R, n_bounce_uniforms]`` supplies all randomness.  Returns
@@ -167,7 +184,7 @@ def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
 
     # --- intersect: surfaces + media (global argmin; SURVEY.md §3.3) ---
     t_srf, idx, normal, front, uv, mat_id = _surface_hit(
-        scene, s, o, d, time, use_pallas)
+        scene, s, o, d, time, use_pallas, diff=diff)
 
     if scene.volumes is not None:
         tmin = jnp.full((r,), s.t_min, DTYPE)
@@ -300,12 +317,84 @@ def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
 
 
 def pallas_eligible(scene: Scene, n_rays: int) -> bool:
-    """Static check: can the dense Pallas megakernel serve this scene?"""
+    """Static check: can the dense Pallas intersect kernel serve this scene?"""
     from ..ops.pallas.intersect_kernel import MAX_DENSE_PRIMS
     return (jax.default_backend() in ("tpu", "axon")
             and scene.bvh is None
             and scene.prims.kind.shape[0] <= MAX_DENSE_PRIMS
             and n_rays % 128 == 0)
+
+
+def bounce_kernel_eligible(scene: Scene, s: CameraSettings,
+                           n_rays: int) -> bool:
+    """Static check for the full-bounce megakernel: dense scene, no
+    volumes, only constant/checker textures, few targets/materials."""
+    from ..textures.textures import TEX_CHECKER, TEX_CONSTANT
+    return (pallas_eligible(scene, n_rays)
+            and scene.volumes is None
+            and set(scene.textures.kinds_present) <= {TEX_CONSTANT,
+                                                      TEX_CHECKER}
+            and s.n_redirect <= 8
+            and scene.materials.kind.shape[0] <= 16)
+
+
+def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
+                    rad, thr, alive, interpret: bool = False):
+    """Component-level megakernel call.
+
+    ``comps`` = (ox, oy, oz, dx, dy, dz, time); ``rad``/``thr`` are
+    (r, g, b) tuples — all 1-D [R] arrays (SoA: [R, 3] arrays tile
+    catastrophically on TPU).  Returns (comps', rad', thr', alive', died).
+    """
+    from ..ops.pallas.bounce_kernel import (
+        N_U, bounce_megakernel, pack_materials, pack_prims, pack_targets,
+    )
+    r = comps[0].shape[0]
+    g = r // 128
+    resh = lambda x: x.reshape(g, 128)
+    ptbl = pack_prims(scene.prims)
+    mtbl = pack_materials(scene.materials, scene.textures)
+    ttbl = pack_targets(s.redirect_prob, s.redirect_q, s.redirect_u,
+                        s.redirect_v)
+    uk = uniforms[:, :N_U].T.reshape(N_U, g, 128)
+    outs = bounce_megakernel(
+        ptbl, mtbl, ttbl,
+        *(resh(c) for c in comps),
+        resh(thr[0]), resh(thr[1]), resh(thr[2]),
+        resh(alive.astype(DTYPE)), uk,
+        n_prims=scene.prims.kind.shape[0],
+        n_mats=scene.materials.kind.shape[0], n_targets=s.n_redirect,
+        t_min=float(s.t_min), has_motion=scene.prims.has_motion,
+        interpret=interpret)
+    fl = lambda x: x.reshape(r)
+    new_comps = tuple(fl(outs[k]) for k in range(6)) + (comps[6],)
+    thr_new = (fl(outs[6]), fl(outs[7]), fl(outs[8]))
+    alive_new = fl(outs[12]) > 0.5
+    miss = fl(outs[13]) > 0.5
+    # background on miss (kept outside the kernel: arbitrary jittable bg)
+    o = jnp.stack(comps[0:3], axis=-1)
+    d = jnp.stack(comps[3:6], axis=-1)
+    bg = s.background(o, d).astype(DTYPE)
+    miss_f = jnp.where(miss, 1.0, 0.0)
+    rad_new = tuple(
+        rad[k] + fl(outs[9 + k]) + miss_f * thr[k] * bg[:, k]
+        for k in range(3))
+    died = alive & ~alive_new
+    return new_comps, rad_new, thr_new, alive_new, died
+
+
+def bounce_mega(scene: Scene, s: CameraSettings, o, d, time, uniforms,
+                radiance, throughput, alive, interpret: bool = False):
+    """Full-bounce Pallas megakernel wrapper; drop-in for :func:`bounce`."""
+    comps = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], time)
+    rad = (radiance[:, 0], radiance[:, 1], radiance[:, 2])
+    thr = (throughput[:, 0], throughput[:, 1], throughput[:, 2])
+    new_comps, rad_new, thr_new, alive_new, died = bounce_mega_soa(
+        scene, s, comps, uniforms, rad, thr, alive, interpret=interpret)
+    o_new = jnp.stack(new_comps[0:3], axis=-1)
+    d_new = jnp.stack(new_comps[3:6], axis=-1)
+    return (o_new, d_new, jnp.stack(rad_new, axis=-1),
+            jnp.stack(thr_new, axis=-1), alive_new, died)
 
 
 def trace(scene: Scene, s: CameraSettings, o, d, time, keys,
@@ -320,15 +409,20 @@ def trace(scene: Scene, s: CameraSettings, o, d, time, keys,
     """
     r = o.shape[0]
     n_u = n_bounce_uniforms(scene)
-    use_pallas = (not differentiable) and pallas_eligible(scene, r)
+    use_pallas = pallas_eligible(scene, r) and scene.bvh is None
+    use_mega = (not differentiable) and bounce_kernel_eligible(scene, s, r)
 
     def body(state):
         depth, o, d, radiance, throughput, alive, time = state
         dkeys = rng.mix_depth(keys, depth)
         uniforms = rng.uniform_block(dkeys, n_u)
-        o, d, radiance, throughput, alive, _ = bounce(
-            scene, s, o, d, time, uniforms, radiance, throughput, alive,
-            use_pallas=use_pallas)
+        if use_mega:
+            o, d, radiance, throughput, alive, _ = bounce_mega(
+                scene, s, o, d, time, uniforms, radiance, throughput, alive)
+        else:
+            o, d, radiance, throughput, alive, _ = bounce(
+                scene, s, o, d, time, uniforms, radiance, throughput, alive,
+                use_pallas=use_pallas, diff=differentiable)
         return depth + 1, o, d, radiance, throughput, alive, time
 
     def cond(state):
@@ -372,24 +466,28 @@ def trace_wavefront(scene: Scene, s: CameraSettings, base_key, n_pix: int,
         acc = jnp.zeros((n_pix, 3), DTYPE)
     lanes = min(n_lanes, -(-total_work // 128) * 128)
     use_pallas = pallas_eligible(scene, lanes)
+    use_mega = bounce_kernel_eligible(scene, s, lanes)
 
+    # State is fully SoA: 1-D lane arrays only ([R, 3] carries tile
+    # catastrophically on TPU — minor dim 3 in an (8, 128) tile).
     def body(state):
-        (acc, next_w, o, d, time, radiance, throughput, alive, pixel, sample,
-         depth, keys, iters, segments) = state
+        (acc_r, acc_g, acc_b, next_w, comps, rad, thr,
+         alive, pixel, sample, depth, keys, iters, segments) = state
 
         # --- regenerate dead lanes from the queue ---
         dead = ~alive
         rank = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)
         wi = next_w + rank
         can = dead & (wi < total_work)
+        can_f = jnp.where(can, 1.0, 0.0)
         new_pixel = (wi % n_pix).astype(jnp.int32)
         new_sample = (wi // n_pix).astype(jnp.int32) + sample_offset
-        canl = can[:, None]
         nk = rng.ray_keys_fast(base_key, new_pixel, new_sample)
         keys = jax.random.wrap_key_data(jnp.where(
-            canl, jax.random.key_data(nk), jax.random.key_data(keys)))
-        radiance = jnp.where(canl, 0.0, radiance)
-        throughput = jnp.where(canl, 1.0, throughput)
+            can[:, None], jax.random.key_data(nk),
+            jax.random.key_data(keys)))
+        rad = tuple(r * (1.0 - can_f) for r in rad)
+        thr = tuple(jnp.where(can, 1.0, t) for t in thr)
         pixel = jnp.where(can, new_pixel, pixel)
         sample = jnp.where(can, new_sample, sample)
         depth = jnp.where(can, 0, depth)
@@ -400,15 +498,25 @@ def trace_wavefront(scene: Scene, s: CameraSettings, base_key, n_pix: int,
         # regenerated this iteration, at depth 0) camera draws ---
         dkeys = rng.mix_depth(keys, depth)
         uniforms = rng.uniform_block(dkeys, n_u + 5)
-        no, nd, ntime = generate_rays_from_uniforms(
-            s, frame, pixel, uniforms[:, n_u:])
-        o = jnp.where(canl, no, o)
-        d = jnp.where(canl, nd, d)
-        time = jnp.where(can, ntime, time)
+        new_comps = generate_ray_components(s, frame, pixel,
+                                            uniforms[:, n_u:])
+        comps = tuple(jnp.where(can, nc, c)
+                      for nc, c in zip(new_comps, comps))
 
-        o, d, radiance, throughput, alive, died = bounce(
-            scene, s, o, d, time, uniforms, radiance, throughput, alive,
-            use_pallas=use_pallas)
+        if use_mega:
+            comps, rad, thr, alive, died = bounce_mega_soa(
+                scene, s, comps, uniforms, rad, thr, alive)
+        else:
+            o = jnp.stack(comps[0:3], axis=-1)
+            d = jnp.stack(comps[3:6], axis=-1)
+            o, d, radiance, throughput, alive, died = bounce(
+                scene, s, o, d, comps[6], uniforms,
+                jnp.stack(rad, axis=-1), jnp.stack(thr, axis=-1), alive,
+                use_pallas=use_pallas)
+            comps = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                     comps[6])
+            rad = (radiance[:, 0], radiance[:, 1], radiance[:, 2])
+            thr = (throughput[:, 0], throughput[:, 1], throughput[:, 2])
         depth = depth + 1
         # depth cap kills lanes (reference depth<=0 -> black, Ray.hs:176)
         capped = alive & (depth >= s.max_depth)
@@ -416,32 +524,146 @@ def trace_wavefront(scene: Scene, s: CameraSettings, base_key, n_pix: int,
         alive = alive & ~capped
 
         # --- flush finished paths into the accumulator ---
-        contrib = jnp.where(died[:, None], radiance, 0.0)
-        acc = acc.at[pixel].add(contrib, mode="drop")
+        died_f = jnp.where(died, 1.0, 0.0)
+        acc_r = acc_r.at[pixel].add(rad[0] * died_f, mode="drop")
+        acc_g = acc_g.at[pixel].add(rad[1] * died_f, mode="drop")
+        acc_b = acc_b.at[pixel].add(rad[2] * died_f, mode="drop")
 
         segments = segments + jnp.sum((alive | died).astype(jnp.int32))
-        return (acc, next_w, o, d, time, radiance, throughput, alive, pixel,
-                sample, depth, keys, iters + 1, segments)
+        return (acc_r, acc_g, acc_b, next_w, comps, rad, thr,
+                alive, pixel, sample, depth, keys, iters + 1, segments)
 
     def cond(state):
-        next_w = state[1]
+        next_w = state[3]
         alive = state[7]
         return (next_w < total_work) | jnp.any(alive)
 
-    z3 = jnp.zeros((lanes, 3), DTYPE)
+    z1 = jnp.zeros((lanes,), DTYPE)
+    o1 = jnp.ones((lanes,), DTYPE)
     init_keys = rng.ray_keys_fast(base_key, jnp.zeros(lanes, jnp.int32),
                                   jnp.zeros(lanes, jnp.int32))
+    zw = jnp.zeros((n_pix,), DTYPE)
     state = (
-        acc, jnp.zeros((), jnp.int32), z3,
-        jnp.ones((lanes, 3), DTYPE),  # dummy dirs (unit-ish)
-        jnp.zeros((lanes,), DTYPE), z3, jnp.ones((lanes, 3), DTYPE),
+        zw, zw, zw, jnp.zeros((), jnp.int32),
+        (z1, z1, z1, z1, z1, o1, z1),       # o, d (dummy unit z), time
+        (z1, z1, z1), (o1, o1, o1),         # radiance, throughput
         jnp.zeros((lanes,), bool),
         jnp.zeros((lanes,), jnp.int32), jnp.zeros((lanes,), jnp.int32),
         jnp.zeros((lanes,), jnp.int32), init_keys,
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
     )
     state = jax.lax.while_loop(cond, body, state)
+    acc_out = acc + jnp.stack(state[0:3], axis=-1)
     if with_stats:
-        return state[0], dict(iterations=state[-2], segments=state[-1],
-                              lanes=lanes)
-    return state[0]
+        return acc_out, dict(iterations=state[-2], segments=state[-1],
+                             lanes=lanes)
+    return acc_out
+
+
+def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
+                               n_pix: int, spp: int, acc=None,
+                               sample_offset: int = 0,
+                               with_stats: bool = False):
+    """Pixel-stationary persistent wavefront: lane ``l`` owns pixel ``l``
+    for the whole launch and traces its ``spp`` samples sequentially.
+
+    Why: TPU scatter with per-iteration-varying indices costs ~0.8 ms per
+    131k updates (XLA re-sorts the indices every iteration), which
+    dominated the queue-based wavefront.  With stationary lanes the flush
+    is a lane-indexed *masked add* — no scatter anywhere — at the price of
+    some tail imbalance (lanes whose pixels have long paths finish last).
+
+    RNG keys derive from (pixel, sample) exactly as in
+    :func:`trace_wavefront`, so both schedulers produce the same samples.
+    """
+    lanes = -(-n_pix // LANE_ALIGN) * LANE_ALIGN
+    n_u = n_bounce_uniforms(scene)
+    frame = camera_frame(s)
+    if acc is None:
+        acc = jnp.zeros((n_pix, 3), DTYPE)
+    use_pallas = pallas_eligible(scene, lanes)
+    use_mega = bounce_kernel_eligible(scene, s, lanes)
+    last_sample = sample_offset + spp - 1
+
+    lane_pixel = jnp.minimum(jnp.arange(lanes, dtype=jnp.int32), n_pix - 1)
+    # padding lanes (>= n_pix) start exhausted
+    init_sample = jnp.where(jnp.arange(lanes) < n_pix,
+                            sample_offset - 1, last_sample + 1)
+
+    def body(state):
+        (acc_r, acc_g, acc_b, comps, rad, thr, alive, sample, depth, keys,
+         iters, segments) = state
+
+        # --- start this lane's next sample if idle ---
+        can = ~alive & (sample < last_sample)
+        can_f = jnp.where(can, 1.0, 0.0)
+        sample = jnp.where(can, sample + 1, sample)
+        nk = rng.ray_keys_fast(base_key, lane_pixel, sample)
+        keys = jax.random.wrap_key_data(jnp.where(
+            can[:, None], jax.random.key_data(nk),
+            jax.random.key_data(keys)))
+        rad = tuple(r * (1.0 - can_f) for r in rad)
+        thr = tuple(jnp.where(can, 1.0, t) for t in thr)
+        depth = jnp.where(can, 0, depth)
+        alive = alive | can
+
+        dkeys = rng.mix_depth(keys, depth)
+        uniforms = rng.uniform_block(dkeys, n_u + 5)
+        new_comps = generate_ray_components(s, frame, lane_pixel,
+                                            uniforms[:, n_u:])
+        comps = tuple(jnp.where(can, nc, c)
+                      for nc, c in zip(new_comps, comps))
+
+        if use_mega:
+            comps, rad, thr, alive, died = bounce_mega_soa(
+                scene, s, comps, uniforms, rad, thr, alive)
+        else:
+            o = jnp.stack(comps[0:3], axis=-1)
+            d = jnp.stack(comps[3:6], axis=-1)
+            o, d, radiance, throughput, alive, died = bounce(
+                scene, s, o, d, comps[6], uniforms,
+                jnp.stack(rad, axis=-1), jnp.stack(thr, axis=-1), alive,
+                use_pallas=use_pallas)
+            comps = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                     comps[6])
+            rad = (radiance[:, 0], radiance[:, 1], radiance[:, 2])
+            thr = (throughput[:, 0], throughput[:, 1], throughput[:, 2])
+        depth = depth + 1
+        capped = alive & (depth >= s.max_depth)
+        died = died | capped
+        alive = alive & ~capped
+
+        # --- flush: lane-indexed masked add (scatter-free) ---
+        died_f = jnp.where(died, 1.0, 0.0)
+        acc_r = acc_r + rad[0] * died_f
+        acc_g = acc_g + rad[1] * died_f
+        acc_b = acc_b + rad[2] * died_f
+
+        segments = segments + jnp.sum((alive | died).astype(jnp.int32))
+        return (acc_r, acc_g, acc_b, comps, rad, thr, alive, sample, depth,
+                keys, iters + 1, segments)
+
+    def cond(state):
+        alive = state[6]
+        sample = state[7]
+        return jnp.any(alive | (sample < last_sample))
+
+    z1 = jnp.zeros((lanes,), DTYPE)
+    o1 = jnp.ones((lanes,), DTYPE)
+    init_keys = rng.ray_keys_fast(base_key, jnp.zeros(lanes, jnp.int32),
+                                  jnp.zeros(lanes, jnp.int32))
+    state = (
+        z1, z1, z1,
+        (z1, z1, z1, z1, z1, o1, z1),
+        (z1, z1, z1), (o1, o1, o1),
+        jnp.zeros((lanes,), bool), init_sample.astype(jnp.int32),
+        jnp.zeros((lanes,), jnp.int32), init_keys,
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    contrib = jnp.stack(state[0:3], axis=-1)[:n_pix]
+    acc_out = acc + contrib
+    if with_stats:
+        return acc_out, dict(iterations=state[-2], segments=state[-1],
+                             lanes=lanes)
+    return acc_out

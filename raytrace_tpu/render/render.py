@@ -21,7 +21,11 @@ from ..core import rng
 from ..core.vecmath import DTYPE
 from ..scene.types import Scene
 from .camera import CameraSettings
-from .integrator import trace_wavefront
+from .integrator import trace_wavefront, trace_wavefront_stationary
+
+# Below this many pixels, the pixel-stationary scheduler can't fill the
+# vector lanes; use the work-queue scheduler instead.
+_STATIONARY_MIN_PIXELS = 16384
 
 
 def render_accumulate(scene: Scene, settings: CameraSettings, seed: int = 0,
@@ -40,10 +44,15 @@ def render_accumulate(scene: Scene, settings: CameraSettings, seed: int = 0,
     spp = spp if spp is not None else settings.samples_per_pixel
     key = rng.base_key(seed)
 
+    stationary = n_pix >= _STATIONARY_MIN_PIXELS
     if spp_chunk is None:
-        # Each launch ends with a low-occupancy drain tail (long survivor
-        # paths); queue >= ~32 lane-fills per launch amortizes it.
-        spp_chunk = max(1, min(spp, -(-32 * n_lanes // max(n_pix, 1))))
+        if stationary:
+            # tail imbalance amortizes over samples; bigger launches win
+            spp_chunk = min(spp, 64)
+        else:
+            # Each launch ends with a low-occupancy drain tail (long
+            # survivor paths); queue >= ~32 lane-fills amortizes it.
+            spp_chunk = max(1, min(spp, -(-32 * n_lanes // max(n_pix, 1))))
 
     if acc is None:
         acc = jnp.zeros((n_pix, 3), DTYPE)
@@ -51,10 +60,14 @@ def render_accumulate(scene: Scene, settings: CameraSettings, seed: int = 0,
     done = 0
     while done < spp:
         n_s = min(spp_chunk, spp - done)
-        # samples [spp_done+done, spp_done+done+n_s) — encoded in the work
-        # queue via an offset key fold so sample ids stay absolute
-        acc = _sample_range(scene, settings, key, acc, n_pix,
-                            spp_done + done, n_s, n_lanes)
+        # samples [spp_done+done, ...+n_s) — absolute sample coordinates
+        s0 = jnp.asarray(spp_done + done, jnp.int32)
+        if stationary:
+            acc = _stationary_jit(scene, settings, key, acc, s0,
+                                  n_pix=n_pix, spp=n_s)
+        else:
+            acc = _queue_jit(scene, settings, key, acc, s0, n_pix=n_pix,
+                             spp=n_s, n_lanes=min(n_lanes, n_pix * n_s))
         done += n_s
         if progress:
             print(f"\r  spp {done}/{spp}", end="", flush=True)
@@ -63,21 +76,18 @@ def render_accumulate(scene: Scene, settings: CameraSettings, seed: int = 0,
     return acc, spp_done + spp
 
 
-def _sample_range(scene, settings, key, acc, n_pix, s0, n_s, n_lanes):
-    """Trace absolute samples [s0, s0+n_s) for every pixel into acc.
-    ``s0`` is traced (one compile serves every chunk)."""
-    return _wavefront_offset_jit(scene, settings, key, acc,
-                                 jnp.asarray(s0, jnp.int32), n_pix=n_pix,
-                                 spp=n_s, n_lanes=min(n_lanes, n_pix * n_s))
-
-
-def _wavefront_offset(scene, settings, key, acc, s0, n_pix, spp, n_lanes):
+def _queue_fn(scene, settings, key, acc, s0, n_pix, spp, n_lanes):
     return trace_wavefront(scene, settings, key, n_pix, spp, n_lanes, acc,
                            sample_offset=s0)
 
 
-_wavefront_offset_jit = jax.jit(
-    _wavefront_offset, static_argnames=("n_pix", "spp", "n_lanes"))
+def _stationary_fn(scene, settings, key, acc, s0, n_pix, spp):
+    return trace_wavefront_stationary(scene, settings, key, n_pix, spp, acc,
+                                      sample_offset=s0)
+
+
+_queue_jit = jax.jit(_queue_fn, static_argnames=("n_pix", "spp", "n_lanes"))
+_stationary_jit = jax.jit(_stationary_fn, static_argnames=("n_pix", "spp"))
 
 
 def render(scene: Scene, settings: CameraSettings, seed: int = 0,

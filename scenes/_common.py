@@ -29,6 +29,10 @@ def scene_main(name, build, default_width, default_spp, default_depth,
     import jax
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import raytrace_tpu as rt
 
