@@ -1,0 +1,128 @@
+"""Differentiable-rendering tests: autodiff vs finite differences
+(BASELINE north-star: pixel gradients to material albedo, texture, and
+geometry params via reparameterized/detached sampling)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import raytrace_tpu as rt
+from raytrace_tpu.core import rng
+from raytrace_tpu.diff.gradients import (
+    combine, grad_render, partition, render_tile,
+)
+
+
+def _simple_scene(albedo=(0.5, 0.5, 0.5), z=-3.0, radius=1.0):
+    world = rt.group([
+        rt.with_material(rt.lambertian(rt.constant_texture(albedo)),
+                         rt.sphere([0, 0, z], radius)),
+        rt.with_material(rt.light_source(rt.constant_texture(2.0)),
+                         rt.parallelogram([-20, 10, -20], [40, 0, 0],
+                                          [0, 0, 40])),
+    ])
+    return rt.compile_scene(world)
+
+
+def _render_mean(scene, spp=64, n_pix=256, depth=4, seed=0):
+    s = rt.CameraSettings(image_width=16, samples_per_pixel=spp,
+                          max_depth=depth,
+                          background=rt.const_background(0.5))
+    key = rng.base_key(seed)
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+    samp = jnp.arange(spp, dtype=jnp.int32)
+    img = render_tile(scene, s, key, pix, samp, differentiable=True)
+    return jnp.mean(img)
+
+
+def test_albedo_gradient_matches_fd():
+    """d(mean image)/d(albedo): texture-table gradient vs central FD.
+    Same RNG stream on both sides -> FD is noise-free."""
+    def f(albedo_r):
+        scene = _simple_scene()
+        # perturb the compiled texture table directly (tex 0 = sphere)
+        c0 = scene.textures.c0.at[0, 0].set(albedo_r)
+        scene = scene.replace(textures=scene.textures.replace(c0=c0))
+        return _render_mean(scene)
+
+    g_auto = jax.grad(f)(jnp.float32(0.5))
+    eps = 1e-2
+    g_fd = (f(0.5 + eps) - f(0.5 - eps)) / (2 * eps)
+    assert np.isfinite(float(g_auto))
+    assert float(g_auto) > 0  # brighter albedo -> brighter image
+    np.testing.assert_allclose(float(g_auto), float(g_fd), rtol=0.05)
+
+
+def test_emission_gradient_matches_fd():
+    def f(emit):
+        scene = _simple_scene()
+        c0 = scene.textures.c0.at[1].set(emit)
+        scene = scene.replace(textures=scene.textures.replace(c0=c0))
+        return _render_mean(scene)
+
+    g_auto = jax.grad(f)(jnp.float32(2.0))
+    eps = 1e-2
+    g_fd = (f(2.0 + eps) - f(2.0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g_auto), float(g_fd), rtol=0.05)
+
+
+def test_geometry_gradient_finite_and_sane():
+    """Gradient w.r.t. sphere center z: moving the sphere toward the
+    camera changes shading/coverage; autodiff must be finite and in the
+    same ballpark as (noisy) FD."""
+    def f(z):
+        scene = _simple_scene()
+        p0 = scene.prims.p0.at[0, 2].set(z)
+        scene = scene.replace(prims=scene.prims.replace(p0=p0))
+        return _render_mean(scene, spp=32)
+
+    g_auto = float(jax.grad(f)(jnp.float32(-3.0)))
+    assert np.isfinite(g_auto)
+    eps = 3e-2
+    g_fd = float((f(-3.0 + eps) - f(-3.0 - eps)) / (2 * eps))
+    # detached-sampling gradients omit the moving-silhouette term, so
+    # compare loosely: same sign region / magnitude within 3x or both tiny
+    if abs(g_fd) > 1e-3:
+        assert np.sign(g_auto) == np.sign(g_fd) or abs(g_auto - g_fd) < 0.3 * abs(g_fd) + 1e-3
+
+
+def test_grad_render_full_scene_no_nans():
+    scene = _simple_scene()
+    s = rt.CameraSettings(image_width=16, samples_per_pixel=8, max_depth=4,
+                          background=rt.const_background(0.5))
+    key = rng.base_key(0)
+    pix = jnp.arange(256, dtype=jnp.int32)
+    samp = jnp.arange(8, dtype=jnp.int32)
+    target = jnp.zeros((256, 3))
+    loss, grads = grad_render(scene, s, key, pix, samp, target)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        if hasattr(leaf, "dtype"):
+            assert not bool(jnp.isnan(leaf).any())
+
+
+def test_partition_combine_roundtrip():
+    scene = _simple_scene()
+    params, statics = partition(scene)
+    back = combine(params, statics)
+    for a, b in zip(jax.tree_util.tree_leaves(scene),
+                    jax.tree_util.tree_leaves(back)):
+        assert a is b or bool(jnp.all(a == b))
+
+
+def test_camera_gradient():
+    """Gradients also flow to camera parameters (center)."""
+    scene = _simple_scene()
+
+    def f(cx):
+        s = rt.CameraSettings(
+            center=jnp.asarray([cx, 0.0, 0.0]),
+            image_width=16, samples_per_pixel=16, max_depth=3,
+            background=rt.const_background(0.5))
+        key = rng.base_key(0)
+        pix = jnp.arange(256, dtype=jnp.int32)
+        samp = jnp.arange(16, dtype=jnp.int32)
+        img = render_tile(scene, s, key, pix, samp, differentiable=True)
+        return jnp.mean(img)
+
+    g = float(jax.grad(f)(jnp.float32(0.0)))
+    assert np.isfinite(g)

@@ -1,0 +1,84 @@
+"""Render-driver tests: scheduler equivalence, determinism, progressive
+accumulation (the reference's determinism story, SURVEY.md §5, upgraded
+to layout invariance)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import raytrace_tpu as rt
+from raytrace_tpu.core import rng
+from raytrace_tpu.render.integrator import (
+    trace_wavefront, trace_wavefront_stationary,
+)
+from raytrace_tpu.render.render import render_accumulate
+
+
+def _scene():
+    return rt.compile_scene(rt.group([
+        rt.with_material(rt.lambertian(rt.checker_texture(8, 4, 0.2, 0.9)),
+                         rt.sphere([0, 0, -3], 1.0)),
+        rt.with_material(rt.mirror(rt.constant_texture(0.8)),
+                         rt.parallelogram([-4, -2, -6], [8, 0, 0], [0, 4, 0])),
+    ]))
+
+
+SETTINGS = rt.CameraSettings(image_width=32, aspect_ratio=1.0,
+                             samples_per_pixel=4, max_depth=5,
+                             background=rt.sky)
+N_PIX = 32 * 32
+
+
+def test_schedulers_agree():
+    """Queue and pixel-stationary schedulers trace identical samples."""
+    scene = _scene()
+    key = rng.base_key(5)
+    q = np.asarray(trace_wavefront(scene, SETTINGS, key, N_PIX, 4, 1 << 10))
+    st = np.asarray(trace_wavefront_stationary(scene, SETTINGS, key,
+                                               N_PIX, 4))
+    np.testing.assert_allclose(q, st, atol=1e-4, rtol=1e-4)
+
+
+def test_queue_invariant_to_lane_count():
+    scene = _scene()
+    key = rng.base_key(5)
+    a = np.asarray(trace_wavefront(scene, SETTINGS, key, N_PIX, 4, 1 << 9))
+    b = np.asarray(trace_wavefront(scene, SETTINGS, key, N_PIX, 4, 1 << 11))
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_render_deterministic():
+    scene = _scene()
+    a = rt.render(scene, SETTINGS, seed=7)
+    b = rt.render(scene, SETTINGS, seed=7)
+    np.testing.assert_array_equal(a, b)
+    c = rt.render(scene, SETTINGS, seed=8)
+    assert not np.allclose(a, c)
+
+
+def test_render_invariant_to_chunking():
+    scene = _scene()
+    a = rt.render(scene, SETTINGS, seed=7, spp_chunk=1)
+    b = rt.render(scene, SETTINGS, seed=7, spp_chunk=4)
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_progressive_accumulate_resume():
+    """(sum, count) accumulation is the checkpoint/resume story: two
+    2-spp passes equal one 4-spp pass."""
+    scene = _scene()
+    acc1, n1 = render_accumulate(scene, SETTINGS, seed=7, spp=2)
+    acc2, n2 = render_accumulate(scene, SETTINGS, seed=7, spp=2,
+                                 acc=acc1, spp_done=n1)
+    assert n2 == 4
+    full, n4 = render_accumulate(scene, SETTINGS, seed=7, spp=4)
+    np.testing.assert_allclose(np.asarray(acc2), np.asarray(full),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_image_shape_and_range():
+    scene = _scene()
+    s = SETTINGS.replace(aspect_ratio=16 / 9, image_width=48)
+    img = rt.render(scene, s, seed=0)
+    assert img.shape == (27, 48, 3)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0
