@@ -80,26 +80,36 @@ def main():
     log(f"forward: {fwd_rays_s/1e6:.2f}M primary rays/s "
         f"({fwd_rays} rays in {dt:.2f}s)")
 
-    # ---- forward+backward ----
+    # ---- forward+backward: differentiable regenerative wavefront ----
+    from raytrace_tpu.diff.gradients import render_loss_wavefront
+
     params, statics = partition(scene)
-    vg = jax.jit(jax.value_and_grad(render_loss), static_argnums=())
+    vg = jax.jit(jax.value_and_grad(render_loss_wavefront, has_aux=True),
+                 static_argnames=("spp", "n_iters"))
+    bwd_pix = 1 << 17
+    bwd_spp = 32
+    n_iters = 4 * bwd_spp + DEPTH
 
     def run_bwd(i):
-        target = jnp.zeros((pix_per, 3), jnp.float32)
-        return vg(params, statics, settings, key, pix_batch(i), sample_ids,
-                  target)
+        start = (i * 131) % max(n_pix - bwd_pix, 1)
+        pix = jnp.arange(start, start + bwd_pix, dtype=jnp.int32)
+        target = jnp.zeros((bwd_pix, 3), jnp.float32)
+        return vg(params, statics, settings, key, pix, target,
+                  spp=bwd_spp, n_iters=n_iters)
 
-    loss, grads = run_bwd(0)
+    (loss, frac), grads = run_bwd(0)
     jax.block_until_ready((loss, grads))
     log("fwd+bwd compiled")
     t0 = time.time()
     for i in range(BWD_BATCHES):
-        loss, grads = run_bwd(i)
+        (loss, frac), grads = run_bwd(i)
     jax.block_until_ready((loss, grads))
     dt = time.time() - t0
-    bwd_rays_s = BWD_BATCHES * BATCH_RAYS / dt
+    bwd_rays = BWD_BATCHES * bwd_pix * bwd_spp
+    bwd_rays_s = bwd_rays / dt
     log(f"fwd+bwd: {bwd_rays_s/1e6:.2f}M primary rays/s "
-        f"({BWD_BATCHES} x {BATCH_RAYS} rays in {dt:.2f}s)  loss={float(loss):.4f}")
+        f"({bwd_rays} rays in {dt:.2f}s)  loss={float(loss):.4f} "
+        f"samples_completed={float(frac):.4f}")
 
     print(json.dumps({
         "metric": "cornell600_200spp_depth50_fwd_bwd_primary_rays_per_sec_per_chip",
