@@ -37,7 +37,7 @@ from ...materials.materials import (
     MAT_TRANSPARENT, MaterialTable,
 )
 from ...textures.textures import TEX_CHECKER, TEX_CONSTANT, TextureTable
-from .intersect_kernel import LANES, MAX_DENSE_PRIMS, pack_prims, prim_loop
+from .intersect_kernel import LANES, MAX_DENSE_PRIMS, MAX_SMEM_PRIMS, pack_prims, prim_loop
 
 BLOCK_G = 32
 N_MCOLS = 12
@@ -402,15 +402,38 @@ def bounce_megakernel(ptbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
     kernel = functools.partial(
         _kernel, n_prims=n_prims, n_mats=n_mats, n_targets=n_targets,
         t_min=t_min, has_motion=has_motion)
+    from .intersect_kernel import MAX_SMEM_PRIMS
+    if n_prims <= MAX_SMEM_PRIMS:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[ray_spec] * 11 + [uni_spec],
+            out_specs=out_specs,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(ptbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, al,
+          uniforms)
+
+    # mesh-scale scenes: the primitive table lives whole in VMEM while the
+    # small material/target tables stay scalar-prefetched in SMEM
+    def kernel_vmem(mtbl_ref, ttbl_ref, ptbl_ref, *rest):
+        kernel(ptbl_ref, mtbl_ref, ttbl_ref, *rest)
+
+    tbl_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[ray_spec] * 11 + [uni_spec],
+        in_specs=[tbl_spec] + [ray_spec] * 11 + [uni_spec],
         out_specs=out_specs,
     )
     return pl.pallas_call(
-        kernel,
+        kernel_vmem,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(ptbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, al, uniforms)
+    )(mtbl, ttbl, ptbl, ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, al,
+      uniforms)

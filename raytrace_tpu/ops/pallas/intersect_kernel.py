@@ -46,7 +46,8 @@ from ...scene.types import (
 LANES = 128
 BLOCK_G = 32          # ray rows per program (32*128 = 4096 rays)
 N_COLS = 32
-MAX_DENSE_PRIMS = 512  # SMEM budget cap for the dense kernel
+MAX_SMEM_PRIMS = 512       # parameter table in SMEM (scalar prefetch)
+MAX_DENSE_PRIMS = 8192     # above MAX_SMEM_PRIMS the table lives in VMEM
 
 
 def pack_prims(prims: Primitives) -> jnp.ndarray:
@@ -271,11 +272,28 @@ def pallas_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *, n_prims: int,
     ]
     kernel = functools.partial(_kernel, n_prims=n_prims, t_min=t_min,
                                has_motion=has_motion)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    if n_prims <= MAX_SMEM_PRIMS:
+        # small scene: per-primitive scalars prefetched to SMEM
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[ray_spec] * 7,
+            out_specs=out_specs,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(tbl, ox, oy, oz, dx, dy, dz, tm)
+    # large scene (meshes): table lives whole in VMEM; dynamic row reads
+    tbl_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
         grid=grid,
-        in_specs=[ray_spec] * 7,
-        out_specs=out_specs,
+        in_specs=[tbl_spec] + [pl.BlockSpec((bg, LANES), lambda i: (i, 0),
+                                            memory_space=pltpu.VMEM)] * 7,
+        out_specs=[pl.BlockSpec((bg, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * 9,
     )
     return pl.pallas_call(
         kernel,

@@ -187,11 +187,13 @@ def _rows_to_primitives(rows: _Rows, perm=None, pad_to: int = 1) -> Primitives:
 
 
 def compile_scene(root: B.Geom, *, accel: str = "auto", leaf_size: int = 4,
-                  dense_threshold: int = 128, pad_to: int = 8) -> Scene:
+                  dense_threshold: int = 8192, pad_to: int = 8) -> Scene:
     """Compile a scene graph into a :class:`Scene` of device buffers.
 
     ``accel``: "auto" (BVH above ``dense_threshold`` primitives), "dense",
-    or "bvh".
+    or "bvh".  The default threshold favors dense mode: on TPU the fused
+    dense megakernel beats divergent per-lane BVH traversal up to
+    mesh-scale scenes (ops/pallas/intersect_kernel.py).
     """
     interner = _Interner()
     rows = _Rows.empty()
