@@ -34,7 +34,7 @@ SPP = 200
 DEPTH = 50
 BATCH_RAYS = 1 << 16
 FWD_BATCHES = 12
-BWD_BATCHES = 4
+BWD_BATCHES = 2
 
 
 def log(*a):
@@ -87,8 +87,9 @@ def main():
     vg = jax.jit(jax.value_and_grad(render_loss_wavefront, has_aux=True),
                  static_argnames=("spp", "n_iters"))
     bwd_pix = 1 << 17
-    bwd_spp = 32
-    n_iters = 4 * bwd_spp + DEPTH
+    bwd_spp = 64
+    # ~3.3 mean path length + slack: completes >=99% of samples (reported)
+    n_iters = int(3.3 * bwd_spp) + DEPTH
 
     def run_bwd(i):
         start = (i * 131) % max(n_pix - bwd_pix, 1)
