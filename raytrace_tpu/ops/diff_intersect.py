@@ -17,24 +17,46 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.vecmath import DTYPE, vdot0
+from ..core.vecmath import DTYPE, gather_rows, onehot_rows, vdot0
 from ..scene.types import PRIM_SPHERE, PRIM_TRIANGLE, Primitives
-from .intersect import INF, _single_prim_t, make_hit_record
+from .intersect import (
+    INF, _single_prim_t_rows, make_hit_record_rows,
+)
 
 
 def _winner_outputs(floats, ints, o, d, time, idx, has_motion, t_min):
-    """Differentiable recompute of (t, normal, uv) for winner ``idx``."""
+    """Differentiable recompute of (t, normal, uv) for winner ``idx``.
+
+    Per-ray primitive rows are gathered with ONE one-hot matmul over the
+    concatenated float tables, so the vjp of the gather is a matmul
+    (``oh.T @ ct``) rather than six separate TPU scatter-adds — the
+    scatters were ~50x the cost of everything else in the backward
+    wavefront (see core/vecmath.py:onehot_rows).
+    """
     p0, e1, e2, uvs, mv0, mv1 = floats
     kind, mat = ints
-    prims = Primitives(kind=kind, p0=p0, e1=e1, e2=e2, uvs=uvs, mat=mat,
-                       mv0=mv0, mv1=mv1, n=kind.shape[0],
-                       has_motion=has_motion)
+    n = kind.shape[0]
     pi = jnp.maximum(idx, 0)
+    oh = onehot_rows(pi, n)
+    parts = [p0, e1, e2, uvs.reshape(n, 6)]
+    if has_motion:
+        parts += [mv0, mv1]
+    allf = gather_rows(oh, jnp.concatenate(parts, axis=1))
+    g_p0, g_e1, g_e2 = allf[:, 0:3], allf[:, 3:6], allf[:, 6:9]
+    g_uvs = allf[:, 9:15].reshape(-1, 3, 2)
+    g_mv0 = allf[:, 15:18] if has_motion else None
+    g_mv1 = allf[:, 18:21] if has_motion else None
+    g_kind = kind[pi]
+
     # same open interval as the forward pass, so the same root is chosen
-    t = _single_prim_t(prims, pi, o, d, time, jnp.full_like(time, t_min),
-                       jnp.full_like(time, INF))
+    t = _single_prim_t_rows((g_kind, g_p0, g_e1, g_e2, g_mv0, g_mv1),
+                            has_motion, o, d, time,
+                            jnp.full_like(time, t_min),
+                            jnp.full_like(time, INF))
     t = jnp.where((idx >= 0) & jnp.isfinite(t), t, 1.0)
-    rec = make_hit_record(prims, idx, o, d, time, t)
+    rec = make_hit_record_rows(
+        (g_kind, g_p0, g_e1, g_e2, g_mv0, g_mv1, g_uvs), has_motion,
+        mat[pi], idx, o, d, time, t)
     return t, rec.normal, rec.uv
 
 
@@ -84,7 +106,7 @@ def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool):
                 jnp.where(is_sphere, sv, fl(vv)),
             ], axis=-1)
             return fl(t), fl(idx), normal, front, uv, fl(m)
-        from .intersect import nearest_hit_t
+        from .intersect import make_hit_record, nearest_hit_t
         r = o.shape[0]
         tmin = jnp.full((r,), t_min, DTYPE)
         tmax = jnp.full((r,), INF, DTYPE)

@@ -277,12 +277,22 @@ def bvh_nearest(prims: Primitives, bvh: BVH, o, d, time, tmin, tmax,
 
 def _single_prim_t(prims: Primitives, pi, o, d, time, tmin, tmax):
     """Hit t of each ray against its own gathered primitive ``pi[R]``."""
-    kind = prims.kind[pi]
-    p0 = prims.p0[pi]
-    e1 = prims.e1[pi]
-    e2 = prims.e2[pi]
-    if prims.has_motion:
-        shift = prims.mv0[pi] + time[:, None] * (prims.mv1[pi] - prims.mv0[pi])
+    rows = (prims.kind[pi], prims.p0[pi], prims.e1[pi], prims.e2[pi],
+            prims.mv0[pi] if prims.has_motion else None,
+            prims.mv1[pi] if prims.has_motion else None)
+    return _single_prim_t_rows(rows, prims.has_motion, o, d, time, tmin, tmax)
+
+
+def _single_prim_t_rows(rows, has_motion, o, d, time, tmin, tmax):
+    """Hit t from pre-gathered per-ray primitive rows
+    ``(kind, p0, e1, e2, mv0, mv1)`` — each [R] / [R,3].
+
+    Split out so the differentiable path can gather rows via one-hot
+    matmuls (TPU scatter in the gather's backward costs ~1 ms per 131k
+    updates; the matmul transpose is ~20x cheaper)."""
+    kind, p0, e1, e2, mv0, mv1 = rows
+    if has_motion:
+        shift = mv0 + time[:, None] * (mv1 - mv0)
         o = o - shift
     is_sphere = kind == PRIM_SPHERE
 
@@ -336,13 +346,23 @@ def make_hit_record(prims: Primitives, idx, o, d, time, t) -> HitRecord:
     front-side flag (Geometry.hs:85-90, 131-140)."""
     hit = idx >= 0
     pi = jnp.maximum(idx, 0)
-    kind = prims.kind[pi]
-    p0 = prims.p0[pi]
-    e1 = prims.e1[pi]
-    e2 = prims.e2[pi]
-    mat = prims.mat[pi]
-    if prims.has_motion:
-        shift = prims.mv0[pi] + time[:, None] * (prims.mv1[pi] - prims.mv0[pi])
+    rows = (prims.kind[pi], prims.p0[pi], prims.e1[pi], prims.e2[pi],
+            prims.mv0[pi] if prims.has_motion else None,
+            prims.mv1[pi] if prims.has_motion else None,
+            prims.uvs[pi])
+    return make_hit_record_rows(rows, prims.has_motion, prims.mat[pi],
+                                idx, o, d, time, t)
+
+
+def make_hit_record_rows(rows, has_motion, mat, idx, o, d, time,
+                         t) -> HitRecord:
+    """:func:`make_hit_record` from pre-gathered per-ray rows
+    ``(kind, p0, e1, e2, mv0, mv1, uvs)`` (see ``_single_prim_t_rows``
+    for why: one-hot gathers keep the backward scatter-free)."""
+    hit = idx >= 0
+    kind, p0, e1, e2, mv0, mv1, uvs_rows = rows
+    if has_motion:
+        shift = mv0 + time[:, None] * (mv1 - mv0)
         p0 = p0 + shift
 
     point = o + t[:, None] * d
@@ -376,9 +396,9 @@ def make_hit_record(prims: Primitives, idx, o, d, time, t) -> HitRecord:
     denom = vdot0(n_unit, d)
     p_front = denom < 0.0
     p_normal = jnp.where(p_front[:, None], n_unit, -n_unit)
-    uv0 = prims.uvs[pi, 0]
-    uv1 = prims.uvs[pi, 1]
-    uv2 = prims.uvs[pi, 2]
+    uv0 = uvs_rows[:, 0]
+    uv1 = uvs_rows[:, 1]
+    uv2 = uvs_rows[:, 2]
     ab = jnp.stack([a, b], axis=-1)
     tri_uv = ((1.0 - a - b)[:, None] * uv0 + a[:, None] * uv1
               + b[:, None] * uv2)

@@ -218,8 +218,15 @@ def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
 
     kind = scene.materials.kind[mat_id]
     tex_id = scene.materials.tex[mat_id]
-    param = scene.materials.param[mat_id]
-    albedo = eval_texture(scene.textures, tex_id, point, uv)
+    if diff:
+        # one-hot gathers keep the backward scatter-free (vecmath.onehot_rows)
+        from ..core.vecmath import gather_rows, onehot_rows
+        oh_m = onehot_rows(mat_id, scene.materials.kind.shape[0])
+        param = gather_rows(oh_m, scene.materials.param)
+        albedo = eval_texture(scene.textures, tex_id, point, uv, onehot=True)
+    else:
+        param = scene.materials.param[mat_id]
+        albedo = eval_texture(scene.textures, tex_id, point, uv)
 
     live_hit = alive & hit_any
 

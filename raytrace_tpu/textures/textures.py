@@ -196,24 +196,46 @@ def compile_textures(textures: Sequence[Texture]) -> TextureTable:
 # Batched evaluation
 # ---------------------------------------------------------------------------
 
-def eval_texture(table: TextureTable, tex_ids, points, uvs):
+def eval_texture(table: TextureTable, tex_ids, points, uvs,
+                 onehot: bool = False):
     """Evaluate texture ``tex_ids[...]`` at ``points[..., 3]`` / ``uvs[..., 2]``.
 
     Branchless over lanes; only kinds present in the scene are computed.
+
+    ``onehot=True`` (differentiable path, 1-D ``tex_ids`` only) gathers
+    the float parameter tables with a single one-hot matmul so the
+    backward is scatter-free (core/vecmath.py:onehot_rows).
     """
     kind = table.kind[tex_ids]
-    c0 = table.c0[tex_ids]
+    if onehot:
+        from ..core.vecmath import gather_rows, onehot_rows
+        nt = table.kind.shape[0]
+        oh = onehot_rows(tex_ids, nt)
+        allf = gather_rows(oh, jnp.concatenate(
+            [table.c0, table.c1, table.v0, table.v1,
+             table.f0[:, None], table.f1[:, None]], axis=1))
+        c0, c1 = allf[:, 0:3], allf[:, 3:6]
+        v0_r, v1_r = allf[:, 6:9], allf[:, 9:12]
+        f0_r, f1_r = allf[:, 12], allf[:, 13]
+    else:
+        c0 = table.c0[tex_ids]
+        c1 = v0_r = v1_r = f0_r = f1_r = None
     out = c0  # TEX_CONSTANT result; also the base for others
+
+    _c1 = (lambda: c1) if onehot else (lambda: table.c1[tex_ids])
+    _v0 = (lambda: v0_r) if onehot else (lambda: table.v0[tex_ids])
+    _v1 = (lambda: v1_r) if onehot else (lambda: table.v1[tex_ids])
+    _f0 = (lambda: f0_r) if onehot else (lambda: table.f0[tex_ids])
+    _f1 = (lambda: f1_r) if onehot else (lambda: table.f1[tex_ids])
 
     if TEX_CHECKER in table.kinds_present:
         # floor(u * n_u) + floor(v * n_v) parity (Texture.hs:46-56)
-        n_u = table.f0[tex_ids]
-        n_v = table.f1[tex_ids]
+        n_u = _f0()
+        n_v = _f1()
         i = jnp.floor(uvs[..., 0] * n_u).astype(jnp.int32)
         j = jnp.floor(uvs[..., 1] * n_v).astype(jnp.int32)
         even = ((i + j) & 1) == 0
-        c1 = table.c1[tex_ids]
-        checker = jnp.where(even[..., None], c0, c1)
+        checker = jnp.where(even[..., None], c0, _c1())
         out = jnp.where((kind == TEX_CHECKER)[..., None], checker, out)
 
     if TEX_IMAGE in table.kinds_present:
@@ -228,9 +250,9 @@ def eval_texture(table: TextureTable, tex_ids, points, uvs):
         out = jnp.where((kind == TEX_IMAGE)[..., None], texel, out)
 
     if TEX_NOISE in table.kinds_present:
-        freq = table.f0[tex_ids]
-        shift = table.v0[tex_ids]
-        c1 = table.c1[tex_ids]
+        freq = _f0()
+        shift = _v0()
+        c1n = _c1()
         scale = 0.5 / 0.8  # Texture.hs:66
         # Octave count is per-texture but static per scene; compute each
         # distinct octave depth once and select.
@@ -240,13 +262,13 @@ def eval_texture(table: TextureTable, tex_ids, points, uvs):
             nk = fractal_noise(k, q)
             n = jnp.where(table.i0[tex_ids] == k, nk, n)
         val = (n * scale + 0.5)[..., None]
-        noise_col = c0 + (c1 - c0) * val
+        noise_col = c0 + (c1n - c0) * val
         out = jnp.where((kind == TEX_NOISE)[..., None], noise_col, out)
 
     if TEX_MARBLE in table.kinds_present:
-        direction = table.v0[tex_ids]
-        shift = table.v1[tex_ids]
-        freq = table.f0[tex_ids]
+        direction = _v0()
+        shift = _v1()
+        freq = _f0()
         sin_arg = freq * vdot0(direction, points)
         nz = 10.0 * turbulence(7, 0.25 * freq[..., None] * points + shift)
         stripe = 0.5 + 0.5 * jnp.sin(sin_arg + nz)  # Texture.hs:72-79
