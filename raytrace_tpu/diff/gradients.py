@@ -79,15 +79,20 @@ def render_loss(scene_params, scene_statics, settings, key, pixel_ids,
 
 def render_loss_wavefront(scene_params, scene_statics, settings, key,
                           pixel_ids, target, spp: int,
-                          n_iters: int | None = None):
+                          n_iters: int | None = None, remat: bool = True):
     """MSE loss via the differentiable *regenerative* wavefront
     (render/integrator.py:trace_wavefront_diff) — ~10x less wasted work
-    than the bounded-depth scan for deep max_depth settings."""
+    than the bounded-depth scan for deep max_depth settings.
+
+    ``remat=False`` stores per-iteration residuals instead of
+    rematerializing each bounce in the backward. Measured on v5e it is
+    *slower* (HBM residual traffic beats the remat compute) and OOMs
+    beyond ~2^17 lanes x 260 iters; kept for experimentation."""
     from ..render.integrator import trace_wavefront_diff
 
     scene = combine(scene_params, scene_statics)
     img, done = trace_wavefront_diff(scene, settings, key, pixel_ids, spp,
-                                     n_iters=n_iters)
+                                     n_iters=n_iters, remat=remat)
     loss = jnp.mean((img - target) ** 2)
     # aux: fraction of requested samples completed within the iteration
     # budget (should be ~1.0; raise n_iters if it drops)

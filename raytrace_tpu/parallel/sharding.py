@@ -72,29 +72,57 @@ def sharded_render_fn(mesh: Mesh):
 
 
 def sharded_train_step_fn(mesh: Mesh, settings: CameraSettings,
-                          lr: float = 1e-2):
+                          lr: float = 1e-2, optimizer=None):
     """Jitted sharded inverse-rendering training step.
 
     ``step(scene, key, pixel_ids, sample_ids, target) -> (loss, scene')``:
     renders the (dp x sp)-sharded tile differentiably, MSE vs target,
     grads w.r.t. every float scene leaf (psum'd across the mesh by XLA),
-    SGD update on the replicated scene.
-    """
+    parameter update on the replicated scene.
 
-    def step(scene: Scene, key, pixel_ids, sample_ids, target):
+    ``optimizer``: any optax ``GradientTransformation``; default is plain
+    SGD at ``lr``.  Scene parameters span wildly different scales (albedo
+    O(1), geometry O(scene units)) with Monte-Carlo gradient noise, so a
+    scale-invariant optimizer (``optax.adam``) is strongly recommended for
+    real inverse rendering; the optimizer state is carried *inside* the
+    returned step function via a functional (state-in/state-out) variant
+    ``step_opt(scene, opt_state, ...) -> (loss, scene', opt_state')``
+    exposed as ``step.with_state``; ``step.init(scene)`` builds the
+    initial state.
+    """
+    if optimizer is None:
+        import optax
+        optimizer = optax.sgd(lr)
+
+    def step_opt(scene: Scene, opt_state, key, pixel_ids, sample_ids,
+                 target):
         params, statics = partition(scene)
         loss, grads = jax.value_and_grad(render_loss)(
             params, statics, settings, key, pixel_ids, sample_ids, target)
-        new_params = jax.tree_util.tree_map(
-            lambda p, g: p - lr * g, params, grads)
-        return loss, combine(new_params, statics)
+        # None leaves are empty pytree nodes — optax and tree_map skip them
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            params, updates)
+        return loss, combine(new_params, statics), opt_state
 
-    return jax.jit(
-        step,
-        in_shardings=(
-            replicated(mesh), replicated(mesh),
-            NamedSharding(mesh, P("dp")), NamedSharding(mesh, P("sp")),
-            NamedSharding(mesh, P("dp")),
-        ),
-        out_shardings=(replicated(mesh), replicated(mesh)),
+    shard_in = (
+        replicated(mesh), replicated(mesh), replicated(mesh),
+        NamedSharding(mesh, P("dp")), NamedSharding(mesh, P("sp")),
+        NamedSharding(mesh, P("dp")),
     )
+    step_opt_jit = jax.jit(
+        step_opt, in_shardings=shard_in,
+        out_shardings=(replicated(mesh),) * 3)
+
+    def init(scene: Scene):
+        params, _ = partition(scene)
+        return optimizer.init(params)
+
+    def step(scene: Scene, key, pixel_ids, sample_ids, target):
+        loss, new_scene, _ = step_opt_jit(
+            scene, init(scene), key, pixel_ids, sample_ids, target)
+        return loss, new_scene
+
+    step.with_state = step_opt_jit
+    step.init = init
+    return step

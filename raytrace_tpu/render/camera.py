@@ -74,6 +74,12 @@ class CameraSettings(struct.PyTreeNode):
     background: Callable = struct.field(
         pytree_node=False, default_factory=lambda: const_background(1.0))
     t_min: float = struct.field(pytree_node=False, default=1e-3)
+    # Russian roulette (NOT in the reference — opt-in production feature):
+    # from bounce depth >= rr_depth, a path survives with probability
+    # clamp(max(throughput), rr_min, 1) and its throughput is divided by
+    # that probability (unbiased).  None = off = exact reference estimator.
+    rr_depth: int | None = struct.field(pytree_node=False, default=None)
+    rr_min: float = struct.field(pytree_node=False, default=0.05)
 
     @property
     def image_height(self) -> int:

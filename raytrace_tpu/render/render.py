@@ -63,8 +63,11 @@ def render_accumulate(scene: Scene, settings: CameraSettings, seed: int = 0,
         # samples [spp_done+done, ...+n_s) — absolute sample coordinates
         s0 = jnp.asarray(spp_done + done, jnp.int32)
         if stationary:
+            # rotate_k=1: measured on Cornell, the lane tail is per-sample
+            # path-length noise (rare deep paths), which pixel rotation
+            # cannot average away — Russian roulette (rr_depth) can.
             acc = _stationary_jit(scene, settings, key, acc, s0,
-                                  n_pix=n_pix, spp=n_s)
+                                  n_pix=n_pix, spp=n_s, rotate_k=1)
         else:
             acc = _queue_jit(scene, settings, key, acc, s0, n_pix=n_pix,
                              spp=n_s, n_lanes=min(n_lanes, n_pix * n_s))
@@ -81,13 +84,14 @@ def _queue_fn(scene, settings, key, acc, s0, n_pix, spp, n_lanes):
                            sample_offset=s0)
 
 
-def _stationary_fn(scene, settings, key, acc, s0, n_pix, spp):
+def _stationary_fn(scene, settings, key, acc, s0, n_pix, spp, rotate_k=1):
     return trace_wavefront_stationary(scene, settings, key, n_pix, spp, acc,
-                                      sample_offset=s0)
+                                      sample_offset=s0, rotate_k=rotate_k)
 
 
 _queue_jit = jax.jit(_queue_fn, static_argnames=("n_pix", "spp", "n_lanes"))
-_stationary_jit = jax.jit(_stationary_fn, static_argnames=("n_pix", "spp"))
+_stationary_jit = jax.jit(_stationary_fn,
+                          static_argnames=("n_pix", "spp", "rotate_k"))
 
 
 def render(scene: Scene, settings: CameraSettings, seed: int = 0,

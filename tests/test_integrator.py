@@ -185,3 +185,29 @@ def test_depth_zero_is_black():
     o, d = _repeat_rays([0, 0, 0], [0, 0, -1], 2)
     out = _trace_rays(scene, s, o, d)
     np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+def test_russian_roulette_unbiased():
+    """Opt-in Russian roulette (rr_depth) must agree in expectation with
+    the exact reference estimator (it is NOT part of the reference;
+    render/integrator.py:_russian_roulette)."""
+    white = rt.lambertian(rt.constant_texture(0.73))
+    light = rt.light_source(rt.constant_texture(15.0))
+    world = rt.group([
+        rt.with_material(white, rt.parallelogram([0, 0, 0], [555, 0, 0], [0, 0, 555])),
+        rt.with_material(white, rt.parallelogram([555, 0, 0], [0, 555, 0], [0, 0, 555])),
+        rt.with_material(white, rt.parallelogram([0, 0, 0], [0, 555, 0], [0, 0, 555])),
+        rt.with_material(white, rt.parallelogram([0, 0, 555], [555, 0, 0], [0, 555, 0])),
+        rt.with_material(white, rt.parallelogram([555, 555, 555], [-555, 0, 0], [0, 0, -555])),
+        rt.with_material(light, rt.parallelogram([343, 554, 332], [-130, 0, 0], [0, 0, -105])),
+    ])
+    scene = rt.compile_scene(world)
+    base = rt.CameraSettings(background=rt.const_background(0.0), max_depth=40
+                             ).with_redirect_targets(
+        [(0.25, [343, 554, 332], [-130, 0, 0], [0, 0, -105])])
+    rr = base.replace(rr_depth=3, rr_min=0.05)
+    n = 1 << 16
+    o, d = _repeat_rays([278, 278, -800], [0, 0, 1], n)
+    exact = _trace_rays(scene, base, o, d, seed=3).mean()
+    routed = _trace_rays(scene, rr, o, d, seed=4).mean()
+    assert abs(exact - routed) / max(exact, 1e-9) < 0.08

@@ -77,14 +77,21 @@ def test_sharded_train_step_descends():
     fwd = sharded_render_fn(mesh)
     target = fwd(scene, SETTINGS, key, pix, samp)
 
-    # perturb the albedo, then recover it via the sharded train step
+    # perturb the albedo, then recover it via the sharded train step.
+    # Adam (scale-invariant) — scene params span wildly different scales
+    # (albedo O(1), geometry O(scene units)) with MC gradient noise, so
+    # plain SGD at a single lr is the wrong tool (and flaky here).
+    import optax
     c0 = scene.textures.c0.at[0].add(0.2)
     perturbed = scene.replace(textures=scene.textures.replace(c0=c0))
-    step = sharded_train_step_fn(mesh, SETTINGS, lr=0.3)
+    step = sharded_train_step_fn(mesh, SETTINGS,
+                                 optimizer=optax.adam(0.02))
     losses = []
     sc = perturbed
-    for i in range(8):
-        loss, sc = step(sc, key, pix, samp, target)
+    opt_state = step.init(sc)
+    for i in range(12):
+        loss, sc, opt_state = step.with_state(sc, opt_state, key, pix,
+                                              samp, target)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert min(losses[1:]) < losses[0]

@@ -66,14 +66,27 @@ def main():
     print(f"  -> {BWD_PIX*BWD_SPP/dt/1e6:.2f} M rays/s  done={float(frac):.4f}",
           flush=True)
 
-    # 3. value_and_grad
+    # 3. value_and_grad at several lane counts / spp / remat
     vg = jax.jit(jax.value_and_grad(render_loss_wavefront, has_aux=True),
-                 static_argnames=("spp", "n_iters"))
-    dt, _ = timeit(
-        "diff wavefront value_and_grad",
-        lambda: vg(params, statics, settings, key, pix, target,
-                   spp=BWD_SPP, n_iters=n_iters))
-    print(f"  -> {BWD_PIX*BWD_SPP/dt/1e6:.2f} M rays/s", flush=True)
+                 static_argnames=("spp", "n_iters", "remat"))
+    for log_pix, spp, remat in ((17, 64, True), (16, 64, False),
+                                (17, 64, False), (17, 128, False),
+                                (18, 64, False)):
+        bp = 1 << log_pix
+        ni = int(3.3 * spp) + DEPTH
+        p = jnp.arange(bp, dtype=jnp.int32)
+        tg = jnp.zeros((bp, 3), jnp.float32)
+        try:
+            dt, ((l, frac), _g) = timeit(
+                f"vg pix=2^{log_pix} spp={spp} remat={remat}",
+                lambda: vg(params, statics, settings, key, p, tg,
+                           spp=spp, n_iters=ni, remat=remat))
+        except Exception as e:
+            print(f"vg pix=2^{log_pix} spp={spp} remat={remat}: "
+                  f"FAILED {type(e).__name__}", flush=True)
+            continue
+        print(f"  -> {bp*spp/dt/1e6:.2f} M rays/s done={float(frac):.4f}",
+              flush=True)
 
 
 if __name__ == "__main__":
