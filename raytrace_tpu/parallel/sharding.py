@@ -71,6 +71,45 @@ def sharded_render_fn(mesh: Mesh):
     )
 
 
+def sharded_wavefront_render_fn(mesh: Mesh, n_pix: int, spp: int):
+    """Production multi-device forward render: the persistent wavefront
+    (render/integrator.py:trace_wavefront_stationary) sharded over the
+    WHOLE mesh with ``shard_map`` — each device runs its own on-device
+    while_loop over a contiguous pixel block (scene replicated, zero
+    communication until the final image assembly), so devices never wait
+    on each other's path-length tails.  RNG keys use absolute (pixel,
+    sample) ids: the image is identical for every device count.
+
+    Returns ``render(scene, settings, key) -> acc[n_pix_padded, 3]``
+    radiance sums (divide by ``spp``); slice ``[:n_pix]`` for the image.
+    Scaling story (BASELINE north-star): dp is embarrassingly parallel
+    over ICI/DCN — see tools/bench_scaling.py for the efficiency harness.
+    """
+    from jax.experimental.shard_map import shard_map
+    from ..render.integrator import LANE_ALIGN, trace_wavefront_stationary
+
+    n_dev = mesh.devices.size
+    block = -(-n_pix // (n_dev * LANE_ALIGN)) * LANE_ALIGN
+    spec = P(("dp", "sp"))
+
+    def local_render(scene, settings, key, offsets):
+        acc = trace_wavefront_stationary(
+            scene, settings, key, block, spp, pixel_offset=offsets[0])
+        return acc[None]  # leading device axis for shard_map
+
+    sharded = shard_map(
+        local_render, mesh=mesh,
+        in_specs=(P(), P(), P(), spec),
+        out_specs=spec, check_rep=False)
+
+    def render(scene, settings, key):
+        offsets = jnp.arange(n_dev, dtype=jnp.int32) * block
+        out = sharded(scene, settings, key, offsets)
+        return out.reshape(n_dev * block, 3)
+
+    return jax.jit(render)
+
+
 def sharded_train_step_fn(mesh: Mesh, settings: CameraSettings,
                           lr: float = 1e-2, optimizer=None):
     """Jitted sharded inverse-rendering training step.

@@ -605,9 +605,14 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
                                n_pix: int, spp: int, acc=None,
                                sample_offset: int = 0,
                                with_stats: bool = False,
-                               rotate_k: int = 1):
-    """Pixel-stationary persistent wavefront: lane ``l`` owns pixel ``l``
-    for the whole launch and traces its ``spp`` samples sequentially.
+                               rotate_k: int = 1,
+                               pixel_offset=0):
+    """Pixel-stationary persistent wavefront: lane ``l`` owns pixel
+    ``pixel_offset + l`` for the whole launch and traces its ``spp``
+    samples sequentially.  ``pixel_offset`` lets a device render a
+    contiguous pixel block of a larger image (parallel/sharding.py
+    shard_map path); RNG keys use absolute pixel ids, so the image is
+    identical however the blocks are cut.
 
     Why: TPU scatter with per-iteration-varying indices costs ~0.8 ms per
     131k updates (XLA re-sorts the indices every iteration), which
@@ -657,13 +662,14 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
         sample = jnp.where(can, sample + 1, sample)
         if k_rot == 1:
             rot_c = None
-            lane_pixel = jnp.minimum(lane_ids, n_pix - 1)
+            lane_pixel = pixel_offset + jnp.minimum(lane_ids, n_pix - 1)
             cam_pixel = lane_pixel
         else:
             rot_c = ((sample - sample_offset) // spp_k).astype(jnp.int32)
             rot_c = jnp.clip(rot_c, 0, k_rot - 1)
-            lane_pixel = (lane_ids + rot_c) % lanes
-            cam_pixel = jnp.minimum(lane_pixel, n_pix - 1)
+            lane_pixel = pixel_offset + (lane_ids + rot_c) % lanes
+            cam_pixel = pixel_offset + jnp.minimum((lane_ids + rot_c) % lanes,
+                                                   n_pix - 1)
         nk = rng.ray_keys_fast(base_key, lane_pixel, sample)
         keys = jax.random.wrap_key_data(jnp.where(
             can[:, None], jax.random.key_data(nk),

@@ -99,3 +99,37 @@ def test_sharded_train_step_descends():
     d0 = float(jnp.abs(perturbed.textures.c0[0] - scene.textures.c0[0]).sum())
     d1 = float(jnp.abs(sc.textures.c0[0] - scene.textures.c0[0]).sum())
     assert d1 < d0
+
+
+def test_sharded_wavefront_matches_single_device():
+    """The shard_map persistent-wavefront render (each device loops over
+    its own pixel block) must reproduce the single-device wavefront image
+    exactly — RNG is keyed on absolute (pixel, sample)."""
+    from raytrace_tpu.render.integrator import trace_wavefront_stationary
+    from raytrace_tpu.parallel.sharding import sharded_wavefront_render_fn
+
+    scene = _scene()
+    key = rng.base_key(7)
+    n_pix = 24 * 24
+    spp = 4
+    single = np.asarray(trace_wavefront_stationary(
+        scene, SETTINGS, key, n_pix, spp))
+    mesh = make_mesh(8)
+    render = sharded_wavefront_render_fn(mesh, n_pix, spp)
+    sharded = np.asarray(render(scene, SETTINGS, key))[:n_pix]
+    np.testing.assert_allclose(sharded, single, atol=2e-5, rtol=1e-5)
+
+
+def test_multihost_render_single_process():
+    """multihost.render in a single process over the 8-device mesh
+    produces the same image as the single-device wavefront."""
+    from raytrace_tpu.parallel import multihost
+    from raytrace_tpu.render.integrator import trace_wavefront_stationary
+
+    scene = _scene()
+    img = multihost.render(scene, SETTINGS, seed=0, spp=4)
+    n_pix = SETTINGS.image_width * SETTINGS.image_height
+    single = np.asarray(trace_wavefront_stationary(
+        scene, SETTINGS, rng.base_key(0), n_pix, 4)) / 4
+    np.testing.assert_allclose(
+        img.reshape(n_pix, 3), single, atol=2e-5, rtol=1e-5)
