@@ -79,14 +79,15 @@ def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool):
                            has_motion=has_motion)
         if use_pallas:
             from .pallas.intersect_kernel import (
-                pack_prims, pallas_nearest_record,
+                pack_clusters, pack_prims, pallas_nearest_record,
             )
             r = o.shape[0]
             g = r // 128
             resh = lambda x: x.reshape(g, 128)
             tbl = pack_prims(prims)
+            ctbl = pack_clusters(prims)
             t, idx, nx, ny, nz, fr, uu, vv, m = pallas_nearest_record(
-                tbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
+                tbl, ctbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
                 resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
                 n_prims=kind.shape[0], t_min=t_min, has_motion=has_motion)
             fl = lambda x: x.reshape(r)

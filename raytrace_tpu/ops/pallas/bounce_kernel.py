@@ -120,7 +120,7 @@ def _unit_from_uniforms(u, v):
     return r * jnp.cos(phi), r * jnp.sin(phi), z
 
 
-def _kernel(ptbl, mtbl, ttbl,
+def _kernel(ptbl, ctbl, mtbl, ttbl,
             ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, al, un,
             ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tr_o, tg_o, tb_o,
             rr_o, rg_o, rb_o, al_o, ms_o,
@@ -136,7 +136,8 @@ def _kernel(ptbl, mtbl, ttbl,
     (t, _bi, nx, ny, nz, fr_f, uu, vv, mat_f, sph_f) = prim_loop(
         ptbl, oxv, oyv, ozv, dxv, dyv, dzv,
         tm[...] if has_motion else None,
-        n_prims=n_prims, t_min=t_min, has_motion=has_motion)
+        n_prims=n_prims, t_min=t_min, has_motion=has_motion,
+        ctbl_ref=ctbl)
 
     hit = t < jnp.float32(jnp.inf)
     t_safe = jnp.where(hit, t, 1.0)
@@ -383,14 +384,17 @@ def _kernel(ptbl, mtbl, ttbl,
     jax.jit,
     static_argnames=("n_prims", "n_mats", "n_targets", "t_min",
                      "has_motion", "interpret"))
-def bounce_megakernel(ptbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
+def bounce_megakernel(ptbl, ctbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
                       tr, tg, tb, al, uniforms, *, n_prims: int, n_mats: int,
                       n_targets: int, t_min: float, has_motion: bool,
                       interpret: bool = False):
     """Ray components / throughput / alive are [G, 128]; ``uniforms`` is
-    [N_U, G, 128].  Returns 14 [G, 128] outputs (see _kernel)."""
+    [N_U, G, 128]; ``ctbl`` the pack_clusters AABB table.  Returns 14
+    [G, 128] outputs (see _kernel)."""
+    from .intersect_kernel import BLOCK_G_CLUSTERED, CLUSTER_MIN_PRIMS
     g = ox.shape[0]
-    bg = min(BLOCK_G, g)
+    bg = min(BLOCK_G_CLUSTERED if n_prims >= CLUSTER_MIN_PRIMS else BLOCK_G,
+             g)
     grid = (pl.cdiv(g, bg),)
     ray_spec = pl.BlockSpec((bg, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -405,7 +409,7 @@ def bounce_megakernel(ptbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
     from .intersect_kernel import MAX_SMEM_PRIMS
     if n_prims <= MAX_SMEM_PRIMS:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=[ray_spec] * 11 + [uni_spec],
             out_specs=out_specs,
@@ -415,17 +419,17 @@ def bounce_megakernel(ptbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(ptbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, al,
-          uniforms)
+        )(ptbl, ctbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm, tr, tg, tb,
+          al, uniforms)
 
     # mesh-scale scenes: the primitive table lives whole in VMEM while the
-    # small material/target tables stay scalar-prefetched in SMEM
-    def kernel_vmem(mtbl_ref, ttbl_ref, ptbl_ref, *rest):
-        kernel(ptbl_ref, mtbl_ref, ttbl_ref, *rest)
+    # small cluster/material/target tables stay scalar-prefetched in SMEM
+    def kernel_vmem(ctbl_ref, mtbl_ref, ttbl_ref, ptbl_ref, *rest):
+        kernel(ptbl_ref, ctbl_ref, mtbl_ref, ttbl_ref, *rest)
 
     tbl_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[tbl_spec] + [ray_spec] * 11 + [uni_spec],
         out_specs=out_specs,
@@ -435,5 +439,5 @@ def bounce_megakernel(ptbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(mtbl, ttbl, ptbl, ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, al,
+    )(ctbl, mtbl, ttbl, ptbl, ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, al,
       uniforms)

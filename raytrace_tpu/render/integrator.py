@@ -131,13 +131,14 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
                       o, d, time)
     if use_pallas:
         from ..ops.pallas.intersect_kernel import (
-            pack_prims, pallas_nearest_record,
+            pack_clusters, pack_prims, pallas_nearest_record,
         )
         g = r // 128
         resh = lambda x: x.reshape(g, 128)
         tbl = pack_prims(scene.prims)
+        ctbl = pack_clusters(scene.prims)
         t, idx, nx, ny, nz, fr, uu, vv, mat = pallas_nearest_record(
-            tbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
+            tbl, ctbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
             resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
             n_prims=scene.prims.kind.shape[0], t_min=float(s.t_min),
             has_motion=scene.prims.has_motion)
@@ -191,8 +192,14 @@ def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
         nv = scene.volumes.n_volumes
         u_sc = uniforms[:, _N_BASE_U:_N_BASE_U + nv]
         t_vol, _ = volume_candidates(scene.volumes, o, d, time, tmin, u_sc)
-        v_best = jnp.argmin(t_vol, axis=1)
-        t_med = jnp.min(t_vol, axis=1)
+        # winner volume's material via a static fold over the (few)
+        # volumes — argmin + gather costs ~1 ms per 100k lanes on TPU
+        t_med = jnp.full((r,), INF, DTYPE)
+        vol_mat = jnp.zeros((r,), mat_id.dtype)
+        for v in range(nv):
+            better = t_vol[:, v] < t_med
+            t_med = jnp.where(better, t_vol[:, v], t_med)
+            vol_mat = jnp.where(better, scene.volumes.mat[v], vol_mat)
         in_medium = t_med < t_srf
         t_hit = jnp.where(in_medium, t_med, t_srf)
     else:
@@ -214,7 +221,7 @@ def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
         normal = jnp.where(med, -d, normal)
         front = jnp.where(in_medium, True, front)
         uv = jnp.where(med, 0.0, uv)
-        mat_id = jnp.where(in_medium, scene.volumes.mat[v_best], mat_id)
+        mat_id = jnp.where(in_medium, vol_mat, mat_id)
 
     kind = scene.materials.kind[mat_id]
     tex_id = scene.materials.tex[mat_id]
@@ -381,16 +388,18 @@ def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
     from ..ops.pallas.bounce_kernel import (
         N_U, bounce_megakernel, pack_materials, pack_prims, pack_targets,
     )
+    from ..ops.pallas.intersect_kernel import pack_clusters
     r = comps[0].shape[0]
     g = r // 128
     resh = lambda x: x.reshape(g, 128)
     ptbl = pack_prims(scene.prims)
+    ctbl = pack_clusters(scene.prims)
     mtbl = pack_materials(scene.materials, scene.textures)
     ttbl = pack_targets(s.redirect_prob, s.redirect_q, s.redirect_u,
                         s.redirect_v)
     uk = uniforms[:, :N_U].T.reshape(N_U, g, 128)
     outs = bounce_megakernel(
-        ptbl, mtbl, ttbl,
+        ptbl, ctbl, mtbl, ttbl,
         *(resh(c) for c in comps),
         resh(thr[0]), resh(thr[1]), resh(thr[2]),
         resh(alive.astype(DTYPE)), uk,
@@ -601,6 +610,34 @@ def trace_wavefront(scene: Scene, s: CameraSettings, base_key, n_pix: int,
     return acc_out
 
 
+def _tile_maps(n_pix: int, width: int, lanes: int, tile_h: int = 8,
+               tile_w: int = 128):
+    """Tile-ordered pixel<->lane maps.
+
+    Lane blocks of the Pallas kernels are 1024-4096 consecutive lanes; in
+    scanline order that is a full-width strip whose rays collectively
+    overlap most of the scene, so the clustered intersect kernel's
+    block-consensus AABB skipping never fires.  Mapping lanes to 8x128
+    *pixel tiles* makes each kernel block a compact screen tile with a
+    narrow frustum (and spatially compact bounce origins), which is what
+    lets mesh-scale scenes skip most clusters.
+
+    Returns (lane_to_pixel[lanes], pixel_to_lane[n_pix]) as np arrays.
+    """
+    import numpy as np
+    p = np.arange(n_pix, dtype=np.int64)
+    j, i = p // width, p % width
+    n_tx = -(-width // tile_w)
+    key = (((j // tile_h) * n_tx + (i // tile_w)) * (tile_h * tile_w)
+           + (j % tile_h) * tile_w + (i % tile_w))
+    order = np.argsort(key, kind="stable").astype(np.int32)  # lane -> pixel
+    lane_to_pixel = np.full(lanes, n_pix - 1, np.int32)
+    lane_to_pixel[:n_pix] = order
+    pixel_to_lane = np.empty(n_pix, np.int32)
+    pixel_to_lane[order] = np.arange(n_pix, dtype=np.int32)
+    return lane_to_pixel, pixel_to_lane
+
+
 def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
                                n_pix: int, spp: int, acc=None,
                                sample_offset: int = 0,
@@ -642,6 +679,16 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
     use_mega = bounce_kernel_eligible(scene, s, lanes)
     last_sample = sample_offset + spp - 1
 
+    # Tile-order the pixel<->lane map when this launch covers the full
+    # image at a static offset (the single-chip path); see _tile_maps.
+    use_tiles = (k_rot == 1 and isinstance(pixel_offset, int)
+                 and pixel_offset == 0
+                 and n_pix == s.image_width * s.image_height)
+    if use_tiles:
+        l2p_np, p2l_np = _tile_maps(n_pix, s.image_width, lanes)
+        tile_l2p = jnp.asarray(l2p_np)
+        tile_p2l = jnp.asarray(p2l_np)
+
     lane_ids = jnp.arange(lanes, dtype=jnp.int32)
     if k_rot == 1:
         # padding lanes (>= n_pix) start exhausted
@@ -662,7 +709,10 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
         sample = jnp.where(can, sample + 1, sample)
         if k_rot == 1:
             rot_c = None
-            lane_pixel = pixel_offset + jnp.minimum(lane_ids, n_pix - 1)
+            if use_tiles:
+                lane_pixel = tile_l2p
+            else:
+                lane_pixel = pixel_offset + jnp.minimum(lane_ids, n_pix - 1)
             cam_pixel = lane_pixel
         else:
             rot_c = ((sample - sample_offset) // spp_k).astype(jnp.int32)
@@ -745,7 +795,11 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
     )
     state = jax.lax.while_loop(cond, body, state)
-    contrib = jnp.stack(state[0:3], axis=-1)[:n_pix]
+    if use_tiles:
+        # lane order -> pixel order: one gather per launch
+        contrib = jnp.stack(state[0:3], axis=-1)[tile_p2l]
+    else:
+        contrib = jnp.stack(state[0:3], axis=-1)[:n_pix]
     acc_out = acc + contrib
     if with_stats:
         return acc_out, dict(iterations=state[-2], segments=state[-1],

@@ -62,12 +62,16 @@ def _crossing_scan(prims: Primitives, start: int, count: int, o, d, time,
         else:
             f1 = jnp.zeros(t1.shape, bool)
             f2 = f1
-        # reduce over this chunk: min of t1/t2 jointly
+        # reduce over this chunk: min of t1/t2 jointly. No argmin +
+        # take_along_axis — a TPU gather with per-call-varying indices
+        # costs ~1 ms per 100k lanes; select the front flag of the FIRST
+        # minimal entry with a cumsum first-match mask instead.
         both_t = jnp.concatenate([t1, t2], axis=1)
         both_f = jnp.concatenate([f1, f2], axis=1)
-        ci = jnp.argmin(both_t, axis=1)
-        ct = jnp.take_along_axis(both_t, ci[:, None], 1)[:, 0]
-        cf = jnp.take_along_axis(both_f, ci[:, None], 1)[:, 0]
+        ct = jnp.min(both_t, axis=1)
+        is_min = both_t == ct[:, None]
+        first = is_min & (jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1)
+        cf = jnp.any(both_f & first, axis=1)
         better = ct < best_t
         best_front = jnp.where(better, cf, best_front)
         best_t = jnp.where(better, ct, best_t)

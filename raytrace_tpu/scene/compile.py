@@ -208,7 +208,7 @@ def compile_scene(root: B.Geom, *, accel: str = "auto", leaf_size: int = 4,
 
     bvh = None
     perm = None
-    if use_bvh and n_surface > 0:
+    if n_surface > 0:
         kind = np.concatenate(rows.kind)
         p0 = np.concatenate(rows.p0)
         e1 = np.concatenate(rows.e1)
@@ -216,12 +216,19 @@ def compile_scene(root: B.Geom, *, accel: str = "auto", leaf_size: int = 4,
         mv0 = np.concatenate(rows.mv0)
         mv1 = np.concatenate(rows.mv1)
         lo, hi = prim_aabbs(kind, p0, e1, e2, mv0, mv1)
+        # Both modes order primitives spatially by the median-split
+        # permutation: BVH mode needs it for contiguous leaves; dense mode
+        # needs it so the clustered megakernel's fixed-width clusters
+        # (ops/pallas/intersect_kernel.py) have tight bounding boxes.
         perm, nodes = build_bvh(lo, hi, leaf_size=leaf_size)
-        bvh = BVH(
-            lo=jnp.asarray(nodes["lo"]), hi=jnp.asarray(nodes["hi"]),
-            start=jnp.asarray(nodes["start"]), count=jnp.asarray(nodes["count"]),
-            skip=jnp.asarray(nodes["skip"]), n_nodes=int(nodes["lo"].shape[0]),
-        )
+        if use_bvh:
+            bvh = BVH(
+                lo=jnp.asarray(nodes["lo"]), hi=jnp.asarray(nodes["hi"]),
+                start=jnp.asarray(nodes["start"]),
+                count=jnp.asarray(nodes["count"]),
+                skip=jnp.asarray(nodes["skip"]),
+                n_nodes=int(nodes["lo"].shape[0]),
+            )
 
     prims = _rows_to_primitivies_or_empty(rows, perm, pad_to)
 

@@ -11,10 +11,17 @@ The permutation tables are the reference's fixed tables
 (:mod:`._perlin_tables`, Noise.hs:52-92).  The gradient table in the
 reference is 256 rejection-sampled unit vectors from Haskell's
 ``mkStdGen 666`` (Noise.hs:86-92); that bitstream is not reproducible
-outside GHC, so we use 256 unit vectors from a fixed numpy seed — same
-distribution, same noise statistics, different concrete pattern (pixel
-parity with the reference is statistical, not bitwise; see SURVEY.md §7
-"hard parts" (b)).
+outside GHC, so the gradient for lattice hash ``h`` is *computed* (a
+full-avalanche integer mix of ``h`` mapped to a uniform unit vector) —
+same distribution, same noise statistics, different concrete pattern
+(pixel parity with the reference is statistical, not bitwise; see
+SURVEY.md §7 "hard parts" (b)).
+
+Performance: the naive form gathers 4 tables x 8 corners per call; with
+7-octave fractal + 7-octave turbulence textures, that was ~450 gathers
+per wavefront bounce — 45 of 65 ms of the demo2 bounce.  Here the
+permutation gathers are hoisted (6 per call: 2 per axis) and the
+gradient gather is replaced by arithmetic, so a call costs 6 gathers.
 """
 from __future__ import annotations
 
@@ -24,21 +31,52 @@ import jax.numpy as jnp
 from ..core.vecmath import DTYPE, vdot0
 from ._perlin_tables import PERMX, PERMY, PERMZ
 
-
-def _make_gradients() -> np.ndarray:
-    rng = np.random.default_rng(666)
-    g = rng.normal(size=(256, 3))
-    return (g / np.linalg.norm(g, axis=-1, keepdims=True)).astype(np.float32)
-
-
 _PERMX = jnp.asarray(PERMX, dtype=jnp.int32)
 _PERMY = jnp.asarray(PERMY, dtype=jnp.int32)
 _PERMZ = jnp.asarray(PERMZ, dtype=jnp.int32)
-_GRADIENTS = jnp.asarray(_make_gradients())
+# [256, 2] f32 per axis: column 0 = perm, column 1 = perm shifted by one —
+# one one-hot matmul yields both lattice-corner lookups (values <= 255 are
+# exact in f32).  An XLA TPU gather of 90k lanes from a 256-table costs
+# ~1 ms; the one-hot matmul runs on the MXU at ~0.1 ms.
+_PERM2 = {
+    ax: jnp.stack([t.astype(jnp.float32),
+                   jnp.roll(t, -1).astype(jnp.float32)], axis=1)
+    for ax, t in (("x", _PERMX), ("y", _PERMY), ("z", _PERMZ))
+}
+
+
+def _perm_pair(axis: str, idx):
+    """(perm[idx & 255], perm[(idx+1) & 255]) as i32, scatter/gather-free."""
+    import jax.nn
+    flat = (idx & 255).reshape(-1)
+    oh = jax.nn.one_hot(flat, 256, dtype=jnp.float32)
+    both = oh @ _PERM2[axis]                      # [R, 2]
+    both = both.astype(jnp.int32).reshape(idx.shape + (2,))
+    return both[..., 0], both[..., 1]
 
 
 def _smoothstep(x):
     return x * x * (3.0 - 2.0 * x)
+
+
+def _hash_gradient(h):
+    """Uniform unit vector from lattice hash ``h`` (i32 in [0, 256)).
+
+    Murmur-style avalanche of ``h`` supplies two independent uniforms;
+    (z, phi) mapping gives exact spherical uniformity.  Arithmetic only —
+    replaces a [R] gather from a 256x3 table (see module docstring).
+    """
+    u = h.astype(jnp.uint32)
+    u = (u ^ (u >> 4)) * jnp.uint32(0x21F0AAAD)
+    u = u ^ (u >> 15)
+    u = u * jnp.uint32(0x735A2D97)
+    u = u ^ (u >> 13)
+    u1 = (u & jnp.uint32(0xFFFF)).astype(DTYPE) * DTYPE(1.0 / 65536.0)
+    u2 = (u >> jnp.uint32(16)).astype(DTYPE) * DTYPE(1.0 / 65536.0)
+    z = 1.0 - 2.0 * u1
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = (2.0 * np.pi) * u2
+    return r * jnp.cos(phi), r * jnp.sin(phi), z
 
 
 def perlin_noise(p):
@@ -51,22 +89,25 @@ def perlin_noise(p):
     f = p - ip  # fractional part in [0, 1)
     ip = ip.astype(jnp.int32)
 
+    # hoisted permutation lookups: one one-hot matmul per axis
+    hx = _perm_pair("x", ip[..., 0])
+    hy = _perm_pair("y", ip[..., 1])
+    hz = _perm_pair("z", ip[..., 2])
+
     total = jnp.zeros(p.shape[:-1], DTYPE)
     sx, sy, sz = _smoothstep(f[..., 0]), _smoothstep(f[..., 1]), _smoothstep(f[..., 2])
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
     for i in (0, 1):
         for j in (0, 1):
             for k in (0, 1):
-                hx = _PERMX[(ip[..., 0] + i) & 255]
-                hy = _PERMY[(ip[..., 1] + j) & 255]
-                hz = _PERMZ[(ip[..., 2] + k) & 255]
-                grad = _GRADIENTS[hx ^ hy ^ hz]
-                rel = f - jnp.asarray([i, j, k], DTYPE)
+                gx, gy, gz = _hash_gradient(hx[i] ^ hy[j] ^ hz[k])
+                dot = (gx * (fx - i) + gy * (fy - j) + gz * (fz - k))
                 coef = (
                     (sx if i else (1.0 - sx))
                     * (sy if j else (1.0 - sy))
                     * (sz if k else (1.0 - sz))
                 )
-                total = total + coef * vdot0(grad, rel)
+                total = total + coef * dot
     return total
 
 

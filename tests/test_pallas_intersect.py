@@ -6,6 +6,8 @@ import numpy as np
 import raytrace_tpu as rt
 from raytrace_tpu.ops.intersect import make_hit_record, nearest_hit_t
 from raytrace_tpu.ops.pallas.intersect_kernel import (
+    pack_clusters,)
+from raytrace_tpu.ops.pallas.intersect_kernel import (
     pack_prims, pallas_nearest_record,
 )
 
@@ -46,8 +48,9 @@ def _run_both(scene, n=512, seed=0, t_min=1e-3):
     g = n // 128
     resh = lambda x: x.reshape(g, 128)
     tbl = pack_prims(scene.prims)
+    ctbl = pack_clusters(scene.prims)
     t, idx, nx, ny, nz, fr, uu, vv, mat = pallas_nearest_record(
-        tbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
+        tbl, ctbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
         resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
         n_prims=scene.prims.kind.shape[0], t_min=t_min,
         has_motion=scene.prims.has_motion, interpret=True)
@@ -105,4 +108,39 @@ def test_large_scene_many_rays():
     scene = rt.compile_scene(
         rt.with_material(M, rt.spheres(centers, radii)), accel="dense")
     ref, pal = _run_both(scene, n=1024, seed=2)
+    _compare(ref, pal)
+
+
+def test_clustered_mixed_motion_matches():
+    """> CLUSTER_MIN_PRIMS mixed prims incl. MOVING planar prims: the
+    clustered two-phase loop (and the plane-motion handling, which the
+    XLA path models via shifted q-dots) must match the XLA oracle."""
+    rng_ = np.random.default_rng(7)
+    items = []
+    for i in range(40):
+        c = rng_.uniform(-8, 8, 3)
+        items.append(rt.with_material(M, rt.sphere(c, rng_.uniform(0.3, 1.0))))
+    for i in range(40):
+        q = rng_.uniform(-8, 8, 3)
+        u = rng_.uniform(-1.5, 1.5, 3)
+        v = rng_.uniform(-1.5, 1.5, 3)
+        g = rt.with_material(M2, rt.parallelogram(q, u, v))
+        if i % 2 == 0:
+            g = rt.moving([0, 0, 0], rng_.uniform(-1, 1, 3), g)
+        items.append(g)
+    scene = rt.compile_scene(rt.group(items), accel="dense")
+    assert scene.prims.kind.shape[0] >= 65  # clustered path engaged
+    ref, pal = _run_both(scene, n=1024, seed=3)
+    _compare(ref, pal)
+
+
+def test_moving_parallelogram_single_pass():
+    """Moving planar prim in the small-scene single-pass kernel (the
+    plane used to ignore motion there)."""
+    scene = rt.compile_scene(rt.group([
+        rt.with_material(M, rt.moving([0, 0, 0], [3, 0, 0],
+            rt.parallelogram([-1, -1, -5], [2, 0, 0], [0, 2, 0]))),
+        rt.with_material(M2, rt.sphere([0, 0, -20], 1.0)),
+    ]), accel="dense")
+    ref, pal = _run_both(scene, n=512, seed=4)
     _compare(ref, pal)
