@@ -680,10 +680,15 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
     last_sample = sample_offset + spp - 1
 
     # Tile-order the pixel<->lane map when this launch covers the full
-    # image at a static offset (the single-chip path); see _tile_maps.
+    # image at a static offset (the single-chip path) AND the scene is
+    # big enough for the clustered intersect loop — tiling only exists to
+    # make its block consensus fire; for small scenes the reordered lane
+    # traffic costs ~10% for no benefit.  See _tile_maps.
+    from ..ops.pallas.intersect_kernel import CLUSTER_MIN_PRIMS
     use_tiles = (k_rot == 1 and isinstance(pixel_offset, int)
                  and pixel_offset == 0
-                 and n_pix == s.image_width * s.image_height)
+                 and n_pix == s.image_width * s.image_height
+                 and scene.prims.kind.shape[0] >= CLUSTER_MIN_PRIMS)
     if use_tiles:
         l2p_np, p2l_np = _tile_maps(n_pix, s.image_width, lanes)
         tile_l2p = jnp.asarray(l2p_np)
