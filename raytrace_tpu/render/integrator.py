@@ -225,15 +225,25 @@ def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
 
     kind = scene.materials.kind[mat_id]
     tex_id = scene.materials.tex[mat_id]
-    if diff:
-        # one-hot gathers keep the backward scatter-free (vecmath.onehot_rows)
+    # One-hot gathers of the float tables: scatter-free backward AND ~20x
+    # cheaper forward (a [100k] TPU gather costs ~1 ms even from a
+    # 16-row table; the one-hot matmul runs on the MXU).  The [R, T]
+    # one-hot only pays below ~64 rows — scenes interning hundreds of
+    # distinct constant colors (demo1: 460 materials) would build
+    # gigabyte one-hots, so large tables keep the direct gather in the
+    # non-diff path (the diff path needs one-hot regardless: the
+    # backward of a gather is a scatter, which is even slower).
+    n_mats = scene.materials.kind.shape[0]
+    use_onehot = diff or n_mats <= 64
+    if use_onehot:
         from ..core.vecmath import gather_rows, onehot_rows
-        oh_m = onehot_rows(mat_id, scene.materials.kind.shape[0])
+        oh_m = onehot_rows(mat_id, n_mats)
         param = gather_rows(oh_m, scene.materials.param)
-        albedo = eval_texture(scene.textures, tex_id, point, uv, onehot=True)
     else:
         param = scene.materials.param[mat_id]
-        albedo = eval_texture(scene.textures, tex_id, point, uv)
+    tex_onehot = diff or scene.textures.kind.shape[0] <= 64
+    albedo = eval_texture(scene.textures, tex_id, point, uv,
+                          onehot=tex_onehot)
 
     live_hit = alive & hit_any
 
