@@ -169,15 +169,14 @@ def _kernel(ptbl, ctbl, mtbl, ttbl,
         param = jnp.where(sel, mtbl[mi, 1], param)
         tex_kind = mtbl[mi, 2]
         c0r, c0g, c0b = mtbl[mi, 3], mtbl[mi, 4], mtbl[mi, 5]
-        if True:
-            # checker parity (Texture.hs:46-56); constant when tex_kind==0
-            i_idx = jnp.floor(uu * mtbl[mi, 9])
-            j_idx = jnp.floor(vv * mtbl[mi, 10])
-            even = jnp.mod(i_idx + j_idx, 2.0) == 0.0
-            use_c1 = jnp.logical_and(tex_kind == float(TEX_CHECKER), ~even)
-            tr_ = jnp.where(use_c1, mtbl[mi, 6], c0r)
-            tg_ = jnp.where(use_c1, mtbl[mi, 7], c0g)
-            tb_ = jnp.where(use_c1, mtbl[mi, 8], c0b)
+        # checker parity (Texture.hs:46-56); constant when tex_kind==0
+        i_idx = jnp.floor(uu * mtbl[mi, 9])
+        j_idx = jnp.floor(vv * mtbl[mi, 10])
+        even = jnp.mod(i_idx + j_idx, 2.0) == 0.0
+        use_c1 = jnp.logical_and(tex_kind == float(TEX_CHECKER), ~even)
+        tr_ = jnp.where(use_c1, mtbl[mi, 6], c0r)
+        tg_ = jnp.where(use_c1, mtbl[mi, 7], c0g)
+        tb_ = jnp.where(use_c1, mtbl[mi, 8], c0b)
         ar = jnp.where(sel, tr_, ar)
         ag = jnp.where(sel, tg_, ag)
         ab = jnp.where(sel, tb_, ab)

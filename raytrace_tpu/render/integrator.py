@@ -22,8 +22,9 @@ Two drivers share one bounce body:
   accumulator at death.
 
 Randomness: each lane derives one key per bounce, and all the bounce's
-draws come from a single vectorized uniform block (threefry counters);
-sampling transforms are branchless (core/rng.py).
+draws come from a single vectorized uniform block (counter-hash keyed on
+(pixel, sample, depth, column)); sampling transforms are branchless
+(core/rng.py).
 
 Importance-sampled redirection with MIS mixture pdfs follows
 Ray.hs:112-151 and 187-224 exactly: CDF target selection, mixture pdf
