@@ -30,6 +30,14 @@ CASES = [
      "cornell_box_redirect.png", (64, 64)),
     ("readme_example.py", ["--width", "600", "--spp", "50"],
      "example_image.png", (64, 36)),
+    # README hero image (test/Main.hs:136-186, README.md:23)
+    ("demo1.py", ["--width", "1200", "--spp", "500", "--depth", "50"],
+     "demo1.png", (64, 36)),
+    # pawnTest (test/Main.hs:323-344: 500px, 400spp, depth 20, vfov 80)
+    ("pawn_test.py", ["--width", "500", "--spp", "400", "--depth", "20"],
+     "pawn_demo.png", (64, 64)),
+    # demo2.png is 800px but its spp/depth are not recorded in the
+    # reference; excluded (depth changes truncation bias, not just noise).
 ]
 
 

@@ -82,3 +82,39 @@ def test_image_shape_and_range():
     assert img.shape == (27, 48, 3)
     assert np.isfinite(img).all()
     assert img.min() >= 0.0
+
+
+def test_tiled_lane_order_invariant():
+    """Tile-ordered lanes (clustered scenes) must produce the same image
+    as linear lane order — RNG is keyed on absolute (pixel, sample)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from raytrace_tpu.core import rng as _rng
+    from raytrace_tpu.render import integrator as integ
+
+    rng_ = np.random.default_rng(5)
+    centers = rng_.uniform(-6, 6, (80, 3))
+    world = rt.group([
+        rt.with_material(rt.lambertian(rt.constant_texture(0.6)),
+                         rt.spheres(centers, rng_.uniform(0.3, 0.8, 80))),
+        rt.with_material(rt.light_source(rt.constant_texture(4.0)),
+                         rt.parallelogram([-8, 8, -8], [16, 0, 0], [0, 0, 16])),
+    ])
+    scene = rt.compile_scene(world, accel="dense")
+    assert scene.prims.kind.shape[0] >= 65
+    s = rt.CameraSettings(image_width=40, samples_per_pixel=4, max_depth=4,
+                          background=rt.const_background(0.2))
+    n_pix = s.image_width * s.image_height
+    key = _rng.base_key(0)
+    tiled = integ.trace_wavefront_stationary(scene, s, key, n_pix, 4)
+    orig = integ._tile_maps
+    try:
+        # identity maps = linear lane order
+        integ._tile_maps = lambda n, w, l, **kw: (
+            np.minimum(np.arange(l, dtype=np.int32), n - 1),
+            np.arange(n, dtype=np.int32))
+        linear = integ.trace_wavefront_stationary(scene, s, key, n_pix, 4)
+    finally:
+        integ._tile_maps = orig
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(linear),
+                               atol=2e-5, rtol=1e-5)
