@@ -63,7 +63,7 @@ def main():
         return jnp.arange(start, start + pix_per, dtype=jnp.int32)
 
     # ---- forward: the production persistent-wavefront path ----
-    # Russian roulette from depth 3 (opt-in; unbiased, mean brightness
+    # Russian roulette from depth 2 (opt-in; unbiased, mean brightness
     # matches the exact estimator to 4 decimals — see
     # tests/test_integrator.py::test_russian_roulette_unbiased).  The
     # no-RR number (the reference's exact estimator) is also reported.
@@ -81,9 +81,9 @@ def main():
 
     fwd_rays_s_exact = time_fwd(settings)
     log(f"forward (exact estimator): {fwd_rays_s_exact/1e6:.2f}M primary rays/s")
-    settings_rr = settings.replace(rr_depth=3)
+    settings_rr = settings.replace(rr_depth=2)
     fwd_rays_s = time_fwd(settings_rr)
-    log(f"forward (RR from depth 3): {fwd_rays_s/1e6:.2f}M primary rays/s")
+    log(f"forward (RR from depth 2): {fwd_rays_s/1e6:.2f}M primary rays/s")
 
     # ---- forward+backward: differentiable regenerative wavefront ----
     from raytrace_tpu.diff.gradients import render_loss_wavefront
@@ -93,8 +93,8 @@ def main():
                  static_argnames=("spp", "n_iters"))
     bwd_pix = 1 << 17
     bwd_spp = 64
-    # RR mean path ~2.7 + slack: completes >=99% of samples (reported)
-    n_iters = int(2.42 * bwd_spp) + 50
+    # RR mean path ~2.2 + slack: completes >=99% of samples (reported)
+    n_iters = int(2.2 * bwd_spp) + 55
 
     def run_bwd(i):
         start = (i * 131) % max(n_pix - bwd_pix, 1)
@@ -126,9 +126,20 @@ def main():
         "forward_only_exact_estimator_rays_per_sec":
             round(fwd_rays_s_exact, 1),
         "samples_completed": round(float(frac), 4),
-        "russian_roulette": "depth>=3 (unbiased; exact-estimator numbers also reported)",
+        "russian_roulette": "depth>=2 (unbiased; exact-estimator numbers also reported)",
     }))
 
 
 if __name__ == "__main__":
-    main()
+    # The tunnel TPU intermittently faults ("TPU worker crashed"); a JAX
+    # client that saw a fault cannot recover in-process, so re-exec this
+    # script in a fresh process (compiles are cached) up to 2 retries.
+    try:
+        main()
+    except Exception as e:
+        retries = int(os.environ.get("BENCH_RETRIES", "0"))
+        log(f"bench failed ({type(e).__name__}: {e}); retry {retries}")
+        if retries >= 2:
+            raise
+        os.environ["BENCH_RETRIES"] = str(retries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)

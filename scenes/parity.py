@@ -67,7 +67,15 @@ def main():
         if args.quick:
             cmd = [c if c != "200" else "32" for c in cmd]
             cmd = [c if c != "50" else "16" for c in cmd]
-        subprocess.run(cmd, check=True)
+        for attempt in range(3):
+            r = subprocess.run(cmd)
+            if r.returncode == 0:
+                break
+            print(f"  {script}: attempt {attempt} failed (rc={r.returncode}),"
+                  " retrying (transient TPU faults)", flush=True)
+        else:
+            print(f"skip {script}: render failed after retries")
+            continue
         ours = load(out, size)
         ref = load(ref_path, size)
         diff = np.abs(ours - ref)
