@@ -868,7 +868,7 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
         uniforms = rng.uniform_block(dkeys, n_u + 6)
         no, nd, ntime = generate_rays_from_uniforms(
             s, frame, pixel_ids, uniforms[:, n_u:n_u + 5])
-        o, d, time = state_comps = comps
+        o, d, time = comps
         o = jnp.where(can[:, None], no, o)
         d = jnp.where(can[:, None], nd, d)
         time = jnp.where(can, ntime, time)

@@ -126,3 +126,49 @@ def test_camera_gradient():
 
     g = float(jax.grad(f)(jnp.float32(0.0)))
     assert np.isfinite(g)
+
+
+def test_albedo_gradient_with_russian_roulette():
+    """Gradient correctness with RR enabled (the bench's differentiable
+    config): survival prob is detached, so AD still matches FD exactly
+    (same RNG stream on both sides)."""
+    def f(albedo_r):
+        scene = _simple_scene()
+        c0 = scene.textures.c0.at[0, 0].set(albedo_r)
+        scene = scene.replace(textures=scene.textures.replace(c0=c0))
+        s = rt.CameraSettings(image_width=16, samples_per_pixel=32,
+                              max_depth=8, rr_depth=2, rr_min=0.05,
+                              background=rt.const_background(0.5))
+        key = rng.base_key(0)
+        pix = jnp.arange(256, dtype=jnp.int32)
+        samp = jnp.arange(32, dtype=jnp.int32)
+        img = render_tile(scene, s, key, pix, samp, differentiable=True)
+        return jnp.mean(img)
+
+    g_auto = jax.grad(f)(jnp.float32(0.5))
+    eps = 1e-2
+    g_fd = (f(0.5 + eps) - f(0.5 - eps)) / (2 * eps)
+    assert np.isfinite(float(g_auto))
+    np.testing.assert_allclose(float(g_auto), float(g_fd), rtol=0.05)
+
+
+def test_wavefront_diff_loss_with_rr_matches_scan():
+    """render_loss_wavefront (regenerative diff wavefront) with RR agrees
+    with the bounded-scan estimator in expectation (same physical scene,
+    independent streams)."""
+    from raytrace_tpu.diff.gradients import (
+        partition, render_loss, render_loss_wavefront,
+    )
+    scene = _simple_scene()
+    s = rt.CameraSettings(image_width=16, samples_per_pixel=32, max_depth=8,
+                          rr_depth=3, background=rt.const_background(0.5))
+    params, statics = partition(scene)
+    key = rng.base_key(0)
+    pix = jnp.arange(256, dtype=jnp.int32)
+    target = jnp.zeros((256, 3), jnp.float32)
+    samp = jnp.arange(32, dtype=jnp.int32)
+    l_scan = render_loss(params, statics, s, key, pix, samp, target)
+    l_wave, frac = render_loss_wavefront(params, statics, s, rng.base_key(1),
+                                         pix, target, spp=32, n_iters=200)
+    assert float(frac) > 0.98
+    np.testing.assert_allclose(float(l_scan), float(l_wave), rtol=0.08)
