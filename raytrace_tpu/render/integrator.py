@@ -696,13 +696,15 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
     # make its block consensus fire; for small scenes the reordered lane
     # traffic costs ~10% for no benefit.  See _tile_maps.
     from ..ops.pallas.intersect_kernel import CLUSTER_MIN_PRIMS
+    # a static row-aligned offset covers both the full image and the
+    # pixel-band splits of render_accumulate (whole rows per band)
     use_tiles = (k_rot == 1 and isinstance(pixel_offset, int)
-                 and pixel_offset == 0
-                 and n_pix == s.image_width * s.image_height
+                 and pixel_offset % s.image_width == 0
+                 and n_pix % s.image_width == 0
                  and scene.prims.kind.shape[0] >= CLUSTER_MIN_PRIMS)
     if use_tiles:
         l2p_np, p2l_np = _tile_maps(n_pix, s.image_width, lanes)
-        tile_l2p = jnp.asarray(l2p_np)
+        tile_l2p = jnp.asarray(l2p_np) + pixel_offset
         tile_p2l = jnp.asarray(p2l_np)
 
     lane_ids = jnp.arange(lanes, dtype=jnp.int32)

@@ -31,12 +31,14 @@ _STATIONARY_MIN_PIXELS = 16384
 def render_accumulate(scene: Scene, settings: CameraSettings, seed: int = 0,
                       *, spp: int | None = None, n_lanes: int = 1 << 17,
                       spp_chunk: int | None = None, acc=None, spp_done: int = 0,
-                      progress: bool = False):
+                      progress: bool = False, max_band: int = 1 << 19):
     """Accumulate radiance sums for ``spp`` samples/pixel.
 
     Returns ``(acc, spp_total)`` where ``acc[n_pix, 3]`` is the radiance
     *sum*; ``acc / spp_total`` is the image.  Pass a previous ``(acc,
-    spp_done)`` to resume.  ``spp_chunk`` bounds work per device launch.
+    spp_done)`` to resume.  ``spp_chunk`` bounds work per device launch;
+    images larger than ``max_band`` pixels render in row-aligned bands
+    (bounds the wavefront's HBM working set — lane state is ~100 B/pixel).
     """
     h = settings.image_height
     w = settings.image_width
@@ -44,18 +46,39 @@ def render_accumulate(scene: Scene, settings: CameraSettings, seed: int = 0,
     spp = spp if spp is not None else settings.samples_per_pixel
     key = rng.base_key(seed)
 
-    stationary = n_pix >= _STATIONARY_MIN_PIXELS
+    if acc is None:
+        acc = jnp.zeros((n_pix, 3), DTYPE)
+
+    # Row-aligned pixel bands bound the wavefront's HBM working set
+    # (lane state is ~100 B/pixel).  Equal-row bands except possibly the
+    # last, so at most two program shapes compile.
+    if n_pix > max_band >= w:
+        n_bands = -(-n_pix // max_band)
+        band_rows = -(-h // n_bands)
+    else:
+        band_rows = h
+    bands = []
+    r0 = 0
+    while r0 < h:
+        rows = min(band_rows, h - r0)
+        bands.append((r0 * w, rows * w))
+        r0 += rows
+
+    stationary = bands[0][1] >= _STATIONARY_MIN_PIXELS
     if spp_chunk is None:
         if stationary:
-            # tail imbalance amortizes over samples; bigger launches win
+            # tail imbalance amortizes over samples; bigger launches win.
+            # Prefer a chunk that divides spp evenly: a trailing partial
+            # chunk is a whole extra program to compile (spp is static).
             spp_chunk = min(spp, 64)
+            for c in range(min(spp, 64), 15, -1):
+                if spp % c == 0:
+                    spp_chunk = c
+                    break
         else:
             # Each launch ends with a low-occupancy drain tail (long
             # survivor paths); queue >= ~32 lane-fills amortizes it.
             spp_chunk = max(1, min(spp, -(-32 * n_lanes // max(n_pix, 1))))
-
-    if acc is None:
-        acc = jnp.zeros((n_pix, 3), DTYPE)
 
     done = 0
     while done < spp:
@@ -66,8 +89,13 @@ def render_accumulate(scene: Scene, settings: CameraSettings, seed: int = 0,
             # rotate_k=1: measured on Cornell, the lane tail is per-sample
             # path-length noise (rare deep paths), which pixel rotation
             # cannot average away — Russian roulette (rr_depth) can.
-            acc = _stationary_jit(scene, settings, key, acc, s0,
-                                  n_pix=n_pix, spp=n_s, rotate_k=1)
+            for off, bp in bands:
+                band = _stationary_jit(scene, settings, key, None, s0,
+                                       n_pix=bp, spp=n_s, rotate_k=1,
+                                       pixel_offset=off)
+                acc = jax.lax.dynamic_update_slice_in_dim(
+                    acc, jax.lax.dynamic_slice_in_dim(acc, off, bp) + band,
+                    off, axis=0)
         else:
             acc = _queue_jit(scene, settings, key, acc, s0, n_pix=n_pix,
                              spp=n_s, n_lanes=min(n_lanes, n_pix * n_s))
@@ -84,14 +112,17 @@ def _queue_fn(scene, settings, key, acc, s0, n_pix, spp, n_lanes):
                            sample_offset=s0)
 
 
-def _stationary_fn(scene, settings, key, acc, s0, n_pix, spp, rotate_k=1):
+def _stationary_fn(scene, settings, key, acc, s0, n_pix, spp, rotate_k=1,
+                   pixel_offset=0):
     return trace_wavefront_stationary(scene, settings, key, n_pix, spp, acc,
-                                      sample_offset=s0, rotate_k=rotate_k)
+                                      sample_offset=s0, rotate_k=rotate_k,
+                                      pixel_offset=pixel_offset)
 
 
 _queue_jit = jax.jit(_queue_fn, static_argnames=("n_pix", "spp", "n_lanes"))
 _stationary_jit = jax.jit(_stationary_fn,
-                          static_argnames=("n_pix", "spp", "rotate_k"))
+                          static_argnames=("n_pix", "spp", "rotate_k",
+                                           "pixel_offset"))
 
 
 def render(scene: Scene, settings: CameraSettings, seed: int = 0,
