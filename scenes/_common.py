@@ -30,8 +30,11 @@ def scene_main(name, build, default_width, default_spp, default_depth,
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # RT_CACHE_DIR override lets retry harnesses escape a cached binary
+    # that the (occasionally misbehaving) tunnel compiler produced badly
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(repo, ".jax_cache"))
+                      os.environ.get("RT_CACHE_DIR",
+                                     os.path.join(repo, ".jax_cache")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import raytrace_tpu as rt
