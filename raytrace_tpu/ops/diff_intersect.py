@@ -60,7 +60,8 @@ def _winner_outputs(floats, ints, o, d, time, idx, has_motion, t_min):
     return t, rec.normal, rec.uv
 
 
-def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool):
+def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,
+                          clustered: bool = True):
     """Build a differentiable surface-hit fn over float primitive buffers.
 
     Returns ``hit(floats, ints_f, o, d, time) -> (t, idx, normal, front,
@@ -85,7 +86,7 @@ def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool):
             g = r // 128
             resh = lambda x: x.reshape(g, 128)
             tbl = pack_prims(prims)
-            ctbl = pack_clusters(prims)
+            ctbl = pack_clusters(prims) if clustered else None
             t, idx, nx, ny, nz, fr, uu, vv, m = pallas_nearest_record(
                 tbl, ctbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
                 resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),

@@ -544,11 +544,12 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
 
 def _kernel(tbl_ref, ctbl_ref, ox, oy, oz, dx, dy, dz, tm,
             t_out, i_out, nx_out, ny_out, nz_out, fr_out, u_out, v_out,
-            m_out, *, n_prims: int, t_min: float, has_motion: bool):
+            m_out, *, n_prims: int, t_min: float, has_motion: bool,
+            clustered: bool = True):
     (bt, bi, nx, ny, nz, cfr, cu, cv, cm, csp) = prim_loop(
         tbl_ref, ox[...], oy[...], oz[...], dx[...], dy[...], dz[...],
         tm[...] if has_motion else None, n_prims=n_prims, t_min=t_min,
-        has_motion=has_motion, ctbl_ref=ctbl_ref)
+        has_motion=has_motion, ctbl_ref=ctbl_ref if clustered else None)
     t_out[...] = bt
     # sphere uv is computed by the caller (atan2/arccos have no cheap
     # Pallas lowering here) from the outward normal = normal * (+-1 front).
@@ -571,12 +572,15 @@ def pallas_nearest_record(tbl, ctbl, ox, oy, oz, dx, dy, dz, tm, *,
                           n_prims: int, t_min: float, has_motion: bool,
                           interpret: bool = False):
     """Run the dense megakernel.  Ray components are [G, 128] arrays;
-    ``ctbl`` is the pack_clusters table (used above CLUSTER_MIN_PRIMS).
+    ``ctbl`` is the pack_clusters table (used above CLUSTER_MIN_PRIMS),
+    or None to force the flat loop (a dummy table is substituted).
 
     Returns (t, idx, nx, ny, nz, front, u, v, mat), all [G, 128].
     """
     g = ox.shape[0]
-    clustered = n_prims >= CLUSTER_MIN_PRIMS
+    clustered = ctbl is not None and n_prims >= CLUSTER_MIN_PRIMS
+    if ctbl is None:
+        ctbl = jnp.zeros((1, 8), jnp.float32)
     bg = min(BLOCK_G_CLUSTERED if clustered else BLOCK_G, g)
     grid = (pl.cdiv(g, bg),)
     # with num_scalar_prefetch=2, index maps receive (grid_idx, *scalar_refs)
@@ -598,7 +602,7 @@ def pallas_nearest_record(tbl, ctbl, ox, oy, oz, dx, dy, dz, tm, *,
         jax.ShapeDtypeStruct((g, LANES), i32),   # mat
     ]
     kernel = functools.partial(_kernel, n_prims=n_prims, t_min=t_min,
-                               has_motion=has_motion)
+                               has_motion=has_motion, clustered=clustered)
     if n_prims <= MAX_SMEM_PRIMS:
         # small scene: per-primitive scalars prefetched to SMEM
         grid_spec = pltpu.PrefetchScalarGridSpec(

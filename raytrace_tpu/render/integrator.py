@@ -122,11 +122,16 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
     ``diff=True`` routes through the custom-VJP wrapper (Pallas forward,
     winner-only analytic backward; ops/diff_intersect.py)."""
     r = o.shape[0]
+    # Programs combining the clustered intersect loop with the volume
+    # crossing scan miscompile on the current TPU toolchain (worker
+    # crash, pawn scene); volumes scenes use the flat loop — measured
+    # equivalent anyway, their bounce rays are incoherent.
+    clustered = scene.volumes is None
     if diff:
         from ..ops.diff_intersect import make_diff_surface_hit
         p = scene.prims
         hit_fn = make_diff_surface_hit(p.has_motion, float(s.t_min),
-                                       use_pallas)
+                                       use_pallas, clustered=clustered)
         ints_f = (p.kind.astype(DTYPE), p.mat.astype(DTYPE))
         return hit_fn((p.p0, p.e1, p.e2, p.uvs, p.mv0, p.mv1), ints_f,
                       o, d, time)
@@ -137,7 +142,7 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
         g = r // 128
         resh = lambda x: x.reshape(g, 128)
         tbl = pack_prims(scene.prims)
-        ctbl = pack_clusters(scene.prims)
+        ctbl = pack_clusters(scene.prims) if clustered else None
         t, idx, nx, ny, nz, fr, uu, vv, mat = pallas_nearest_record(
             tbl, ctbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
             resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),

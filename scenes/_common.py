@@ -42,9 +42,14 @@ def scene_main(name, build, default_width, default_spp, default_depth,
     scene, settings, seed = build(args)
     if args.seed is not None:
         seed = args.seed
+    # RT_SALT re-rolls the compiled program shapes (the tunnel TPU's
+    # compiler occasionally emits a worker-crashing binary for a given
+    # program; a different spp chunking compiles a different program)
+    salt = int(os.environ.get("RT_SALT", "0"))
+    spp_chunk = None if salt == 0 else max(4, 64 // (2 ** salt))
     t0 = time.time()
     img = rt.render(scene, settings, seed=seed, n_lanes=args.lanes,
-                    progress=True)
+                    spp_chunk=spp_chunk, progress=True)
     dt = time.time() - t0
     rays = settings.image_width * settings.image_height * settings.samples_per_pixel
     print(f"{name}: {dt:.1f}s, {rays/dt/1e6:.2f}M primary rays/s")

@@ -91,7 +91,8 @@ def main():
             cmd = [c if c != "200" else "32" for c in cmd]
             cmd = [c if c != "50" else "16" for c in cmd]
         for attempt in range(3):
-            r = subprocess.run(cmd)
+            env = dict(os.environ, RT_SALT=str(attempt))
+            r = subprocess.run(cmd, env=env)
             if r.returncode == 0:
                 break
             print(f"  {script}: attempt {attempt} failed (rc={r.returncode}),"

@@ -41,7 +41,8 @@ def main():
         if not cpu:
             cmd.append("--tpu")
         for attempt in range(4):
-            r = subprocess.run(cmd)
+            env = dict(os.environ, RT_SALT=str(attempt))
+            r = subprocess.run(cmd, env=env)
             if r.returncode == 0:
                 print(f"rendered {name}", flush=True)
                 break
