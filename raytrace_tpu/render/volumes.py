@@ -27,59 +27,67 @@ from ..ops.intersect import INF, chunk_roots, _chunk_size
 from ..scene.types import PRIM_SPHERE, Primitives, Volumes
 
 
-def _crossing_scan(prims: Primitives, start: int, count: int, o, d, time,
-                   greater_than, want_front: bool):
-    """Min crossing strictly greater than ``greater_than[R]`` within the
-    static prim slice [start, start+count).  Returns (t[R], front[R])."""
+def _crossing_scan2(prims: Primitives, start: int, count: int, o, d, time,
+                    t_min):
+    """The two smallest boundary crossings > ``t_min[R]`` within the
+    static prim slice [start, start+count), in ONE pass over the prims.
+
+    Returns ``(t1, front1, t2)``: the reference finds the first hit, then
+    the next hit strictly beyond it (Geometry.hs:306-315) — identical to
+    the two smallest crossings overall.  No argmin + take_along_axis —
+    a TPU gather with per-call-varying indices costs ~1 ms per 100k
+    lanes; the front flag of the first minimal entry is selected with a
+    cumsum first-match mask.
+    """
     r = o.shape[0]
     c = _chunk_size(count, r)
     steps = -(-count // c)
 
     def step(carry, i):
-        best_t, best_front = carry
+        b1, f1c, b2 = carry
         cs = start + jnp.minimum(i * c, count - c)
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, cs, c, 0)
         kind = sl(prims.kind)
         r1, r2 = chunk_roots(kind, sl(prims.p0), sl(prims.e1), sl(prims.e2),
                              sl(prims.mv0), sl(prims.mv1), prims.has_motion,
                              o, d, time)
-        gt = greater_than[:, None]
-        # Crossing front-ness: spheres enter at r1 / exit at r2
-        # (t <= h criterion); planes are front iff approached from the
-        # normal side — but for crossing selection we need the front flag
-        # of the *first* crossing only, so compute per-candidate flags.
+        gt = t_min[:, None]
         t1 = jnp.where(r1 > gt, r1, INF)
         t2 = jnp.where(r2 > gt, r2, INF)
         is_sphere = (kind == PRIM_SPHERE)[None, :]
-        if want_front:
-            # plane front side: denom < 0. Recover sign cheaply: the plane
-            # candidate lives in r1 only; recompute denom sign via normal.
-            cp = jnp.cross(sl(prims.e1), sl(prims.e2))
-            denom = jax.lax.dot_general(
-                d, cp, (((1,), (1,)), ((), ())), preferred_element_type=DTYPE)
-            f1 = jnp.where(is_sphere, True, denom < 0.0)
-            f2 = jnp.zeros_like(f1)  # sphere far root is always back-facing
-        else:
-            f1 = jnp.zeros(t1.shape, bool)
-            f2 = f1
-        # reduce over this chunk: min of t1/t2 jointly. No argmin +
-        # take_along_axis — a TPU gather with per-call-varying indices
-        # costs ~1 ms per 100k lanes; select the front flag of the FIRST
-        # minimal entry with a cumsum first-match mask instead.
+        # front-ness of candidates: sphere near root enters (front), far
+        # root exits; planes are front iff approached from the normal side
+        cp = jnp.cross(sl(prims.e1), sl(prims.e2))
+        denom = jax.lax.dot_general(
+            d, cp, (((1,), (1,)), ((), ())), preferred_element_type=DTYPE)
+        fr1 = jnp.where(is_sphere, True, denom < 0.0)
+        fr2 = jnp.zeros_like(fr1)
+
         both_t = jnp.concatenate([t1, t2], axis=1)
-        both_f = jnp.concatenate([f1, f2], axis=1)
-        ct = jnp.min(both_t, axis=1)
-        is_min = both_t == ct[:, None]
+        both_f = jnp.concatenate([fr1, fr2], axis=1)
+        # chunk's smallest + smallest STRICTLY greater (the reference's
+        # second hit uses an open interval from the first, Geometry.hs:
+        # 310-315 — shared mesh edges produce duplicate crossings that
+        # must collapse into one)
+        c1 = jnp.min(both_t, axis=1)
+        is_min = both_t == c1[:, None]
         first = is_min & (jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1)
         cf = jnp.any(both_f & first, axis=1)
-        better = ct < best_t
-        best_front = jnp.where(better, cf, best_front)
-        best_t = jnp.where(better, ct, best_t)
-        return (best_t, best_front), None
+        c2 = jnp.min(jnp.where(both_t > c1[:, None], both_t, INF), axis=1)
 
-    init = (jnp.full((r,), INF, DTYPE), jnp.zeros((r,), bool))
-    (t, front), _ = jax.lax.scan(step, init, jnp.arange(steps))
-    return t, front
+        # merge into carried (b1, f1c, b2) with the same strictness
+        new_b1 = jnp.minimum(b1, c1)
+        take_c = c1 < b1
+        new_f1 = jnp.where(take_c, cf, f1c)
+        gt = lambda x: jnp.where(x > new_b1, x, INF)
+        new_b2 = jnp.minimum(jnp.minimum(gt(b1), gt(b2)),
+                             jnp.minimum(gt(c1), gt(c2)))
+        return (new_b1, new_f1, new_b2), None
+
+    init = (jnp.full((r,), INF, DTYPE), jnp.zeros((r,), bool),
+            jnp.full((r,), INF, DTYPE))
+    (t1, front1, t2), _ = jax.lax.scan(step, init, jnp.arange(steps))
+    return t1, front1, t2
 
 
 def volume_candidates(volumes: Volumes, o, d, time, t_min, u_scatter):
@@ -93,14 +101,10 @@ def volume_candidates(volumes: Volumes, o, d, time, t_min, u_scatter):
     for v in range(volumes.n_volumes):
         start = volumes.starts[v]
         count = volumes.counts[v]
-        t1, front1 = _crossing_scan(volumes.prims, start, count, o, d, time,
-                                    t_min, want_front=True)
+        t1, front1, t2 = _crossing_scan2(volumes.prims, start, count,
+                                         o, d, time, t_min)
         # entry/exit (Geometry.hs:306-315)
         entry = jnp.where(front1, t1, t_min)
-        need_second = front1
-        t2, _ = _crossing_scan(volumes.prims, start, count, o, d, time,
-                               jnp.where(need_second, t1, -INF),
-                               want_front=False)
         exit_t = jnp.where(front1, t2, t1)
         has_segment = jnp.isfinite(t1) & jnp.isfinite(exit_t)
         dist_in = exit_t - entry
