@@ -90,18 +90,21 @@ def main():
 
     params, statics = partition(scene)
     vg = jax.jit(jax.value_and_grad(render_loss_wavefront, has_aux=True),
-                 static_argnames=("spp", "n_iters"))
-    bwd_pix = 1 << 17
+                 static_argnames=("spp", "n_iters", "remat"))
+    bwd_pix = 1 << 18
     bwd_spp = 64
     # RR mean path ~2.2 + slack: completes >=99% of samples (reported)
     n_iters = int(2.2 * bwd_spp) + 55
 
     def run_bwd(i):
         start = (i * 131) % max(n_pix - bwd_pix, 1)
-        pix = jnp.arange(start, start + bwd_pix, dtype=jnp.int32)
+        pix = jnp.arange(start, start + bwd_pix, dtype=jnp.int32) % n_pix
         target = jnp.zeros((bwd_pix, 3), jnp.float32)
+        # remat=False: with the megakernel custom-VJP bounce the stored
+        # residuals (~3 GB at these shapes) beat recomputing the forward
+        # (tools/prof_diff2.py: 46.5M vs 36.9M rays/s)
         return vg(params, statics, settings_rr, key, pix, target,
-                  spp=bwd_spp, n_iters=n_iters)
+                  spp=bwd_spp, n_iters=n_iters, remat=False)
 
     (loss, frac), grads = run_bwd(0)
     jax.block_until_ready((loss, grads))

@@ -24,14 +24,17 @@ from .intersect import (
 )
 
 
-def _winner_outputs(floats, ints, o, d, time, idx, has_motion, t_min):
-    """Differentiable recompute of (t, normal, uv) for winner ``idx``.
+def _winner_record(floats, ints, o, d, time, idx, has_motion, t_min):
+    """Differentiable recompute of the hit for a known winner ``idx``.
 
     Per-ray primitive rows are gathered with ONE one-hot matmul over the
     concatenated float tables, so the vjp of the gather is a matmul
     (``oh.T @ ct``) rather than six separate TPU scatter-adds — the
     scatters were ~50x the cost of everything else in the backward
     wavefront (see core/vecmath.py:onehot_rows).
+
+    Returns ``(t_safe, valid, rec)`` where ``t_safe`` is 1.0 on
+    miss/invalid lanes (NaN-free grads) and ``rec`` the full HitRecord.
     """
     p0, e1, e2, uvs, mv0, mv1 = floats
     kind, mat = ints
@@ -53,11 +56,34 @@ def _winner_outputs(floats, ints, o, d, time, idx, has_motion, t_min):
                             has_motion, o, d, time,
                             jnp.full_like(time, t_min),
                             jnp.full_like(time, INF))
-    t = jnp.where((idx >= 0) & jnp.isfinite(t), t, 1.0)
+    valid = (idx >= 0) & jnp.isfinite(t)
+    t_safe = jnp.where(valid, t, 1.0)
     rec = make_hit_record_rows(
         (g_kind, g_p0, g_e1, g_e2, g_mv0, g_mv1, g_uvs), has_motion,
-        mat[pi], idx, o, d, time, t)
-    return t, rec.normal, rec.uv
+        mat[pi], idx, o, d, time, t_safe)
+    return t_safe, valid, rec
+
+
+def _winner_outputs(floats, ints, o, d, time, idx, has_motion, t_min):
+    """Differentiable recompute of (t, normal, uv) for winner ``idx``."""
+    t_safe, _, rec = _winner_record(floats, ints, o, d, time, idx,
+                                    has_motion, t_min)
+    return t_safe, rec.normal, rec.uv
+
+
+def winner_surface_hit(floats, ints, o, d, time, idx, has_motion, t_min):
+    """Differentiable surface-hit tuple for a KNOWN winner index.
+
+    Returns ``(t, idx, normal, front, uv, mat)`` matching the
+    ``_surface_hit`` contract of render/integrator.py (``t`` is +inf on
+    miss), reconstructed with one one-hot gather and NO intersection
+    loop.  Used by diff/mega_bounce.py: the Pallas forward saves the
+    winner index, and the backward re-derives the bounce through this.
+    """
+    t_safe, valid, rec = _winner_record(floats, ints, o, d, time, idx,
+                                        has_motion, t_min)
+    t = jnp.where(valid, t_safe, INF)
+    return t, idx, rec.normal, rec.front, rec.uv, rec.mat
 
 
 def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,

@@ -123,7 +123,7 @@ def _unit_from_uniforms(u, v):
 def _kernel(ptbl, ctbl, mtbl, ttbl,
             ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, al, un,
             ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tr_o, tg_o, tb_o,
-            rr_o, rg_o, rb_o, al_o, ms_o,
+            rr_o, rg_o, rb_o, al_o, ms_o, pi_o,
             *, n_prims: int, n_mats: int, n_targets: int, t_min: float,
             has_motion: bool):
     oxv, oyv, ozv = ox[...], oy[...], oz[...]
@@ -133,7 +133,7 @@ def _kernel(ptbl, ctbl, mtbl, ttbl,
     u_all = un[...]                       # (N_U, BG, 128)
 
     # ---- 1. nearest hit + record (shared prim loop) ----
-    (t, _bi, nx, ny, nz, fr_f, uu, vv, mat_f, sph_f) = prim_loop(
+    (t, bi, nx, ny, nz, fr_f, uu, vv, mat_f, sph_f) = prim_loop(
         ptbl, oxv, oyv, ozv, dxv, dyv, dzv,
         tm[...] if has_motion else None,
         n_prims=n_prims, t_min=t_min, has_motion=has_motion,
@@ -377,6 +377,10 @@ def _kernel(ptbl, ctbl, mtbl, ttbl,
     dz_o[...] = jnp.where(next_alive, ndz, dzv)
     al_o[...] = na
     ms_o[...] = jnp.where(alive & ~hit, 1.0, 0.0)
+    # winner primitive index (-1 on miss) — the residual that lets the
+    # differentiable wrapper (diff/mega_bounce.py) recompute the bounce
+    # without re-running the prim loop in the backward pass
+    pi_o[...] = bi
 
 
 @functools.partial(
@@ -388,8 +392,9 @@ def bounce_megakernel(ptbl, ctbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
                       n_targets: int, t_min: float, has_motion: bool,
                       interpret: bool = False):
     """Ray components / throughput / alive are [G, 128]; ``uniforms`` is
-    [N_U, G, 128]; ``ctbl`` the pack_clusters AABB table.  Returns 14
-    [G, 128] outputs (see _kernel)."""
+    [N_U, G, 128]; ``ctbl`` the pack_clusters AABB table.  Returns 15
+    [G, 128] outputs (see _kernel; the last is the winner prim index as
+    f32, -1 on miss)."""
     from .intersect_kernel import BLOCK_G_CLUSTERED, CLUSTER_MIN_PRIMS
     g = ox.shape[0]
     bg = min(BLOCK_G_CLUSTERED if n_prims >= CLUSTER_MIN_PRIMS else BLOCK_G,
@@ -400,8 +405,8 @@ def bounce_megakernel(ptbl, ctbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
     uni_spec = pl.BlockSpec((N_U, bg, LANES), lambda i, *_: (0, i, 0),
                             memory_space=pltpu.VMEM)
     out_specs = [pl.BlockSpec((bg, LANES), lambda i, *_: (i, 0),
-                              memory_space=pltpu.VMEM)] * 14
-    out_shape = [jax.ShapeDtypeStruct((g, LANES), jnp.float32)] * 14
+                              memory_space=pltpu.VMEM)] * 15
+    out_shape = [jax.ShapeDtypeStruct((g, LANES), jnp.float32)] * 15
     kernel = functools.partial(
         _kernel, n_prims=n_prims, n_mats=n_mats, n_targets=n_targets,
         t_min=t_min, has_motion=has_motion)

@@ -177,11 +177,16 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
 
 def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
            radiance, throughput, alive, use_pallas: bool = False,
-           diff: bool = False):
+           diff: bool = False, hit_override=None):
     """Advance every live lane by one bounce.
 
     ``uniforms[R, n_bounce_uniforms]`` supplies all randomness.  Returns
     ``(o', d', radiance', throughput', alive', died_now)``.
+
+    ``hit_override`` supplies a precomputed ``(t_srf, idx, normal, front,
+    uv, mat_id)`` surface hit instead of running intersection — used by
+    diff/mega_bounce.py's backward, which reconstructs the hit
+    differentiably from the saved winner index.
     """
     r = o.shape[0]
     has_targets = s.n_redirect > 0
@@ -190,8 +195,11 @@ def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
         cdf = jnp.cumsum(s.redirect_prob)
 
     # --- intersect: surfaces + media (global argmin; SURVEY.md §3.3) ---
-    t_srf, idx, normal, front, uv, mat_id = _surface_hit(
-        scene, s, o, d, time, use_pallas, diff=diff)
+    if hit_override is not None:
+        t_srf, idx, normal, front, uv, mat_id = hit_override
+    else:
+        t_srf, idx, normal, front, uv, mat_id = _surface_hit(
+            scene, s, o, d, time, use_pallas, diff=diff)
 
     if scene.volumes is not None:
         tmin = jnp.full((r,), s.t_min, DTYPE)
@@ -394,12 +402,14 @@ def bounce_kernel_eligible(scene: Scene, s: CameraSettings,
 
 
 def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
-                    rad, thr, alive, interpret: bool = False):
+                    rad, thr, alive, interpret: bool = False,
+                    with_idx: bool = False):
     """Component-level megakernel call.
 
     ``comps`` = (ox, oy, oz, dx, dy, dz, time); ``rad``/``thr`` are
     (r, g, b) tuples — all 1-D [R] arrays (SoA: [R, 3] arrays tile
-    catastrophically on TPU).  Returns (comps', rad', thr', alive', died).
+    catastrophically on TPU).  Returns (comps', rad', thr', alive', died),
+    plus the winner prim index (i32, -1 on miss) when ``with_idx``.
     """
     from ..ops.pallas.bounce_kernel import (
         N_U, bounce_megakernel, pack_materials, pack_prims, pack_targets,
@@ -437,21 +447,27 @@ def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
         rad[k] + fl(outs[9 + k]) + miss_f * thr[k] * bg[:, k]
         for k in range(3))
     died = alive & ~alive_new
+    if with_idx:
+        idx = fl(outs[14]).astype(jnp.int32)
+        return new_comps, rad_new, thr_new, alive_new, died, idx
     return new_comps, rad_new, thr_new, alive_new, died
 
 
 def bounce_mega(scene: Scene, s: CameraSettings, o, d, time, uniforms,
-                radiance, throughput, alive, interpret: bool = False):
+                radiance, throughput, alive, interpret: bool = False,
+                with_idx: bool = False):
     """Full-bounce Pallas megakernel wrapper; drop-in for :func:`bounce`."""
     comps = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], time)
     rad = (radiance[:, 0], radiance[:, 1], radiance[:, 2])
     thr = (throughput[:, 0], throughput[:, 1], throughput[:, 2])
-    new_comps, rad_new, thr_new, alive_new, died = bounce_mega_soa(
-        scene, s, comps, uniforms, rad, thr, alive, interpret=interpret)
+    out = bounce_mega_soa(scene, s, comps, uniforms, rad, thr, alive,
+                          interpret=interpret, with_idx=with_idx)
+    new_comps, rad_new, thr_new, alive_new, died = out[:5]
     o_new = jnp.stack(new_comps[0:3], axis=-1)
     d_new = jnp.stack(new_comps[3:6], axis=-1)
-    return (o_new, d_new, jnp.stack(rad_new, axis=-1),
-            jnp.stack(thr_new, axis=-1), alive_new, died)
+    res = (o_new, d_new, jnp.stack(rad_new, axis=-1),
+           jnp.stack(thr_new, axis=-1), alive_new, died)
+    return res + (out[5],) if with_idx else res
 
 
 def trace(scene: Scene, s: CameraSettings, o, d, time, keys,
@@ -832,7 +848,9 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
 
 def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
                          pixel_ids, spp: int, n_iters: int | None = None,
-                         sample_offset: int = 0, remat: bool = True):
+                         sample_offset: int = 0, remat: bool = True,
+                         use_mega: bool | None = None,
+                         mega_interpret: bool = False):
     """Differentiable pixel-stationary wavefront.
 
     Reverse-mode AD cannot cross ``while_loop``, and a fixed
@@ -840,8 +858,13 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
     Cornell path length ~3 vs depth 50).  This driver runs the same
     regenerating pixel-stationary scheduler as
     :func:`trace_wavefront_stationary` under a *bounded* ``lax.scan``
-    (each iteration rematerialized with ``jax.checkpoint``), using the
-    custom-VJP surface hit (Pallas forward, winner-only backward).
+    (each iteration rematerialized with ``jax.checkpoint``).
+
+    Megakernel-eligible scenes take the full-bounce Pallas forward with
+    the winner-index backward (diff/mega_bounce.py); others use the
+    custom-VJP surface hit (Pallas forward, winner-only backward) + XLA
+    material math.  ``use_mega`` forces the choice (tests);
+    ``mega_interpret`` runs the kernel in interpret mode (CPU tests).
 
     Returns ``(mean_radiance[P, 3], samples_done[P])``: lanes that run
     out of iterations drop their remaining samples, so the mean is over
@@ -852,6 +875,8 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
     n_u = n_bounce_uniforms(scene)
     frame = camera_frame(s)
     use_pallas = pallas_eligible(scene, lanes) and scene.bvh is None
+    if use_mega is None:
+        use_mega = bounce_kernel_eligible(scene, s, lanes)
     if n_iters is None:
         n_iters = 6 * spp + s.max_depth
     last_sample = sample_offset + spp - 1
@@ -880,9 +905,15 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
         d = jnp.where(can[:, None], nd, d)
         time = jnp.where(can, ntime, time)
 
-        o, d, rad, thr, alive, died = bounce(
-            scene, s, o, d, time, uniforms, rad, thr, alive,
-            use_pallas=use_pallas, diff=True)
+        if use_mega:
+            from ..diff.mega_bounce import mega_bounce_diff
+            o, d, rad, thr, alive, died = mega_bounce_diff(
+                scene, s, o, d, time, uniforms, rad, thr, alive,
+                interpret=mega_interpret)
+        else:
+            o, d, rad, thr, alive, died = bounce(
+                scene, s, o, d, time, uniforms, rad, thr, alive,
+                use_pallas=use_pallas, diff=True)
         depth = depth + 1
         capped = alive & (depth >= s.max_depth)
         died = died | capped
