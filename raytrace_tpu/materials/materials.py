@@ -94,10 +94,26 @@ def anisotropic(g: float, texture: Texture) -> Material:
 
 
 class MaterialTable(struct.PyTreeNode):
+    """Interned materials, plus the compile-time *behavior* collapse used
+    by the full-bounce megakernel: materials that differ only in their
+    scalar param and/or constant-texture color share one behavior row
+    (the color and param ride per-primitive in the packed prim table
+    instead — demo1's 460 interned constant-color materials collapse to
+    3 behaviors, making the scene megakernel-eligible).
+
+    ``behavior_of[M]`` maps material -> behavior id; ``behavior_rep[B]``
+    maps behavior -> a representative material id.  The collapse is
+    decided at scene-compile time from concrete values; re-optimizing a
+    merged material's texture id after compilation is unsupported
+    (values — colors, params — may change freely: they are re-gathered
+    per launch)."""
     kind: jnp.ndarray   # i32[M]
     tex: jnp.ndarray    # i32[M] texture id
     param: jnp.ndarray  # f32[M]
     kinds_present: tuple = struct.field(pytree_node=False, default=())
+    behavior_of: jnp.ndarray | None = None   # i32[M]
+    behavior_rep: jnp.ndarray | None = None  # i32[B]
+    n_behaviors: int = struct.field(pytree_node=False, default=0)
 
 
 def compile_materials(materials, texture_index) -> MaterialTable:
@@ -112,7 +128,29 @@ def compile_materials(materials, texture_index) -> MaterialTable:
         tex[i] = texture_index[m.texture]
         param[i] = m.param
     present = tuple(sorted(set(int(k) for k in kind[: len(materials)])))
+
+    # behavior collapse: constant-texture materials key on kind only
+    # (color + param become per-prim columns); others on (kind, tex id)
+    from ..textures.textures import TEX_CONSTANT
+    beh_ids: dict = {}
+    behavior_of = np.zeros(n, np.int32)
+    behavior_rep: list[int] = []
+    for i, m in enumerate(materials):
+        if m.texture.kind == TEX_CONSTANT:
+            key = (int(m.kind), "const")
+        else:
+            key = (int(m.kind), "tex", int(texture_index[m.texture]))
+        if key not in beh_ids:
+            beh_ids[key] = len(behavior_rep)
+            behavior_rep.append(i)
+        behavior_of[i] = beh_ids[key]
+    if not behavior_rep:
+        behavior_rep = [0]
+
     return MaterialTable(
         kind=jnp.asarray(kind), tex=jnp.asarray(tex), param=jnp.asarray(param),
         kinds_present=present,
+        behavior_of=jnp.asarray(behavior_of),
+        behavior_rep=jnp.asarray(np.asarray(behavior_rep, np.int32)),
+        n_behaviors=len(beh_ids) if materials else 0,
     )

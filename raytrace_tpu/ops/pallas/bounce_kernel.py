@@ -70,6 +70,29 @@ def pack_materials(materials: MaterialTable, textures: TextureTable):
     return tbl
 
 
+def pack_behaviors(materials: MaterialTable, textures: TextureTable):
+    """[B, 12] behavior-row table (layout of :func:`pack_materials`).
+
+    Rows are the behavior representatives
+    (materials.MaterialTable.behavior_rep); the per-material scalar param
+    and constant-texture color ride per-primitive in the prim table
+    instead (pack_prims cols 31-34), so e.g. demo1's 460 interned
+    constant-color materials collapse to 3 rows — the unrolled material
+    loop stays tiny regardless of how many colors a scene interns."""
+    rep = materials.behavior_rep
+    tex = materials.tex[rep]
+    b = rep.shape[0]
+    tbl = jnp.zeros((b, N_MCOLS), jnp.float32)
+    tbl = tbl.at[:, 0].set(materials.kind[rep].astype(jnp.float32))
+    tbl = tbl.at[:, 1].set(materials.param[rep])  # unused (per-prim col 34)
+    tbl = tbl.at[:, 2].set(textures.kind[tex].astype(jnp.float32))
+    tbl = tbl.at[:, 3:6].set(textures.c0[tex])
+    tbl = tbl.at[:, 6:9].set(textures.c1[tex])
+    tbl = tbl.at[:, 9].set(textures.f0[tex])
+    tbl = tbl.at[:, 10].set(textures.f1[tex])
+    return tbl
+
+
 def pack_targets(prob, q, u, v):
     """[T, 16] float table: q(3) u(3) v(3) cross(3) prob cdf."""
     t = q.shape[0]
@@ -125,7 +148,7 @@ def _kernel(ptbl, ctbl, mtbl, ttbl,
             ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tr_o, tg_o, tb_o,
             rr_o, rg_o, rb_o, al_o, ms_o, pi_o,
             *, n_prims: int, n_mats: int, n_targets: int, t_min: float,
-            has_motion: bool):
+            has_motion: bool, use_prim_albedo: bool = False):
     oxv, oyv, ozv = ox[...], oy[...], oz[...]
     dxv, dyv, dzv = dx[...], dy[...], dz[...]
     trv, tgv, tbv = tr[...], tg[...], tb[...]
@@ -133,11 +156,12 @@ def _kernel(ptbl, ctbl, mtbl, ttbl,
     u_all = un[...]                       # (N_U, BG, 128)
 
     # ---- 1. nearest hit + record (shared prim loop) ----
-    (t, bi, nx, ny, nz, fr_f, uu, vv, mat_f, sph_f) = prim_loop(
+    hit_res = prim_loop(
         ptbl, oxv, oyv, ozv, dxv, dyv, dzv,
         tm[...] if has_motion else None,
         n_prims=n_prims, t_min=t_min, has_motion=has_motion,
-        ctbl_ref=ctbl)
+        ctbl_ref=ctbl, with_albedo=use_prim_albedo)
+    (t, bi, nx, ny, nz, fr_f, uu, vv, mat_f, sph_f) = hit_res[:10]
 
     hit = t < jnp.float32(jnp.inf)
     t_safe = jnp.where(hit, t, 1.0)
@@ -157,7 +181,10 @@ def _kernel(ptbl, ctbl, mtbl, ttbl,
     uu = jnp.where(is_sphere, su, uu)
     vv = jnp.where(is_sphere, sv, vv)
 
-    # ---- 2. material + texture resolution (loop over material rows) ----
+    # ---- 2. material + texture resolution (loop over material rows;
+    # with use_prim_albedo the rows are collapsed *behaviors* and the
+    # constant-texture color + scalar param come from the winner's prim
+    # columns instead — see pack_behaviors) ----
     kind = jnp.zeros_like(t)
     param = jnp.zeros_like(t)
     ar = jnp.zeros_like(t)
@@ -166,7 +193,8 @@ def _kernel(ptbl, ctbl, mtbl, ttbl,
     for mi in range(n_mats):
         sel = mat_f == float(mi)
         kind = jnp.where(sel, mtbl[mi, 0], kind)
-        param = jnp.where(sel, mtbl[mi, 1], param)
+        if not use_prim_albedo:
+            param = jnp.where(sel, mtbl[mi, 1], param)
         tex_kind = mtbl[mi, 2]
         c0r, c0g, c0b = mtbl[mi, 3], mtbl[mi, 4], mtbl[mi, 5]
         # checker parity (Texture.hs:46-56); constant when tex_kind==0
@@ -177,9 +205,17 @@ def _kernel(ptbl, ctbl, mtbl, ttbl,
         tr_ = jnp.where(use_c1, mtbl[mi, 6], c0r)
         tg_ = jnp.where(use_c1, mtbl[mi, 7], c0g)
         tb_ = jnp.where(use_c1, mtbl[mi, 8], c0b)
+        if use_prim_albedo:
+            # constant-texture behavior: color from prim cols 31-33
+            cf = jnp.where(tex_kind == float(TEX_CONSTANT), 1.0, 0.0)
+            tr_ = cf * hit_res[10] + (1.0 - cf) * tr_
+            tg_ = cf * hit_res[11] + (1.0 - cf) * tg_
+            tb_ = cf * hit_res[12] + (1.0 - cf) * tb_
         ar = jnp.where(sel, tr_, ar)
         ag = jnp.where(sel, tg_, ag)
         ab = jnp.where(sel, tb_, ab)
+    if use_prim_albedo:
+        param = hit_res[13]               # per-prim scalar param (col 34)
 
     live_hit = alive & hit
 
@@ -386,10 +422,11 @@ def _kernel(ptbl, ctbl, mtbl, ttbl,
 @functools.partial(
     jax.jit,
     static_argnames=("n_prims", "n_mats", "n_targets", "t_min",
-                     "has_motion", "interpret"))
+                     "has_motion", "use_prim_albedo", "interpret"))
 def bounce_megakernel(ptbl, ctbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
                       tr, tg, tb, al, uniforms, *, n_prims: int, n_mats: int,
                       n_targets: int, t_min: float, has_motion: bool,
+                      use_prim_albedo: bool = False,
                       interpret: bool = False):
     """Ray components / throughput / alive are [G, 128]; ``uniforms`` is
     [N_U, G, 128]; ``ctbl`` the pack_clusters AABB table.  Returns 15
@@ -409,7 +446,8 @@ def bounce_megakernel(ptbl, ctbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
     out_shape = [jax.ShapeDtypeStruct((g, LANES), jnp.float32)] * 15
     kernel = functools.partial(
         _kernel, n_prims=n_prims, n_mats=n_mats, n_targets=n_targets,
-        t_min=t_min, has_motion=has_motion)
+        t_min=t_min, has_motion=has_motion,
+        use_prim_albedo=use_prim_albedo)
     from .intersect_kernel import MAX_SMEM_PRIMS
     if n_prims <= MAX_SMEM_PRIMS:
         grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -23,6 +23,8 @@ pre-packed into a [C, 32] float table (scalar-prefetched to SMEM):
   col 24-26  motion displacement at time 0 (mv0)
   col 27-29  motion delta (mv1 - mv0)
   col 30     sphere radius (signed)
+  col 31-33  per-prim albedo (behavior-collapsed material packing only)
+  col 34     per-prim material param (ditto)
 
 Semantics are identical to ops/intersect.py (reference Geometry.hs:58-176):
 two-root sphere selection against the open interval, plane membership via
@@ -50,15 +52,20 @@ BLOCK_G_CLUSTERED = 32  # consensus granularity: one program = 32 rows =
                         # SEQUENTIALLY on the TensorCore, so smaller
                         # blocks only multiply per-cluster branch
                         # overhead, ~0.4us per (cluster, program))
-N_COLS = 32
+N_COLS = 36
 MAX_SMEM_PRIMS = 512       # parameter table in SMEM (scalar prefetch)
 MAX_DENSE_PRIMS = 65536    # above MAX_SMEM_PRIMS the table lives in VMEM
 CLUSTER = 64               # prims per cluster (clustered consensus loop)
 CLUSTER_MIN_PRIMS = 65     # below this, the flat single-pass loop wins
 
 
-def pack_prims(prims: Primitives) -> jnp.ndarray:
-    """[C, 32] float parameter table (see module docstring)."""
+def pack_prims(prims: Primitives, mat_override=None, albedo=None,
+               param=None) -> jnp.ndarray:
+    """[C, 36] float parameter table (see module docstring).
+
+    ``mat_override``/``albedo``/``param`` fill the behavior-collapsed
+    material columns (full-bounce megakernel; see
+    materials.MaterialTable.behavior_of)."""
     kind = prims.kind
     p0 = prims.p0
     e1 = prims.e1
@@ -88,11 +95,16 @@ def pack_prims(prims: Primitives) -> jnp.ndarray:
     tbl = tbl.at[:, 14].set(jnp.sum(p0 * w_a, -1))
     tbl = tbl.at[:, 15].set(jnp.sum(p0 * w_b, -1))
     tbl = tbl.at[:, 16].set(kind_f)
-    tbl = tbl.at[:, 17].set(prims.mat.astype(jnp.float32))
+    mat = prims.mat if mat_override is None else mat_override
+    tbl = tbl.at[:, 17].set(mat.astype(jnp.float32))
     tbl = tbl.at[:, 18:24].set(prims.uvs.reshape(c, 6))
     tbl = tbl.at[:, 24:27].set(prims.mv0)
     tbl = tbl.at[:, 27:30].set(prims.mv1 - prims.mv0)
     tbl = tbl.at[:, 30].set(e1[:, 0])
+    if albedo is not None:
+        tbl = tbl.at[:, 31:34].set(albedo)
+    if param is not None:
+        tbl = tbl.at[:, 34].set(param)
     return tbl
 
 
@@ -139,13 +151,16 @@ def pack_clusters(prims: Primitives) -> jnp.ndarray:
 
 
 def prim_loop(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *, n_prims: int,
-              t_min: float, has_motion: bool, ctbl_ref=None):
+              t_min: float, has_motion: bool, ctbl_ref=None,
+              with_albedo: bool = False):
     """Shared fused nearest-hit loop over the packed primitive table.
 
     Operates on value tiles (any shape); returns
     (t, idx_f, nx, ny, nz, front_f, u, v, mat_f, sphere_f) where the
     normal faces the ray, ``front_f``/``sphere_f`` are 0/1 floats and
     sphere uv is NOT yet computed (needs atan2; see callers).
+    ``with_albedo`` appends the winner's per-prim material columns
+    (ar, ag, ab, param — cols 31-34) to the returned tuple.
 
     With ``ctbl_ref`` (pack_clusters) and ``n_prims >=
     CLUSTER_MIN_PRIMS``, the loop is ADAPTIVE per program block: a cheap
@@ -164,12 +179,14 @@ def prim_loop(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *, n_prims: int,
         def flat(_):
             return _prim_loop_flat(
                 tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
-                n_prims=n_prims, t_min=t_min, has_motion=has_motion)
+                n_prims=n_prims, t_min=t_min, has_motion=has_motion,
+                with_albedo=with_albedo)
 
         def clustered(_):
             return _prim_loop_clustered(
                 tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
-                n_prims=n_prims, t_min=t_min, has_motion=has_motion)
+                n_prims=n_prims, t_min=t_min, has_motion=has_motion,
+                with_albedo=with_albedo)
 
         # pre-pass: how many cluster AABBs does this block touch at all?
         safe = lambda d: jnp.where(jnp.abs(d) < 1e-20,
@@ -201,11 +218,12 @@ def prim_loop(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *, n_prims: int,
         return jax.lax.cond(n_visit * 2 < n_clusters, clustered, flat, 0)
     return _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
                            n_prims=n_prims, t_min=t_min,
-                           has_motion=has_motion)
+                           has_motion=has_motion, with_albedo=with_albedo)
 
 
 def _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *,
-                    n_prims: int, t_min: float, has_motion: bool):
+                    n_prims: int, t_min: float, has_motion: bool,
+                    with_albedo: bool = False):
     """Single-pass dense scan (see :func:`prim_loop`)."""
     shp = oxv.shape
 
@@ -222,9 +240,11 @@ def _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *,
         jnp.zeros(shp, jnp.float32),              # mat
         jnp.ones(shp, jnp.float32),               # is_sphere (for post uv)
     )
+    if with_albedo:
+        init = init + (jnp.zeros(shp, jnp.float32),) * 4  # ar, ag, ab, prm
 
     def body(ci, carry):
-        (bt, bi, cnx, cny, cnz, cfr, cu, cv, cm, csp) = carry
+        (bt, bi, cnx, cny, cnz, cfr, cu, cv, cm, csp) = carry[:10]
         px = tbl_ref[ci, 0]
         py = tbl_ref[ci, 1]
         pz = tbl_ref[ci, 2]
@@ -324,19 +344,25 @@ def _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *,
         cv = jnp.where(better, vv, cv)
         cm = jnp.where(better, tbl_ref[ci, 17], cm)
         csp = jnp.where(better, jnp.where(is_sphere, 1.0, 0.0), csp)
-        return (bt, bi, cnx, cny, cnz, cfr, cu, cv, cm, csp)
+        out = (bt, bi, cnx, cny, cnz, cfr, cu, cv, cm, csp)
+        if with_albedo:
+            out = out + tuple(
+                jnp.where(better, tbl_ref[ci, 31 + k], carry[10 + k])
+                for k in range(4))
+        return out
 
-    (bt, bi, cnx, cny, cnz, cfr, cu, cv, cm, csp) = jax.lax.fori_loop(
-        0, n_prims, body, init)
+    res = jax.lax.fori_loop(0, n_prims, body, init)
+    (bt, bi, cnx, cny, cnz, cfr, cu, cv, cm, csp) = res[:10]
 
     # flip the normal toward the ray
     flip = jnp.where(cfr > 0.5, 1.0, -1.0)
-    return (bt, bi, cnx * flip, cny * flip, cnz * flip, cfr, cu, cv, cm, csp)
+    return (bt, bi, cnx * flip, cny * flip, cnz * flip, cfr, cu, cv, cm,
+            csp) + res[10:]
 
 
 def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
                          tmv, *, n_prims: int, t_min: float,
-                         has_motion: bool):
+                         has_motion: bool, with_albedo: bool = False):
     """Two-phase clustered nearest hit (mesh-scale scenes).
 
     Phase 1 finds the winning (t, prim) with a candidate-t-only inner
@@ -465,6 +491,8 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
         jnp.zeros(shp, jnp.float32),                   # mat
         jnp.ones(shp, jnp.float32),                    # is_sphere
     )
+    if with_albedo:
+        attrs0 = attrs0 + (jnp.zeros(shp, jnp.float32),) * 4
 
     def cluster2(k, attrs):
         base_f = (k * CLUSTER).astype(jnp.float32)
@@ -475,7 +503,7 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
             end = jnp.minimum(base + CLUSTER, n_prims)
 
             def prim(ci, attrs):
-                (cnx, cny, cnz, cfr, cu, cv, cm, csp) = attrs
+                (cnx, cny, cnz, cfr, cu, cv, cm, csp) = attrs[:8]
                 sel = bi == ci.astype(jnp.float32)
                 kind = tbl_ref[ci, 16]
                 is_sphere = kind == 0.0
@@ -519,7 +547,7 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
                 w0 = 1.0 - a - b
                 uu = jnp.where(is_tri, w0 * u0 + a * u1 + b * u2, a)
                 vv = jnp.where(is_tri, w0 * v0 + a * v1 + b * v2, b)
-                return (
+                out = (
                     jnp.where(sel, jnp.where(is_sphere, sox, nxs), cnx),
                     jnp.where(sel, jnp.where(is_sphere, soy, nys), cny),
                     jnp.where(sel, jnp.where(is_sphere, soz, nzs), cnz),
@@ -530,16 +558,22 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
                     jnp.where(sel, tbl_ref[ci, 17], cm),
                     jnp.where(sel, jnp.where(is_sphere, 1.0, 0.0), csp),
                 )
+                if with_albedo:
+                    out = out + tuple(
+                        jnp.where(sel, tbl_ref[ci, 31 + k], attrs[8 + k])
+                        for k in range(4))
+                return out
 
             return jax.lax.fori_loop(base, end, prim, attrs)
 
         return jax.lax.cond(jnp.any(in_cl), visit, lambda a: a, attrs)
 
-    (cnx, cny, cnz, cfr, cu, cv, cm, csp) = jax.lax.fori_loop(
-        0, n_clusters, cluster2, attrs0)
+    attrs = jax.lax.fori_loop(0, n_clusters, cluster2, attrs0)
+    (cnx, cny, cnz, cfr, cu, cv, cm, csp) = attrs[:8]
 
     flip = jnp.where(cfr > 0.5, 1.0, -1.0)
-    return (bt, bi, cnx * flip, cny * flip, cnz * flip, cfr, cu, cv, cm, csp)
+    return (bt, bi, cnx * flip, cny * flip, cnz * flip, cfr, cu, cv, cm,
+            csp) + attrs[8:]
 
 
 def _kernel(tbl_ref, ctbl_ref, ox, oy, oz, dx, dy, dz, tm,

@@ -205,7 +205,13 @@ def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
         tmin = jnp.full((r,), s.t_min, DTYPE)
         nv = scene.volumes.n_volumes
         u_sc = uniforms[:, _N_BASE_U:_N_BASE_U + nv]
-        t_vol, _ = volume_candidates(scene.volumes, o, d, time, tmin, u_sc)
+        if use_pallas and not diff:
+            from .volumes import volume_candidates_pallas
+            t_vol, _ = volume_candidates_pallas(
+                scene.volumes, o, d, time, tmin, u_sc, float(s.t_min))
+        else:
+            t_vol, _ = volume_candidates(scene.volumes, o, d, time, tmin,
+                                         u_sc)
         # winner volume's material via a static fold over the (few)
         # volumes — argmin + gather costs ~1 ms per 100k lanes on TPU
         t_med = jnp.full((r,), INF, DTYPE)
@@ -391,14 +397,20 @@ def pallas_eligible(scene: Scene, n_rays: int) -> bool:
 def bounce_kernel_eligible(scene: Scene, s: CameraSettings,
                            n_rays: int) -> bool:
     """Static check for the full-bounce megakernel: dense scene, no
-    volumes, only constant/checker textures, few targets/materials."""
+    volumes, only constant/checker textures, few targets and few
+    material *behaviors* (constant-color materials collapse to one
+    behavior row however many colors the scene interns — see
+    materials.MaterialTable.behavior_of)."""
     from ..textures.textures import TEX_CHECKER, TEX_CONSTANT
+    m = scene.materials
+    n_rows = m.n_behaviors if getattr(m, "n_behaviors", 0) > 0 \
+        else m.kind.shape[0]
     return (pallas_eligible(scene, n_rays)
             and scene.volumes is None
             and set(scene.textures.kinds_present) <= {TEX_CONSTANT,
                                                       TEX_CHECKER}
             and s.n_redirect <= 8
-            and scene.materials.kind.shape[0] <= 16)
+            and n_rows <= 16)
 
 
 def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
@@ -412,15 +424,33 @@ def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
     plus the winner prim index (i32, -1 on miss) when ``with_idx``.
     """
     from ..ops.pallas.bounce_kernel import (
-        N_U, bounce_megakernel, pack_materials, pack_prims, pack_targets,
+        N_U, bounce_megakernel, pack_behaviors, pack_materials, pack_prims,
+        pack_targets,
     )
     from ..ops.pallas.intersect_kernel import pack_clusters
+    from ..textures.textures import TEX_CONSTANT
     r = comps[0].shape[0]
     g = r // 128
     resh = lambda x: x.reshape(g, 128)
-    ptbl = pack_prims(scene.prims)
+    m = scene.materials
+    use_beh = getattr(m, "n_behaviors", 0) > 0
+    if use_beh:
+        # behavior-collapsed packing: constant-texture color + scalar
+        # param ride per-prim (pack_prims cols 31-34); the material loop
+        # unrolls over the few behavior rows (demo1: 460 mats -> 3 rows)
+        p = scene.prims
+        tex_ids = m.tex[p.mat]
+        is_const = (scene.textures.kind[tex_ids] == TEX_CONSTANT)[:, None]
+        prim_albedo = jnp.where(is_const, scene.textures.c0[tex_ids], 0.0)
+        ptbl = pack_prims(p, mat_override=m.behavior_of[p.mat],
+                          albedo=prim_albedo, param=m.param[p.mat])
+        mtbl = pack_behaviors(m, scene.textures)
+        n_mats = m.n_behaviors
+    else:
+        ptbl = pack_prims(scene.prims)
+        mtbl = pack_materials(m, scene.textures)
+        n_mats = m.kind.shape[0]
     ctbl = pack_clusters(scene.prims)
-    mtbl = pack_materials(scene.materials, scene.textures)
     ttbl = pack_targets(s.redirect_prob, s.redirect_q, s.redirect_u,
                         s.redirect_v)
     uk = uniforms[:, :N_U].T.reshape(N_U, g, 128)
@@ -430,9 +460,9 @@ def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
         resh(thr[0]), resh(thr[1]), resh(thr[2]),
         resh(alive.astype(DTYPE)), uk,
         n_prims=scene.prims.kind.shape[0],
-        n_mats=scene.materials.kind.shape[0], n_targets=s.n_redirect,
+        n_mats=n_mats, n_targets=s.n_redirect,
         t_min=float(s.t_min), has_motion=scene.prims.has_motion,
-        interpret=interpret)
+        use_prim_albedo=use_beh, interpret=interpret)
     fl = lambda x: x.reshape(r)
     new_comps = tuple(fl(outs[k]) for k in range(6)) + (comps[6],)
     thr_new = (fl(outs[6]), fl(outs[7]), fl(outs[8]))

@@ -1,0 +1,81 @@
+"""Pallas volume-crossing kernel vs the XLA chunked scan (interpret mode
+on CPU): crossings and scatter candidates must agree lane-by-lane."""
+import jax.numpy as jnp
+import numpy as np
+
+import raytrace_tpu as rt
+from raytrace_tpu.render.volumes import (
+    volume_candidates, volume_candidates_pallas,
+)
+
+
+def _volume_scene():
+    """Two media: a sphere fog ball and a cuboid smoke box (6 planes),
+    plus a visible surface so the scene compiles."""
+    world = rt.group([
+        rt.with_material(rt.isotropic(rt.constant_texture(0.8)),
+                         rt.constant_medium(0.7, rt.sphere([0, 0, -3], 1.5))),
+        rt.with_material(rt.anisotropic(0.4, rt.constant_texture(0.9)),
+                         rt.constant_medium(
+                             1.2, rt.cuboid([2, -1, -5], [4.5, 1.5, -2]))),
+        rt.with_material(rt.lambertian(rt.constant_texture(0.5)),
+                         rt.parallelogram([-20, -2, -20], [40, 0, 0],
+                                          [0, 0, 40])),
+    ])
+    return rt.compile_scene(world, accel="dense")
+
+
+def test_pallas_volume_candidates_match_xla():
+    scene = _volume_scene()
+    vols = scene.volumes
+    assert vols is not None and vols.n_volumes == 2
+
+    rg = np.random.default_rng(0)
+    n = 512
+    o = jnp.asarray(rg.uniform(-6, 6, (n, 3)), jnp.float32)
+    d = jnp.asarray(rg.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # include rays starting inside each medium
+    o = o.at[:32].set(jnp.asarray([0.0, 0.0, -3.0]))
+    o = o.at[32:64].set(jnp.asarray([3.2, 0.0, -3.5]))
+    time = jnp.asarray(rg.uniform(0, 1, n), jnp.float32)
+    t_min = jnp.full((n,), 1e-3, jnp.float32)
+    u = jnp.asarray(rg.uniform(0, 1, (n, 2)), jnp.float32)
+
+    t_x, v_x = volume_candidates(vols, o, d, time, t_min, u)
+    t_p, v_p = volume_candidates_pallas(vols, o, d, time, t_min, u, 1e-3,
+                                        interpret=True)
+    assert (np.asarray(v_x) == np.asarray(v_p)).all()
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_volume_candidates_motion():
+    """Moving medium boundary: the kernel's motion columns must match."""
+    world = rt.group([
+        rt.moving([0, 0, 0], [2, 0, 0],
+                  rt.with_material(
+                      rt.isotropic(rt.constant_texture(0.5)),
+                      rt.constant_medium(0.9, rt.sphere([0, 0, -4], 1.0)))),
+        rt.with_material(rt.lambertian(rt.constant_texture(0.5)),
+                         rt.sphere([0, -50, 0], 40.0)),
+    ])
+    scene = rt.compile_scene(world, accel="dense")
+    vols = scene.volumes
+    assert vols is not None and vols.prims.has_motion
+
+    rg = np.random.default_rng(1)
+    n = 256
+    o = jnp.asarray(rg.uniform(-5, 5, (n, 3)), jnp.float32)
+    d = jnp.asarray(rg.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    time = jnp.asarray(rg.uniform(0, 1, n), jnp.float32)
+    t_min = jnp.full((n,), 1e-3, jnp.float32)
+    u = jnp.asarray(rg.uniform(0, 1, (n, 1)), jnp.float32)
+
+    t_x, v_x = volume_candidates(vols, o, d, time, t_min, u)
+    t_p, v_p = volume_candidates_pallas(vols, o, d, time, t_min, u, 1e-3,
+                                        interpret=True)
+    assert (np.asarray(v_x) == np.asarray(v_p)).all()
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x),
+                               rtol=1e-5, atol=1e-5)
