@@ -122,11 +122,13 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
     ``diff=True`` routes through the custom-VJP wrapper (Pallas forward,
     winner-only analytic backward; ops/diff_intersect.py)."""
     r = o.shape[0]
-    # Programs combining the clustered intersect loop with the volume
-    # crossing scan miscompile on the current TPU toolchain (worker
-    # crash, pawn scene); volumes scenes use the flat loop — measured
-    # equivalent anyway, their bounce rays are incoherent.
-    clustered = scene.volumes is None
+    # Programs combining the clustered intersect loop with the *XLA*
+    # volume crossing scan miscompile on the current TPU toolchain
+    # (worker crash, pawn scene).  With volumes on the Pallas crossing
+    # kernel (use_pallas & not diff — mirrors the volume-path choice in
+    # bounce()) the XLA scan is gone and clustering is safe — and it is
+    # the big lever for volume scenes with many prims (demo2: 3400).
+    clustered = scene.volumes is None or (use_pallas and not diff)
     if diff:
         from ..ops.diff_intersect import make_diff_surface_hit
         p = scene.prims

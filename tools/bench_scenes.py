@@ -77,10 +77,15 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="quarter-spp versions (for smoke runs)")
+    p.add_argument("--only", default=None,
+                   help="comma-separated scene names to run")
     cli = p.parse_args()
+    only = set(cli.only.split(",")) if cli.only else None
 
     results = {}
     for mod_name, width, spp, depth, ref_s, note in CONFIGS:
+        if only is not None and mod_name not in only:
+            continue
         spp_eff = max(spp // 4, 4) if cli.quick else spp
         r = run_child(mod_name, width, spp_eff, depth)
         if r is None:
