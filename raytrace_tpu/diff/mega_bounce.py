@@ -93,7 +93,7 @@ def mega_bounce_diff(scene, s, o, d, time, uniforms, radiance, throughput,
             from ..ops.diff_intersect import winner_surface_hit
             hit = winner_surface_hit(
                 (p.p0, p.e1, p.e2, p.uvs, p.mv0, p.mv1), (p.kind, p.mat),
-                o, d, time, idx, has_motion, t_min)
+                o, d, time, idx, has_motion, t_min, has_box=p.has_box)
             o2, d2, rad2, thr2, _alive2, _died2 = bounce(
                 scene, s, o, d, time, uniforms, radiance, throughput,
                 alive, diff=True, hit_override=hit)

@@ -24,7 +24,8 @@ from .intersect import (
 )
 
 
-def _winner_record(floats, ints, o, d, time, idx, has_motion, t_min):
+def _winner_record(floats, ints, o, d, time, idx, has_motion, t_min,
+                   has_box=False):
     """Differentiable recompute of the hit for a known winner ``idx``.
 
     Per-ray primitive rows are gathered with ONE one-hot matmul over the
@@ -55,23 +56,25 @@ def _winner_record(floats, ints, o, d, time, idx, has_motion, t_min):
     t = _single_prim_t_rows((g_kind, g_p0, g_e1, g_e2, g_mv0, g_mv1),
                             has_motion, o, d, time,
                             jnp.full_like(time, t_min),
-                            jnp.full_like(time, INF))
+                            jnp.full_like(time, INF), has_box=has_box)
     valid = (idx >= 0) & jnp.isfinite(t)
     t_safe = jnp.where(valid, t, 1.0)
     rec = make_hit_record_rows(
         (g_kind, g_p0, g_e1, g_e2, g_mv0, g_mv1, g_uvs), has_motion,
-        mat[pi], idx, o, d, time, t_safe)
+        mat[pi], idx, o, d, time, t_safe, has_box=has_box)
     return t_safe, valid, rec
 
 
-def _winner_outputs(floats, ints, o, d, time, idx, has_motion, t_min):
+def _winner_outputs(floats, ints, o, d, time, idx, has_motion, t_min,
+                    has_box=False):
     """Differentiable recompute of (t, normal, uv) for winner ``idx``."""
     t_safe, _, rec = _winner_record(floats, ints, o, d, time, idx,
-                                    has_motion, t_min)
+                                    has_motion, t_min, has_box=has_box)
     return t_safe, rec.normal, rec.uv
 
 
-def winner_surface_hit(floats, ints, o, d, time, idx, has_motion, t_min):
+def winner_surface_hit(floats, ints, o, d, time, idx, has_motion, t_min,
+                       has_box=False):
     """Differentiable surface-hit tuple for a KNOWN winner index.
 
     Returns ``(t, idx, normal, front, uv, mat)`` matching the
@@ -81,13 +84,13 @@ def winner_surface_hit(floats, ints, o, d, time, idx, has_motion, t_min):
     winner index, and the backward re-derives the bounce through this.
     """
     t_safe, valid, rec = _winner_record(floats, ints, o, d, time, idx,
-                                        has_motion, t_min)
+                                        has_motion, t_min, has_box=has_box)
     t = jnp.where(valid, t_safe, INF)
     return t, idx, rec.normal, rec.front, rec.uv, rec.mat
 
 
 def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,
-                          clustered: bool = True):
+                          clustered: bool = True, has_box: bool = False):
     """Build a differentiable surface-hit fn over float primitive buffers.
 
     Returns ``hit(floats, ints_f, o, d, time) -> (t, idx, normal, front,
@@ -103,7 +106,7 @@ def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,
         mat = ints_f[1].astype(jnp.int32)
         prims = Primitives(kind=kind, p0=p0, e1=e1, e2=e2, uvs=uvs, mat=mat,
                            mv0=mv0, mv1=mv1, n=kind.shape[0],
-                           has_motion=has_motion)
+                           has_motion=has_motion, has_box=has_box)
         if use_pallas:
             from .pallas.intersect_kernel import (
                 pack_clusters, pack_prims, pallas_nearest_record,
@@ -116,7 +119,8 @@ def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,
             t, idx, nx, ny, nz, fr, uu, vv, m = pallas_nearest_record(
                 tbl, ctbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
                 resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
-                n_prims=kind.shape[0], t_min=t_min, has_motion=has_motion)
+                n_prims=kind.shape[0], t_min=t_min, has_motion=has_motion,
+                has_box=has_box)
             fl = lambda x: x.reshape(r)
             flags = fl(fr)
             front = (flags & 1).astype(bool)
@@ -160,7 +164,7 @@ def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,
 
         def g(floats, o, d, time):
             return _winner_outputs(floats, ints, o, d, time, idx,
-                                   has_motion, t_min)
+                                   has_motion, t_min, has_box=has_box)
 
         _, vjp = jax.vjp(g, floats, o, d, time)
         gf, go, gd, gtime = vjp((ct_t, ct_normal, ct_uv))

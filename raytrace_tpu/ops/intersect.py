@@ -34,7 +34,8 @@ from flax import struct
 
 from ..core.vecmath import DTYPE, normalize, vdot0
 from ..scene.types import (
-    BVH, PRIM_PARALLELOGRAM, PRIM_SPHERE, PRIM_TRIANGLE, Primitives,
+    BVH, PRIM_BOX, PRIM_PARALLELOGRAM, PRIM_SPHERE, PRIM_TRIANGLE,
+    Primitives,
 )
 
 INF = jnp.inf
@@ -64,15 +65,18 @@ def _bdot(x, y):
     )
 
 
-def chunk_roots(kind, p0, e1, e2, mv0, mv1, has_motion, o, d, time):
+def chunk_roots(kind, p0, e1, e2, mv0, mv1, has_motion, o, d, time,
+                has_box: bool = False):
     """Candidate hit parameters of R rays against C primitives.
 
     Returns ``(r1, r2)`` of shape [R, C]: the (sorted) candidate ray
     parameters, ``+inf`` where there is no candidate.  Spheres yield both
     quadratic roots; planar primitives yield their single plane hit in
-    ``r1`` (membership already applied).  Interval clipping is the
+    ``r1`` (membership already applied); boxes (slab test) yield entry in
+    ``r1`` and exit in ``r2`` like spheres.  Interval clipping is the
     caller's job, so one evaluation serves nearest-hit *and* volume
-    entry/exit queries.
+    entry/exit queries.  ``has_box`` is static; scenes without box rows
+    compile none of the slab code.
     """
     kind = kind[None, :]                                  # [1,C]
     is_sphere = kind == PRIM_SPHERE
@@ -169,6 +173,33 @@ def chunk_roots(kind, p0, e1, e2, mv0, mv1, has_motion, o, d, time):
         jnp.where((is_para | is_tri) & plane_ok, t_plane, INF),
     )
     r2 = jnp.where(is_sphere & sphere_ok, s_r2, INF)
+
+    if has_box:
+        # --- axis-aligned box slab test (p0 = lo, e1 = hi) ---
+        # Entry/exit roots play the same two-root role as sphere roots:
+        # r1 = slab entry, r2 = exit, so a ray starting inside takes the
+        # exit — identical selection to the reference's 6-parallelogram
+        # cuboid under roots_to_hit_t (Geometry.hs:154-166 + 74-80).
+        tn = jnp.full(r1.shape, -INF, DTYPE)
+        tf = jnp.full(r1.shape, INF, DTYPE)
+        for ax in range(3):
+            d_ax = d[:, ax:ax + 1]                        # [R,1]
+            inv = 1.0 / jnp.where(
+                jnp.abs(d_ax) < 1e-20,
+                jnp.where(d_ax < 0, -1e-20, 1e-20), d_ax)
+            lo_ax = p0[None, :, ax]
+            hi_ax = e1[None, :, ax]
+            if has_motion:
+                sh = mv0[None, :, ax] + tr * dmv[None, :, ax]
+                lo_ax = lo_ax + sh
+                hi_ax = hi_ax + sh
+            t0 = (lo_ax - o[:, ax:ax + 1]) * inv
+            t1 = (hi_ax - o[:, ax:ax + 1]) * inv
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        box_ok = (kind == PRIM_BOX) & (tn <= tf)
+        r1 = jnp.where(box_ok, tn, r1)
+        r2 = jnp.where(box_ok, tf, r2)
     return r1, r2
 
 
@@ -206,7 +237,7 @@ def dense_nearest(prims: Primitives, o, d, time, tmin, tmax):
         start = jnp.minimum(i * c, n - c)
         kind, p0, e1, e2, mv0, mv1 = _prim_chunk(prims, start, c)
         r1, r2 = chunk_roots(kind, p0, e1, e2, mv0, mv1, prims.has_motion,
-                             o, d, time)
+                             o, d, time, has_box=prims.has_box)
         t = roots_to_hit_t(r1, r2, tmin[:, None], tmax[:, None])
         ci = jnp.argmin(t, axis=1)
         ct = jnp.take_along_axis(t, ci[:, None], axis=1)[:, 0]
@@ -280,10 +311,24 @@ def _single_prim_t(prims: Primitives, pi, o, d, time, tmin, tmax):
     rows = (prims.kind[pi], prims.p0[pi], prims.e1[pi], prims.e2[pi],
             prims.mv0[pi] if prims.has_motion else None,
             prims.mv1[pi] if prims.has_motion else None)
-    return _single_prim_t_rows(rows, prims.has_motion, o, d, time, tmin, tmax)
+    return _single_prim_t_rows(rows, prims.has_motion, o, d, time, tmin,
+                               tmax, has_box=prims.has_box)
 
 
-def _single_prim_t_rows(rows, has_motion, o, d, time, tmin, tmax):
+def _box_roots_rows(lo, hi, o, d):
+    """Slab entry/exit of each ray vs its own box row (lo, hi [R,3]).
+    Returns ``(tn, tf, ok)``; the caller applies kind/interval masks."""
+    d_safe = jnp.where(jnp.abs(d) < 1e-20,
+                       jnp.where(d < 0, -1e-20, 1e-20), d)
+    t0 = (lo - o) / d_safe
+    t1 = (hi - o) / d_safe
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return tn, tf, tn <= tf
+
+
+def _single_prim_t_rows(rows, has_motion, o, d, time, tmin, tmax,
+                        has_box: bool = False):
     """Hit t from pre-gathered per-ray primitive rows
     ``(kind, p0, e1, e2, mv0, mv1)`` — each [R] / [R,3].
 
@@ -329,6 +374,11 @@ def _single_prim_t_rows(rows, has_motion, o, d, time, tmin, tmax):
     r1 = jnp.where(is_sphere, jnp.where(disc >= 0.0, s_r1, INF),
                    jnp.where(plane_ok, t_plane, INF))
     r2 = jnp.where(is_sphere & (disc >= 0.0), s_r2, INF)
+    if has_box:
+        tn, tf, ok = _box_roots_rows(p0, e1, o, d)
+        box_ok = (kind == PRIM_BOX) & ok
+        r1 = jnp.where(box_ok, tn, r1)
+        r2 = jnp.where(box_ok, tf, r2)
     return roots_to_hit_t(r1, r2, tmin, tmax)
 
 
@@ -351,11 +401,11 @@ def make_hit_record(prims: Primitives, idx, o, d, time, t) -> HitRecord:
             prims.mv1[pi] if prims.has_motion else None,
             prims.uvs[pi])
     return make_hit_record_rows(rows, prims.has_motion, prims.mat[pi],
-                                idx, o, d, time, t)
+                                idx, o, d, time, t, has_box=prims.has_box)
 
 
 def make_hit_record_rows(rows, has_motion, mat, idx, o, d, time,
-                         t) -> HitRecord:
+                         t, has_box: bool = False) -> HitRecord:
     """:func:`make_hit_record` from pre-gathered per-ray rows
     ``(kind, p0, e1, e2, mv0, mv1, uvs)`` (see ``_single_prim_t_rows``
     for why: one-hot gathers keep the backward scatter-free)."""
@@ -364,6 +414,8 @@ def make_hit_record_rows(rows, has_motion, mat, idx, o, d, time,
     if has_motion:
         shift = mv0 + time[:, None] * (mv1 - mv0)
         p0 = p0 + shift
+        if has_box:
+            e1 = jnp.where((kind == PRIM_BOX)[:, None], e1 + shift, e1)
 
     point = o + t[:, None] * d
     is_sphere = (kind == PRIM_SPHERE)[:, None]
@@ -404,12 +456,55 @@ def make_hit_record_rows(rows, has_motion, mat, idx, o, d, time,
               + b[:, None] * uv2)
     p_uv = jnp.where((kind == PRIM_TRIANGLE)[:, None], tri_uv, ab)
 
+    normal = jnp.where(is_sphere, s_normal, p_normal)
+    front = jnp.where(is_sphere[:, 0], s_front, p_front)
+    uv = jnp.where(is_sphere, s_uv, p_uv)
+
+    if has_box:
+        # box record: face from the dominant normalized offset of the hit
+        # point from the box center (argmax axis is piecewise-constant in
+        # the params, so gradients flow through uv/point only — same
+        # detachment discipline as the sphere front flag).  The per-face
+        # uv orientation reproduces the reference's six-parallelogram
+        # winding (Geometry.hs:154-166): see scene/builder.py:box_faces.
+        is_box = (kind == PRIM_BOX)[:, None]
+        lo = p0
+        hi = e1
+        size = jnp.maximum(hi - lo, 1e-12)
+        rel = (point - 0.5 * (lo + hi)) / size          # in [-.5,.5] on faces
+        arel = jnp.abs(rel)
+        ax_x = (arel[:, 0] >= arel[:, 1]) & (arel[:, 0] >= arel[:, 2])
+        ax_y = ~ax_x & (arel[:, 1] >= arel[:, 2])
+        ax_z = ~ax_x & ~ax_y
+        sgn = jnp.sign(jnp.where(rel == 0.0, 1.0, rel))
+        axes = jnp.stack([ax_x, ax_y, ax_z], axis=-1)
+        outward = jnp.where(axes, sgn, 0.0)
+        b_front = vdot0(d, outward) < 0.0
+        b_normal = jnp.where(b_front[:, None], outward, -outward)
+        fx = (point[:, 0] - lo[:, 0]) / size[:, 0]
+        fy = (point[:, 1] - lo[:, 1]) / size[:, 1]
+        fz = (point[:, 2] - lo[:, 2]) / size[:, 2]
+        pos = sgn > 0.0
+        # face -> (a, b) per the reference cuboid winding:
+        #   +z: (fx, fy)       -z: (1-fx, fy)
+        #   -x: (fz, fy)       +x: (1-fz, fy)
+        #   +y: (fx, 1-fz)     -y: (fx, fz)
+        b_a = jnp.where(
+            ax_z, jnp.where(pos[:, 2], fx, 1.0 - fx),
+            jnp.where(ax_x, jnp.where(pos[:, 0], 1.0 - fz, fz), fx))
+        b_b = jnp.where(
+            ax_y, jnp.where(pos[:, 1], 1.0 - fz, fz), fy)
+        b_uv = jnp.stack([b_a, b_b], axis=-1)
+        normal = jnp.where(is_box, b_normal, normal)
+        front = jnp.where(is_box[:, 0], b_front, front)
+        uv = jnp.where(is_box, b_uv, uv)
+
     return HitRecord(
         t=t,
         point=point,
-        normal=jnp.where(is_sphere, s_normal, p_normal),
-        front=jnp.where(is_sphere[:, 0], s_front, p_front),
-        uv=jnp.where(is_sphere, s_uv, p_uv),
+        normal=normal,
+        front=front,
+        uv=uv,
         mat=mat,
         hit=hit & jnp.isfinite(t),
     )

@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...scene.types import (
-    PRIM_PARALLELOGRAM, PRIM_SPHERE, PRIM_TRIANGLE, Primitives,
+    PRIM_BOX, PRIM_PARALLELOGRAM, PRIM_SPHERE, PRIM_TRIANGLE, Primitives,
 )
 
 LANES = 128
@@ -81,15 +81,19 @@ def pack_prims(prims: Primitives, mat_override=None, albedo=None,
     n_s = cp / cp_sq[:, None]
     w_a = jnp.cross(e2, n_s)
     w_b = jnp.cross(n_s, e1)
-    # degenerate planes can never hit: encode as pad
+    # degenerate planes can never hit: encode as pad (boxes/spheres have
+    # e2 = 0 by construction and are exempt)
+    is_box = kind == PRIM_BOX
     kind_f = jnp.where(
-        degen & (kind != PRIM_SPHERE), -1.0, kind.astype(jnp.float32))
+        degen & (kind != PRIM_SPHERE) & ~is_box,
+        -1.0, kind.astype(jnp.float32))
 
     tbl = jnp.zeros((c, N_COLS), jnp.float32)
-    tbl = tbl.at[:, 0:3].set(p0)
+    tbl = tbl.at[:, 0:3].set(p0)                       # center / q / box lo
     tbl = tbl.at[:, 3].set(e1[:, 0] * e1[:, 0])
     tbl = tbl.at[:, 4:7].set(n_unit)
-    tbl = tbl.at[:, 7:10].set(w_a)
+    # box rows: hi corner in the w_a slots (their plane math is unused)
+    tbl = tbl.at[:, 7:10].set(jnp.where(is_box[:, None], e1, w_a))
     tbl = tbl.at[:, 10:13].set(w_b)
     tbl = tbl.at[:, 13].set(jnp.sum(p0 * n_unit, -1))
     tbl = tbl.at[:, 14].set(jnp.sum(p0 * w_a, -1))
@@ -131,6 +135,10 @@ def pack_clusters(prims: Primitives) -> jnp.ndarray:
     phi = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3)) + 1e-4
     lo = jnp.where(is_sphere, slo, plo)
     hi = jnp.where(is_sphere, shi, phi)
+    if prims.has_box:
+        is_box = (kind == PRIM_BOX)[:, None]
+        lo = jnp.where(is_box, p0, lo)
+        hi = jnp.where(is_box, e1, hi)
     if prims.has_motion:
         lo = jnp.minimum(lo + prims.mv0, lo + prims.mv1)
         hi = jnp.maximum(hi + prims.mv0, hi + prims.mv1)
@@ -152,7 +160,7 @@ def pack_clusters(prims: Primitives) -> jnp.ndarray:
 
 def prim_loop(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *, n_prims: int,
               t_min: float, has_motion: bool, ctbl_ref=None,
-              with_albedo: bool = False):
+              with_albedo: bool = False, has_box: bool = False):
     """Shared fused nearest-hit loop over the packed primitive table.
 
     Operates on value tiles (any shape); returns
@@ -180,13 +188,13 @@ def prim_loop(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *, n_prims: int,
             return _prim_loop_flat(
                 tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
                 n_prims=n_prims, t_min=t_min, has_motion=has_motion,
-                with_albedo=with_albedo)
+                with_albedo=with_albedo, has_box=has_box)
 
         def clustered(_):
             return _prim_loop_clustered(
                 tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
                 n_prims=n_prims, t_min=t_min, has_motion=has_motion,
-                with_albedo=with_albedo)
+                with_albedo=with_albedo, has_box=has_box)
 
         # pre-pass: how many cluster AABBs does this block touch at all?
         safe = lambda d: jnp.where(jnp.abs(d) < 1e-20,
@@ -218,14 +226,58 @@ def prim_loop(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *, n_prims: int,
         return jax.lax.cond(n_visit * 2 < n_clusters, clustered, flat, 0)
     return _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
                            n_prims=n_prims, t_min=t_min,
-                           has_motion=has_motion, with_albedo=with_albedo)
+                           has_motion=has_motion, with_albedo=with_albedo,
+                           has_box=has_box)
+
+
+def _box_attrs(lox, loy, loz, hix, hiy, hiz, hx, hy, hz, dxv, dyv, dzv):
+    """Box hit-record attributes from the hit point: outward-face normal,
+    front flag (float), and the per-face uv that reproduces the
+    reference's six-parallelogram winding (Geometry.hs:154-166; the
+    face->uv table is derived in ops/intersect.py make_hit_record_rows).
+    All args are lane vectors (box params broadcast per prim)."""
+    eps = jnp.float32(1e-12)
+    szx = jnp.maximum(hix - lox, eps)
+    szy = jnp.maximum(hiy - loy, eps)
+    szz = jnp.maximum(hiz - loz, eps)
+    relx = (hx - 0.5 * (lox + hix)) / szx
+    rely = (hy - 0.5 * (loy + hiy)) / szy
+    relz = (hz - 0.5 * (loz + hiz)) / szz
+    ax, ay, az = jnp.abs(relx), jnp.abs(rely), jnp.abs(relz)
+    on_x = (ax >= ay) & (ax >= az)
+    on_y = ~on_x & (ay >= az)
+    on_z = ~on_x & ~on_y
+    sgnx = jnp.where(relx >= 0.0, 1.0, -1.0)
+    sgny = jnp.where(rely >= 0.0, 1.0, -1.0)
+    sgnz = jnp.where(relz >= 0.0, 1.0, -1.0)
+    nx = jnp.where(on_x, sgnx, 0.0)
+    ny = jnp.where(on_y, sgny, 0.0)
+    nz = jnp.where(on_z, sgnz, 0.0)
+    front = jnp.where(dxv * nx + dyv * ny + dzv * nz < 0.0, 1.0, 0.0)
+    fx = (hx - lox) / szx
+    fy = (hy - loy) / szy
+    fz = (hz - loz) / szz
+    pos_x = relx >= 0.0
+    pos_y = rely >= 0.0
+    pos_z = relz >= 0.0
+    uu = jnp.where(
+        on_z, jnp.where(pos_z, fx, 1.0 - fx),
+        jnp.where(on_x, jnp.where(pos_x, 1.0 - fz, fz), fx))
+    vv = jnp.where(on_y, jnp.where(pos_y, 1.0 - fz, fz), fy)
+    return nx, ny, nz, front, uu, vv
 
 
 def _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *,
                     n_prims: int, t_min: float, has_motion: bool,
-                    with_albedo: bool = False):
+                    with_albedo: bool = False, has_box: bool = False):
     """Single-pass dense scan (see :func:`prim_loop`)."""
     shp = oxv.shape
+    if has_box:
+        safe = lambda dd: jnp.where(jnp.abs(dd) < 1e-20,
+                                    jnp.where(dd < 0, -1e-20, 1e-20), dd)
+        inv_dx = 1.0 / safe(dxv)
+        inv_dy = 1.0 / safe(dyv)
+        inv_dz = 1.0 / safe(dzv)
 
     inf = jnp.float32(jnp.inf)
     init = (
@@ -308,6 +360,31 @@ def _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *,
         is_sphere = kind == 0.0
         cand = jnp.where(is_sphere, t_s,
                          jnp.where(kind > 0.5, t_pv, inf))
+        if has_box:
+            is_boxk = kind == 3.0
+            hix = tbl_ref[ci, 7]
+            hiy = tbl_ref[ci, 8]
+            hiz = tbl_ref[ci, 9]
+            if has_motion:
+                hix = hix + sx
+                hiy = hiy + sy
+                hiz = hiz + sz
+            bx0 = (px - oxv) * inv_dx
+            bx1 = (hix - oxv) * inv_dx
+            by0 = (py - oyv) * inv_dy
+            by1 = (hiy - oyv) * inv_dy
+            bz0 = (pz - ozv) * inv_dz
+            bz1 = (hiz - ozv) * inv_dz
+            btn = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
+                                          jnp.minimum(by0, by1)),
+                              jnp.minimum(bz0, bz1))
+            btf = jnp.minimum(jnp.minimum(jnp.maximum(bx0, bx1),
+                                          jnp.maximum(by0, by1)),
+                              jnp.maximum(bz0, bz1))
+            t_b = jnp.where(btn > t_min, btn,
+                            jnp.where(btf > t_min, btf, inf))
+            t_b = jnp.where(btn <= btf, t_b, inf)
+            cand = jnp.where(is_boxk, t_b, cand)
         better = cand < bt
 
         # record attributes of the candidate
@@ -333,6 +410,18 @@ def _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *,
         ny_c = jnp.where(is_sphere, soy, nys)
         nz_c = jnp.where(is_sphere, soz, nzs)
         fr_c = jnp.where(is_sphere, s_front, p_front)
+        if has_box:
+            t_hit = jnp.where(cand < inf, cand, 1.0)
+            b_nx, b_ny, b_nz, b_fr, b_uu, b_vv = _box_attrs(
+                px, py, pz, hix, hiy, hiz,
+                oxv + t_hit * dxv, oyv + t_hit * dyv, ozv + t_hit * dzv,
+                dxv, dyv, dzv)
+            nx_c = jnp.where(is_boxk, b_nx, nx_c)
+            ny_c = jnp.where(is_boxk, b_ny, ny_c)
+            nz_c = jnp.where(is_boxk, b_nz, nz_c)
+            fr_c = jnp.where(is_boxk, b_fr, fr_c)
+            uu = jnp.where(is_boxk, b_uu, uu)
+            vv = jnp.where(is_boxk, b_vv, vv)
 
         bt = jnp.where(better, cand, bt)
         bi = jnp.where(better, ci.astype(jnp.float32), bi)
@@ -362,7 +451,8 @@ def _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *,
 
 def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
                          tmv, *, n_prims: int, t_min: float,
-                         has_motion: bool, with_albedo: bool = False):
+                         has_motion: bool, with_albedo: bool = False,
+                         has_box: bool = False):
     """Two-phase clustered nearest hit (mesh-scale scenes).
 
     Phase 1 finds the winning (t, prim) with a candidate-t-only inner
@@ -449,8 +539,35 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
         bound = jnp.where(is_tri, a + b, jnp.maximum(a, b))
         memb = (a >= 0.0) & (b >= 0.0) & (bound <= 1.0)
         t_pv = jnp.where(den_ok & memb & (t_p > t_min), t_p, inf)
-        return jnp.where(kind == 0.0, t_s,
+        cand = jnp.where(kind == 0.0, t_s,
                          jnp.where(kind > 0.5, t_pv, inf))
+        if has_box:
+            # slab entry/exit: entry if beyond t_min else exit (same
+            # two-root selection as spheres; ops/intersect.py box docs)
+            hix = tbl_ref[ci, 7]
+            hiy = tbl_ref[ci, 8]
+            hiz = tbl_ref[ci, 9]
+            if has_motion:
+                hix = hix + sx
+                hiy = hiy + sy
+                hiz = hiz + sz
+            bx0 = (px - oxv) * inv_dx
+            bx1 = (hix - oxv) * inv_dx
+            by0 = (py - oyv) * inv_dy
+            by1 = (hiy - oyv) * inv_dy
+            bz0 = (pz - ozv) * inv_dz
+            bz1 = (hiz - ozv) * inv_dz
+            btn = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
+                                          jnp.minimum(by0, by1)),
+                              jnp.minimum(bz0, bz1))
+            btf = jnp.minimum(jnp.minimum(jnp.maximum(bx0, bx1),
+                                          jnp.maximum(by0, by1)),
+                              jnp.maximum(bz0, bz1))
+            t_b = jnp.where(btn > t_min, btn,
+                            jnp.where(btf > t_min, btf, inf))
+            t_b = jnp.where(btn <= btf, t_b, inf)
+            cand = jnp.where(kind == 3.0, t_b, cand)
+        return cand
 
     # ---- phase 1: winning (t, prim index) ----
     def cluster1(k, carry):
@@ -547,12 +664,33 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
                 w0 = 1.0 - a - b
                 uu = jnp.where(is_tri, w0 * u0 + a * u1 + b * u2, a)
                 vv = jnp.where(is_tri, w0 * v0 + a * v1 + b * v2, b)
+                n_x = jnp.where(is_sphere, sox, nxs)
+                n_y = jnp.where(is_sphere, soy, nys)
+                n_z = jnp.where(is_sphere, soz, nzs)
+                fr = jnp.where(is_sphere, s_front, p_front)
+                if has_box:
+                    is_boxk = kind == 3.0
+                    hix = tbl_ref[ci, 7]
+                    hiy = tbl_ref[ci, 8]
+                    hiz = tbl_ref[ci, 9]
+                    if has_motion:
+                        hix = hix + (px - tbl_ref[ci, 0])
+                        hiy = hiy + (py - tbl_ref[ci, 1])
+                        hiz = hiz + (pz - tbl_ref[ci, 2])
+                    b_nx, b_ny, b_nz, b_fr, b_uu, b_vv = _box_attrs(
+                        px, py, pz, hix, hiy, hiz, hx, hy, hz,
+                        dxv, dyv, dzv)
+                    n_x = jnp.where(is_boxk, b_nx, n_x)
+                    n_y = jnp.where(is_boxk, b_ny, n_y)
+                    n_z = jnp.where(is_boxk, b_nz, n_z)
+                    fr = jnp.where(is_boxk, b_fr, fr)
+                    uu = jnp.where(is_boxk, b_uu, uu)
+                    vv = jnp.where(is_boxk, b_vv, vv)
                 out = (
-                    jnp.where(sel, jnp.where(is_sphere, sox, nxs), cnx),
-                    jnp.where(sel, jnp.where(is_sphere, soy, nys), cny),
-                    jnp.where(sel, jnp.where(is_sphere, soz, nzs), cnz),
-                    jnp.where(sel, jnp.where(is_sphere, s_front, p_front),
-                              cfr),
+                    jnp.where(sel, n_x, cnx),
+                    jnp.where(sel, n_y, cny),
+                    jnp.where(sel, n_z, cnz),
+                    jnp.where(sel, fr, cfr),
                     jnp.where(sel, uu, cu),
                     jnp.where(sel, vv, cv),
                     jnp.where(sel, tbl_ref[ci, 17], cm),
@@ -579,11 +717,12 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
 def _kernel(tbl_ref, ctbl_ref, ox, oy, oz, dx, dy, dz, tm,
             t_out, i_out, nx_out, ny_out, nz_out, fr_out, u_out, v_out,
             m_out, *, n_prims: int, t_min: float, has_motion: bool,
-            clustered: bool = True):
+            clustered: bool = True, has_box: bool = False):
     (bt, bi, nx, ny, nz, cfr, cu, cv, cm, csp) = prim_loop(
         tbl_ref, ox[...], oy[...], oz[...], dx[...], dy[...], dz[...],
         tm[...] if has_motion else None, n_prims=n_prims, t_min=t_min,
-        has_motion=has_motion, ctbl_ref=ctbl_ref if clustered else None)
+        has_motion=has_motion, ctbl_ref=ctbl_ref if clustered else None,
+        has_box=has_box)
     t_out[...] = bt
     # sphere uv is computed by the caller (atan2/arccos have no cheap
     # Pallas lowering here) from the outward normal = normal * (+-1 front).
@@ -601,10 +740,11 @@ def _kernel(tbl_ref, ctbl_ref, ox, oy, oz, dx, dy, dz, tm,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_prims", "t_min", "has_motion", "interpret"))
+    static_argnames=("n_prims", "t_min", "has_motion", "has_box",
+                     "interpret"))
 def pallas_nearest_record(tbl, ctbl, ox, oy, oz, dx, dy, dz, tm, *,
                           n_prims: int, t_min: float, has_motion: bool,
-                          interpret: bool = False):
+                          has_box: bool = False, interpret: bool = False):
     """Run the dense megakernel.  Ray components are [G, 128] arrays;
     ``ctbl`` is the pack_clusters table (used above CLUSTER_MIN_PRIMS),
     or None to force the flat loop (a dummy table is substituted).
@@ -636,7 +776,8 @@ def pallas_nearest_record(tbl, ctbl, ox, oy, oz, dx, dy, dz, tm, *,
         jax.ShapeDtypeStruct((g, LANES), i32),   # mat
     ]
     kernel = functools.partial(_kernel, n_prims=n_prims, t_min=t_min,
-                               has_motion=has_motion, clustered=clustered)
+                               has_motion=has_motion, clustered=clustered,
+                               has_box=has_box)
     if n_prims <= MAX_SMEM_PRIMS:
         # small scene: per-primitive scalars prefetched to SMEM
         grid_spec = pltpu.PrefetchScalarGridSpec(

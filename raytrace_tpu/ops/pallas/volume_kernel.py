@@ -43,9 +43,16 @@ def _merge(b1, f1, b2, c, cf):
 
 
 def _volume_loop(tbl_ref, start: int, count: int, oxv, oyv, ozv,
-                 dxv, dyv, dzv, tmv, *, t_min: float, has_motion: bool):
+                 dxv, dyv, dzv, tmv, *, t_min: float, has_motion: bool,
+                 has_box: bool = False):
     """Two smallest crossings of the prim slice [start, start+count)."""
     shp = oxv.shape
+    if has_box:
+        safe = lambda dd: jnp.where(jnp.abs(dd) < 1e-20,
+                                    jnp.where(dd < 0, -1e-20, 1e-20), dd)
+        inv_dx = 1.0 / safe(dxv)
+        inv_dy = 1.0 / safe(dyv)
+        inv_dz = 1.0 / safe(dzv)
 
     def body(ci, carry):
         b1, f1, b2 = carry
@@ -105,9 +112,38 @@ def _volume_loop(tbl_ref, start: int, count: int, oxv, oyv, ozv,
                        jnp.where((kind > 0.5) & ok_p & (t_p > tmn), t_p,
                                  INF))
         cf1 = jnp.where(is_sphere, 1.0, jnp.where(den < 0.0, 1.0, 0.0))
-        b1, f1, b2 = _merge(b1, f1, b2, c1, cf1)
         # candidate 2: sphere far root (back/exit); planes have none
         c2 = jnp.where(is_sphere & ok_s & (s_r2 > tmn), s_r2, INF)
+        if has_box:
+            # box slab roots: entry enters (front), exit exits — the same
+            # two-root contract as spheres (intersect_kernel.py box docs)
+            is_boxk = kind == 3.0
+            hix = tbl_ref[ci, 7]
+            hiy = tbl_ref[ci, 8]
+            hiz = tbl_ref[ci, 9]
+            if has_motion:
+                hix = hix + sx
+                hiy = hiy + sy
+                hiz = hiz + sz
+            bx0 = (px - oxv) * inv_dx
+            bx1 = (hix - oxv) * inv_dx
+            by0 = (py - oyv) * inv_dy
+            by1 = (hiy - oyv) * inv_dy
+            bz0 = (pz - ozv) * inv_dz
+            bz1 = (hiz - ozv) * inv_dz
+            btn = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
+                                          jnp.minimum(by0, by1)),
+                              jnp.minimum(bz0, bz1))
+            btf = jnp.minimum(jnp.minimum(jnp.maximum(bx0, bx1),
+                                          jnp.maximum(by0, by1)),
+                              jnp.maximum(bz0, bz1))
+            ok_b = btn <= btf
+            c1 = jnp.where(is_boxk,
+                           jnp.where(ok_b & (btn > tmn), btn, INF), c1)
+            cf1 = jnp.where(is_boxk, 1.0, cf1)
+            c2 = jnp.where(is_boxk,
+                           jnp.where(ok_b & (btf > tmn), btf, INF), c2)
+        b1, f1, b2 = _merge(b1, f1, b2, c1, cf1)
         b1, f1, b2 = _merge(b1, f1, b2, c2, jnp.zeros(shp, jnp.float32))
         return b1, f1, b2
 
@@ -117,14 +153,15 @@ def _volume_loop(tbl_ref, start: int, count: int, oxv, oyv, ozv,
 
 
 def _kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tm, *outs,
-            slices: tuple, t_min: float, has_motion: bool):
+            slices: tuple, t_min: float, has_motion: bool,
+            has_box: bool = False):
     oxv, oyv, ozv = ox[...], oy[...], oz[...]
     dxv, dyv, dzv = dx[...], dy[...], dz[...]
     tmv = tm[...] if has_motion else None
     for v, (start, count) in enumerate(slices):
         b1, f1, b2 = _volume_loop(tbl_ref, start, count, oxv, oyv, ozv,
                                   dxv, dyv, dzv, tmv, t_min=t_min,
-                                  has_motion=has_motion)
+                                  has_motion=has_motion, has_box=has_box)
         outs[3 * v][...] = b1
         outs[3 * v + 1][...] = f1
         outs[3 * v + 2][...] = b2
@@ -132,9 +169,11 @@ def _kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tm, *outs,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("slices", "t_min", "has_motion", "interpret"))
+    static_argnames=("slices", "t_min", "has_motion", "has_box",
+                     "interpret"))
 def pallas_volume_crossings(vtbl, ox, oy, oz, dx, dy, dz, tm, *,
                             slices: tuple, t_min: float, has_motion: bool,
+                            has_box: bool = False,
                             interpret: bool = False):
     """Run the crossing kernel.  Ray components are [G, 128]; ``vtbl`` is
     pack_prims(volumes.prims); ``slices`` a static tuple of
@@ -153,7 +192,7 @@ def pallas_volume_crossings(vtbl, ox, oy, oz, dx, dy, dz, tm, *,
                               memory_space=pltpu.VMEM)] * n_out
     out_shape = [jax.ShapeDtypeStruct((g, LANES), jnp.float32)] * n_out
     kernel = functools.partial(_kernel, slices=slices, t_min=t_min,
-                               has_motion=has_motion)
+                               has_motion=has_motion, has_box=has_box)
     if vtbl.shape[0] <= MAX_SMEM_PRIMS:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

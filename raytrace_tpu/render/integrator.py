@@ -133,7 +133,8 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
         from ..ops.diff_intersect import make_diff_surface_hit
         p = scene.prims
         hit_fn = make_diff_surface_hit(p.has_motion, float(s.t_min),
-                                       use_pallas, clustered=clustered)
+                                       use_pallas, clustered=clustered,
+                                       has_box=p.has_box)
         ints_f = (p.kind.astype(DTYPE), p.mat.astype(DTYPE))
         return hit_fn((p.p0, p.e1, p.e2, p.uvs, p.mv0, p.mv1), ints_f,
                       o, d, time)
@@ -149,7 +150,7 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
             tbl, ctbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
             resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
             n_prims=scene.prims.kind.shape[0], t_min=float(s.t_min),
-            has_motion=scene.prims.has_motion)
+            has_motion=scene.prims.has_motion, has_box=scene.prims.has_box)
         flat = lambda x: x.reshape(r)
         normal = jnp.stack([flat(nx), flat(ny), flat(nz)], axis=-1)
         flags = flat(fr)
@@ -464,7 +465,8 @@ def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
         n_prims=scene.prims.kind.shape[0],
         n_mats=n_mats, n_targets=s.n_redirect,
         t_min=float(s.t_min), has_motion=scene.prims.has_motion,
-        use_prim_albedo=use_beh, interpret=interpret)
+        use_prim_albedo=use_beh, has_box=scene.prims.has_box,
+        interpret=interpret)
     fl = lambda x: x.reshape(r)
     new_comps = tuple(fl(outs[k]) for k in range(6)) + (comps[6],)
     thr_new = (fl(outs[6]), fl(outs[7]), fl(outs[8]))

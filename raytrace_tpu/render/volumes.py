@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..core.vecmath import DTYPE
 from ..ops.intersect import INF, chunk_roots, _chunk_size
-from ..scene.types import PRIM_SPHERE, Primitives, Volumes
+from ..scene.types import PRIM_BOX, PRIM_SPHERE, Primitives, Volumes
 
 
 def _crossing_scan2(prims: Primitives, start: int, count: int, o, d, time,
@@ -50,17 +50,17 @@ def _crossing_scan2(prims: Primitives, start: int, count: int, o, d, time,
         kind = sl(prims.kind)
         r1, r2 = chunk_roots(kind, sl(prims.p0), sl(prims.e1), sl(prims.e2),
                              sl(prims.mv0), sl(prims.mv1), prims.has_motion,
-                             o, d, time)
+                             o, d, time, has_box=prims.has_box)
         gt = t_min[:, None]
         t1 = jnp.where(r1 > gt, r1, INF)
         t2 = jnp.where(r2 > gt, r2, INF)
-        is_sphere = (kind == PRIM_SPHERE)[None, :]
-        # front-ness of candidates: sphere near root enters (front), far
-        # root exits; planes are front iff approached from the normal side
+        # front-ness of candidates: sphere/box near root enters (front),
+        # far root exits; planes are front iff approached from normal side
+        two_root = (kind == PRIM_SPHERE) | (kind == PRIM_BOX)
         cp = jnp.cross(sl(prims.e1), sl(prims.e2))
         denom = jax.lax.dot_general(
             d, cp, (((1,), (1,)), ((), ())), preferred_element_type=DTYPE)
-        fr1 = jnp.where(is_sphere, True, denom < 0.0)
+        fr1 = jnp.where(two_root[None, :], True, denom < 0.0)
         fr2 = jnp.zeros_like(fr1)
 
         both_t = jnp.concatenate([t1, t2], axis=1)
@@ -144,7 +144,8 @@ def volume_candidates_pallas(volumes: Volumes, o, d, time, t_min,
         vtbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
         resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
         slices=slices, t_min=t_min_scalar,
-        has_motion=volumes.prims.has_motion, interpret=interpret)
+        has_motion=volumes.prims.has_motion,
+        has_box=volumes.prims.has_box, interpret=interpret)
     cands = []
     valids = []
     for v in range(volumes.n_volumes):

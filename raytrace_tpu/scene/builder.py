@@ -23,7 +23,7 @@ from typing import Any, Sequence
 import numpy as np
 
 from ..materials.materials import Material
-from .types import PRIM_PARALLELOGRAM, PRIM_SPHERE, PRIM_TRIANGLE
+from .types import PRIM_BOX, PRIM_PARALLELOGRAM, PRIM_SPHERE, PRIM_TRIANGLE
 
 __all__ = [
     "Geom", "sphere", "spheres", "parallelogram", "triangle", "cuboid",
@@ -119,18 +119,25 @@ def triangle(p0, p1, p2, uv0=(0.0, 0.0), uv1=(1.0, 0.0), uv2=(0.0, 1.0)) -> Geom
 
 
 def cuboid(corner0, corner1) -> Geom:
-    """Axis-aligned box as six parallelograms with outward winding
-    (Geometry.hs:154-166)."""
+    """Axis-aligned box (Geometry.hs:154-166).  Kept as ONE slab-test
+    primitive row; lowered to the reference's six parallelograms at
+    compile time only if a non-axis-aligned transform is applied."""
     return cuboids(_v3(corner0)[None], _v3(corner1)[None])
 
 
 def cuboids(corners0, corners1) -> Geom:
-    """Batch of axis-aligned boxes: two [n,3] opposite-corner arrays.
-    Lowers to 6n parallelogram rows at build time."""
+    """Batch of axis-aligned boxes: two [n,3] opposite-corner arrays."""
     c0 = np.asarray(corners0, np.float64).reshape(-1, 3)
     c1 = np.asarray(corners1, np.float64).reshape(-1, 3)
     lo = np.minimum(c0, c1)
     hi = np.maximum(c0, c1)
+    return PrimBlock(PRIM_BOX, lo, hi, np.zeros_like(lo), None)
+
+
+def box_faces(lo: np.ndarray, hi: np.ndarray) -> "PrimBlock":
+    """Lower axis-aligned boxes [n,3],[n,3] to the reference's six
+    parallelograms with outward winding (Geometry.hs:154-166) — used when
+    a rotation/reflection is baked in and the slab form can't survive."""
     n = lo.shape[0]
     dx = np.zeros((n, 3)); dx[:, 0] = hi[:, 0] - lo[:, 0]
     dy = np.zeros((n, 3)); dy[:, 1] = hi[:, 1] - lo[:, 1]

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .types import PRIM_PARALLELOGRAM, PRIM_SPHERE, PRIM_TRIANGLE
+from .types import PRIM_BOX, PRIM_PARALLELOGRAM, PRIM_SPHERE, PRIM_TRIANGLE
 
 PLANE_PAD = 1e-4  # planeShape bbox padding (Geometry.hs:144)
 
@@ -32,6 +32,11 @@ def prim_aabbs(kind, p0, e1, e2, mv0=None, mv1=None):
         r = np.abs(e1[is_sphere, 0:1])
         lo[is_sphere] = p0[is_sphere] - r
         hi[is_sphere] = p0[is_sphere] + r
+
+    is_box = kind == PRIM_BOX
+    if is_box.any():
+        lo[is_box] = p0[is_box]
+        hi[is_box] = e1[is_box]
 
     is_planar = (kind == PRIM_PARALLELOGRAM) | (kind == PRIM_TRIANGLE)
     if is_planar.any():

@@ -30,7 +30,9 @@ from ..materials.materials import Material, compile_materials
 from ..textures.textures import Texture, compile_textures
 from . import builder as B
 from .bvh import build_bvh, prim_aabbs
-from .types import BVH, PRIM_PAD, PRIM_SPHERE, Primitives, Scene, Volumes
+from .types import (
+    BVH, PRIM_BOX, PRIM_PAD, PRIM_SPHERE, Primitives, Scene, Volumes,
+)
 
 _DEFAULT_TRI_UVS = np.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
 
@@ -73,6 +75,28 @@ def _bake_block(block: B.PrimBlock, matrix: np.ndarray, mv0, mv1, mat_id: int,
     b = matrix[:3, 3]
     n = block.p0.shape[0]
     kind = np.full(n, block.kind, np.int32)
+    if block.kind == PRIM_BOX:
+        # A box row survives only transforms that map axis-aligned boxes
+        # to axis-aligned boxes WITH the same face->uv orientation, i.e.
+        # positive uniform scale + translation.  Anything else (rotation,
+        # reflection, non-uniform scale) lowers to the reference's six
+        # parallelograms (Geometry.hs:154-166) and re-bakes.
+        s = a[0, 0]
+        if s > 0.0 and np.allclose(a, s * np.eye(3),
+                                   atol=1e-12 * max(abs(s), 1.0)):
+            rows.kind.append(kind)
+            rows.p0.append(block.p0 * s + b)
+            rows.e1.append(block.e1 * s + b)
+            rows.e2.append(np.zeros((n, 3)))
+            rows.uvs.append(
+                np.broadcast_to(_DEFAULT_TRI_UVS[None], (n, 3, 2)).copy())
+            rows.mat.append(np.full(n, mat_id, np.int32))
+            rows.mv0.append(np.broadcast_to(mv0, (n, 3)).copy())
+            rows.mv1.append(np.broadcast_to(mv1, (n, 3)).copy())
+            return
+        _bake_block(B.box_faces(block.p0, block.e1), matrix, mv0, mv1,
+                    mat_id, rows)
+        return
     if block.kind == PRIM_SPHERE:
         ata = a.T @ a
         s2 = np.trace(ata) / 3.0
@@ -178,11 +202,12 @@ def _rows_to_primitives(rows: _Rows, perm=None, pad_to: int = 1) -> Primitives:
         mv0 = np.concatenate([mv0, z3])
         mv1 = np.concatenate([mv1, z3])
     has_motion = bool(np.any(mv0 != 0.0) or np.any(mv1 != 0.0))
+    has_box = bool(np.any(kind == PRIM_BOX))
     f32 = lambda x: jnp.asarray(x, jnp.float32)
     return Primitives(
         kind=jnp.asarray(kind), p0=f32(p0), e1=f32(e1), e2=f32(e2),
         uvs=f32(uvs), mat=jnp.asarray(mat), mv0=f32(mv0), mv1=f32(mv1),
-        n=int(n), has_motion=has_motion,
+        n=int(n), has_motion=has_motion, has_box=has_box,
     )
 
 

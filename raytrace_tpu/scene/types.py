@@ -22,6 +22,14 @@ PRIM_PAD = -1       # padding row; never hit
 PRIM_SPHERE = 0     # p0 = center, e1[0] = radius       (Geometry.hs:58-92)
 PRIM_PARALLELOGRAM = 1  # p0 = q, e1 = u, e2 = v        (Geometry.hs:147-151)
 PRIM_TRIANGLE = 2   # p0, e1 = p1-p0, e2 = p2-p0, uvs   (Geometry.hs:169-176)
+PRIM_BOX = 3        # p0 = lo, e1 = hi: axis-aligned box as ONE slab-test row
+#                     (the reference lowers cuboids to 6 parallelograms,
+#                     Geometry.hs:154-166; on TPU the branchless prim scan
+#                     pays per ROW, so an axis-aligned cuboid as a single
+#                     slab test is ~6x less scan work — demo2's 400 ground
+#                     cuboids are 400 rows instead of 2400).  Rotated /
+#                     reflected cuboids still lower to parallelograms at
+#                     compile time (scene/compile.py).
 
 
 class Primitives(struct.PyTreeNode):
@@ -39,6 +47,9 @@ class Primitives(struct.PyTreeNode):
     mv1: jnp.ndarray    # f32[N,3]
     n: int = struct.field(pytree_node=False, default=0)          # true count
     has_motion: bool = struct.field(pytree_node=False, default=False)
+    # static "any PRIM_BOX rows" flag so scenes without boxes compile
+    # zero box code into the (branchless, pays-for-every-kind) prim scans
+    has_box: bool = struct.field(pytree_node=False, default=False)
 
     def __len__(self):
         return self.n

@@ -85,6 +85,45 @@ def test_geometry_gradient_finite_and_sane():
         assert np.sign(g_auto) == np.sign(g_fd) or abs(g_auto - g_fd) < 0.3 * abs(g_fd) + 1e-3
 
 
+def test_box_hit_t_gradient_matches_fd():
+    """d(hit t)/d(box hi_z) through the winner-only diff intersection:
+    rays hitting the +z face of a PRIM_BOX have dt/dhi_z = 1/|d_z|
+    exactly (slab plane t = (hi_z - o_z)/d_z); winner selection is
+    piecewise-constant, so same-winner central FD is noise-free."""
+    from raytrace_tpu.ops.diff_intersect import make_diff_surface_hit
+
+    world = rt.with_material(rt.lambertian(rt.constant_texture(0.6)),
+                             rt.cuboid([-2, -2, -4], [2, 2, -2]))
+    scene = rt.compile_scene(world)
+    assert scene.prims.has_box
+    p = scene.prims
+    hit_fn = make_diff_surface_hit(p.has_motion, 1e-3, use_pallas=False,
+                                   has_box=p.has_box)
+    rng_ = np.random.default_rng(3)
+    r = 64
+    o = jnp.asarray(np.concatenate(
+        [rng_.uniform(-1.5, 1.5, (r, 2)), np.zeros((r, 1))], 1), jnp.float32)
+    d = jnp.asarray(np.concatenate(
+        [rng_.uniform(-0.2, 0.2, (r, 2)), -np.ones((r, 1))], 1), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    time = jnp.zeros(r)
+    ints_f = (p.kind.astype(jnp.float32), p.mat.astype(jnp.float32))
+
+    def sum_t(hi_z):
+        e1 = p.e1.at[0, 2].set(hi_z)
+        t, idx, *_ = hit_fn((p.p0, e1, p.e2, p.uvs, p.mv0, p.mv1), ints_f,
+                            o, d, time)
+        return jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0))
+
+    g_auto = float(jax.grad(sum_t)(jnp.float32(-2.0)))
+    eps = 1e-2
+    g_fd = float((sum_t(-2.0 + eps) - sum_t(-2.0 - eps)) / (2 * eps))
+    # every ray hits the front (+z) face: expected sum of 1/|d_z|
+    expect = float(jnp.sum(1.0 / jnp.abs(d[:, 2])))
+    np.testing.assert_allclose(g_auto, g_fd, rtol=1e-3)
+    np.testing.assert_allclose(g_auto, -expect, rtol=1e-3)
+
+
 def test_grad_render_full_scene_no_nans():
     scene = _simple_scene()
     s = rt.CameraSettings(image_width=16, samples_per_pixel=8, max_depth=4,

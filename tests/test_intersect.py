@@ -134,7 +134,10 @@ class TestTriangle:
 class TestCuboid:
     def test_outward_normals(self):
         s = _scene(rt.with_material(M, rt.cuboid([-1, -1, -1], [1, 1, 1])))
-        assert s.prims.n == 6
+        # axis-aligned cuboids compile to ONE slab-test box row (not the
+        # reference's 6 parallelograms; see scene/types.py PRIM_BOX)
+        assert s.prims.n == 1
+        assert s.prims.has_box
         dirs = [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
                 [0, 0, 1], [0, 0, -1]]
         o = jnp.asarray([[-5.0 * np.asarray(dd)] for dd in dirs],
@@ -144,6 +147,81 @@ class TestCuboid:
         np.testing.assert_allclose(np.asarray(t), 4.0, atol=1e-4)
         assert np.all(np.asarray(rec.front))
         np.testing.assert_allclose(np.asarray(rec.normal), -d, atol=1e-5)
+
+
+class TestBoxEquivalence:
+    """The single-row slab box must be indistinguishable from the
+    reference's 6-parallelogram lowering (Geometry.hs:154-166) in t,
+    normal, front flag, and per-face uv."""
+
+    def _pair(self, lo, hi, wrap=lambda g: g):
+        import raytrace_tpu.scene.builder as B
+        box = _scene(wrap(rt.with_material(M, rt.cuboid(lo, hi))))
+        faces = _scene(wrap(rt.with_material(
+            M, B.box_faces(np.asarray([lo], np.float64),
+                           np.asarray([hi], np.float64)))))
+        return box, faces
+
+    def _compare(self, sb, sf, o, d, time=None):
+        r = o.shape[0]
+        time = jnp.zeros(r) if time is None else time
+        for s in (sb, sf):
+            assert s.bvh is None
+        tb, ib = nearest_hit_t(sb.prims, None, o, d, time,
+                               jnp.full(r, 1e-3), jnp.full(r, jnp.inf))
+        tf_, if_ = nearest_hit_t(sf.prims, None, o, d, time,
+                                 jnp.full(r, 1e-3), jnp.full(r, jnp.inf))
+        hit = np.isfinite(np.asarray(tb))
+        np.testing.assert_array_equal(hit, np.isfinite(np.asarray(tf_)))
+        np.testing.assert_allclose(np.asarray(tb)[hit],
+                                   np.asarray(tf_)[hit], rtol=1e-4,
+                                   atol=1e-4)
+        rb = make_hit_record(sb.prims, ib, o, d, time,
+                             jnp.where(jnp.isfinite(tb), tb, 1.0))
+        rf = make_hit_record(sf.prims, if_, o, d, time,
+                             jnp.where(jnp.isfinite(tf_), tf_, 1.0))
+        np.testing.assert_allclose(np.asarray(rb.normal)[hit],
+                                   np.asarray(rf.normal)[hit], atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(rb.front)[hit],
+                                      np.asarray(rf.front)[hit])
+        np.testing.assert_allclose(np.asarray(rb.uv)[hit],
+                                   np.asarray(rf.uv)[hit], atol=1e-3)
+
+    def test_random_rays_outside_and_inside(self):
+        rng = np.random.default_rng(7)
+        sb, sf = self._pair([-1.0, -0.5, -2.0], [0.5, 1.5, -0.5])
+        o = rng.normal(0, 2.0, (256, 3))
+        o[:64] = rng.uniform(-0.4, 0.4, (64, 3)) + [-0.25, 0.5, -1.25]
+        d = rng.normal(0, 1, (256, 3))
+        o, d = _rays(o, d)
+        self._compare(sb, sf, o, d)
+
+    def test_motion(self):
+        rng = np.random.default_rng(8)
+        wrap = lambda g: rt.moving([0, 0, 0], [1.5, 0.5, 0], g)
+        sb, sf = self._pair([-1.0, -1.0, -4.0], [1.0, 1.0, -2.0], wrap)
+        assert sb.prims.has_motion and sb.prims.has_box
+        o, d = _rays(rng.normal(0, 2.0, (128, 3)), rng.normal(0, 1, (128, 3)))
+        time = jnp.asarray(rng.uniform(0, 1, 128), jnp.float32)
+        self._compare(sb, sf, o, d, time)
+
+    def test_rotated_cuboid_lowers_to_parallelograms(self):
+        s = _scene(rt.transform(
+            rt.rotate_y(0.3),
+            rt.with_material(M, rt.cuboid([-1, -1, -1], [1, 1, 1]))))
+        assert s.prims.n == 6 and not s.prims.has_box
+
+    def test_scaled_translated_cuboid_stays_box(self):
+        s = _scene(rt.transform(
+            rt.compose(rt.translate([1, 2, 3]), rt.scale(2.0)),
+            rt.with_material(M, rt.cuboid([-1, -1, -1], [1, 1, 1]))))
+        assert s.prims.n == 1 and s.prims.has_box
+        o, d = _rays([[1, 2, 10]], [[0, 0, -1]])
+        t, _, rec = _hit(s, o, d)
+        # box now [-1,-0,1]*2+shift = lo (-1,0,1), hi (3,4,5); front z face
+        # at z=5 -> t = 5
+        assert np.isclose(float(t[0]), 5.0, atol=1e-4)
+        np.testing.assert_allclose(rec.normal[0], [0, 0, 1], atol=1e-5)
 
 
 class TestTransformsAndMotion:

@@ -53,7 +53,8 @@ def _run_both(scene, n=512, seed=0, t_min=1e-3):
         tbl, ctbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
         resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
         n_prims=scene.prims.kind.shape[0], t_min=t_min,
-        has_motion=scene.prims.has_motion, interpret=True)
+        has_motion=scene.prims.has_motion, has_box=scene.prims.has_box,
+        interpret=True)
     flat = lambda x: np.asarray(x).reshape(n)
     # decode kernel outputs the way _surface_hit does: flags bit0 = front,
     # bit1 = sphere; sphere uv computed from the outward normal host-side
