@@ -90,7 +90,8 @@ def winner_surface_hit(floats, ints, o, d, time, idx, has_motion, t_min,
 
 
 def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,
-                          clustered: bool = True, has_box: bool = False):
+                          clustered: bool = True, has_box: bool = False,
+                          kind_segments=None):
     """Build a differentiable surface-hit fn over float primitive buffers.
 
     Returns ``hit(floats, ints_f, o, d, time) -> (t, idx, normal, front,
@@ -106,7 +107,8 @@ def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,
         mat = ints_f[1].astype(jnp.int32)
         prims = Primitives(kind=kind, p0=p0, e1=e1, e2=e2, uvs=uvs, mat=mat,
                            mv0=mv0, mv1=mv1, n=kind.shape[0],
-                           has_motion=has_motion, has_box=has_box)
+                           has_motion=has_motion, has_box=has_box,
+                           kind_segments=kind_segments)
         if use_pallas:
             from .pallas.intersect_kernel import (
                 pack_clusters, pack_prims, pallas_nearest_record,
@@ -120,7 +122,7 @@ def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,
                 tbl, ctbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
                 resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
                 n_prims=kind.shape[0], t_min=t_min, has_motion=has_motion,
-                has_box=has_box)
+                has_box=has_box, segments=kind_segments)
             fl = lambda x: x.reshape(r)
             flags = fl(fr)
             front = (flags & 1).astype(bool)

@@ -160,7 +160,8 @@ def pack_clusters(prims: Primitives) -> jnp.ndarray:
 
 def prim_loop(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *, n_prims: int,
               t_min: float, has_motion: bool, ctbl_ref=None,
-              with_albedo: bool = False, has_box: bool = False):
+              with_albedo: bool = False, has_box: bool = False,
+              segments=None):
     """Shared fused nearest-hit loop over the packed primitive table.
 
     Operates on value tiles (any shape); returns
@@ -183,6 +184,17 @@ def prim_loop(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *, n_prims: int,
     """
     if ctbl_ref is not None and n_prims >= CLUSTER_MIN_PRIMS:
         n_clusters = -(-n_prims // CLUSTER)
+
+        if segments is not None:
+            # Kind-segmented table: every visited cluster runs a loop
+            # specialized to its one kind, so even visit-everything
+            # (incoherent) blocks beat the generic flat scan — no
+            # adaptive pre-pass needed.
+            return _prim_loop_clustered(
+                tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
+                n_prims=n_prims, t_min=t_min, has_motion=has_motion,
+                with_albedo=with_albedo, has_box=has_box,
+                segments=segments)
 
         def flat(_):
             return _prim_loop_flat(
@@ -452,20 +464,30 @@ def _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *,
 def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
                          tmv, *, n_prims: int, t_min: float,
                          has_motion: bool, with_albedo: bool = False,
-                         has_box: bool = False):
+                         has_box: bool = False, segments=None):
     """Two-phase clustered nearest hit (mesh-scale scenes).
 
     Phase 1 finds the winning (t, prim) with a candidate-t-only inner
-    loop, visiting a 32-prim cluster only when at least one lane in the
+    loop, visiting a 64-prim cluster only when at least one lane in the
     block hits its AABB closer than its current best (``lax.cond``
     consensus — the TPU answer to divergent BVH traversal: hierarchy at
     block granularity, pure SIMD inside).  Phase 2 revisits only clusters
     that own some lane's winner and reconstructs the hit record.  Same
     return contract as :func:`prim_loop`.
+
+    ``segments`` (static) is compile_scene's kind segmentation: a tuple
+    of ``(kind:int, cluster_start, cluster_end)`` with primitive rows
+    reordered so every cluster holds ONE kind.  Each segment then runs a
+    loop specialized to its kind — sphere clusters compile no plane/box
+    code and vice versa (~2-3x less VPU work per visited cluster than the
+    generic loop; see docs/COMPONENTS.md BVH-traversal note).  ``None``
+    falls back to one generic segment.
     """
     inf = jnp.float32(jnp.inf)
     n_clusters = -(-n_prims // CLUSTER)
     shp = oxv.shape
+    if segments is None:
+        segments = ((None, 0, n_clusters),)
 
     safe = lambda d: jnp.where(jnp.abs(d) < 1e-20,
                                jnp.where(d < 0, -1e-20, 1e-20), d)
@@ -491,20 +513,13 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
                          jnp.minimum(jnp.maximum(tz0, tz1), bt))
         return tn <= tf
 
-    def cand_t(ci):
-        """Candidate hit t of every lane vs prim ci (no attributes)."""
-        px = tbl_ref[ci, 0]
-        py = tbl_ref[ci, 1]
-        pz = tbl_ref[ci, 2]
-        if has_motion:
-            sx = tbl_ref[ci, 24] + tmv * tbl_ref[ci, 27]
-            sy = tbl_ref[ci, 25] + tmv * tbl_ref[ci, 28]
-            sz = tbl_ref[ci, 26] + tmv * tbl_ref[ci, 29]
-            px = px + sx
-            py = py + sy
-            pz = pz + sz
-        kind = tbl_ref[ci, 16]
-        # sphere
+    def motion_shift(ci):
+        sx = tbl_ref[ci, 24] + tmv * tbl_ref[ci, 27]
+        sy = tbl_ref[ci, 25] + tmv * tbl_ref[ci, 28]
+        sz = tbl_ref[ci, 26] + tmv * tbl_ref[ci, 29]
+        return sx, sy, sz
+
+    def cand_sphere(ci, px, py, pz, kind):
         r2 = tbl_ref[ci, 3]
         ocx = px - oxv
         ocy = py - oyv
@@ -515,8 +530,10 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
         r1 = h - sq
         rr2 = h + sq
         t_s = jnp.where(r1 > t_min, r1, jnp.where(rr2 > t_min, rr2, inf))
-        t_s = jnp.where(disc >= 0.0, t_s, inf)
-        # plane
+        # kind mask keeps pad rows (and, in generic mode, other kinds) out
+        return jnp.where((disc >= 0.0) & (kind == 0.0), t_s, inf)
+
+    def cand_plane(ci, px, py, pz, kind, sxyz):
         nxs, nys, nzs = tbl_ref[ci, 4], tbl_ref[ci, 5], tbl_ref[ci, 6]
         wax, way, waz = tbl_ref[ci, 7], tbl_ref[ci, 8], tbl_ref[ci, 9]
         wbx, wby, wbz = tbl_ref[ci, 10], tbl_ref[ci, 11], tbl_ref[ci, 12]
@@ -524,6 +541,7 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
         qwa = tbl_ref[ci, 14]
         qwb = tbl_ref[ci, 15]
         if has_motion:
+            sx, sy, sz = sxyz
             qn = qn + sx * nxs + sy * nys + sz * nzs
             qwa = qwa + sx * wax + sy * way + sz * waz
             qwb = qwb + sx * wbx + sy * wby + sz * wbz
@@ -538,61 +556,87 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
         is_tri = kind == 2.0
         bound = jnp.where(is_tri, a + b, jnp.maximum(a, b))
         memb = (a >= 0.0) & (b >= 0.0) & (bound <= 1.0)
-        t_pv = jnp.where(den_ok & memb & (t_p > t_min), t_p, inf)
-        cand = jnp.where(kind == 0.0, t_s,
-                         jnp.where(kind > 0.5, t_pv, inf))
+        ok = den_ok & memb & (t_p > t_min) & (kind > 0.5) & (kind < 2.5)
+        return jnp.where(ok, t_p, inf)
+
+    def cand_box(ci, px, py, pz, kind, sxyz):
+        hix = tbl_ref[ci, 7]
+        hiy = tbl_ref[ci, 8]
+        hiz = tbl_ref[ci, 9]
+        if has_motion:
+            sx, sy, sz = sxyz
+            hix = hix + sx
+            hiy = hiy + sy
+            hiz = hiz + sz
+        bx0 = (px - oxv) * inv_dx
+        bx1 = (hix - oxv) * inv_dx
+        by0 = (py - oyv) * inv_dy
+        by1 = (hiy - oyv) * inv_dy
+        bz0 = (pz - ozv) * inv_dz
+        bz1 = (hiz - ozv) * inv_dz
+        btn = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
+                                      jnp.minimum(by0, by1)),
+                          jnp.minimum(bz0, bz1))
+        btf = jnp.minimum(jnp.minimum(jnp.maximum(bx0, bx1),
+                                      jnp.maximum(by0, by1)),
+                          jnp.maximum(bz0, bz1))
+        t_b = jnp.where(btn > t_min, btn,
+                        jnp.where(btf > t_min, btf, inf))
+        return jnp.where((btn <= btf) & (kind == 3.0), t_b, inf)
+
+    def cand_t(ci, mode):
+        """Candidate hit t of every lane vs prim ci (no attributes);
+        ``mode`` statically selects which kind's math is compiled."""
+        px = tbl_ref[ci, 0]
+        py = tbl_ref[ci, 1]
+        pz = tbl_ref[ci, 2]
+        sxyz = None
+        if has_motion:
+            sxyz = motion_shift(ci)
+            px = px + sxyz[0]
+            py = py + sxyz[1]
+            pz = pz + sxyz[2]
+        kind = tbl_ref[ci, 16]
+        if mode == PRIM_SPHERE:
+            return cand_sphere(ci, px, py, pz, kind)
+        if mode == PRIM_PARALLELOGRAM:       # planar: para + tri
+            return cand_plane(ci, px, py, pz, kind, sxyz)
+        if mode == PRIM_BOX:
+            return cand_box(ci, px, py, pz, kind, sxyz)
+        cand = jnp.minimum(cand_sphere(ci, px, py, pz, kind),
+                           cand_plane(ci, px, py, pz, kind, sxyz))
         if has_box:
-            # slab entry/exit: entry if beyond t_min else exit (same
-            # two-root selection as spheres; ops/intersect.py box docs)
-            hix = tbl_ref[ci, 7]
-            hiy = tbl_ref[ci, 8]
-            hiz = tbl_ref[ci, 9]
-            if has_motion:
-                hix = hix + sx
-                hiy = hiy + sy
-                hiz = hiz + sz
-            bx0 = (px - oxv) * inv_dx
-            bx1 = (hix - oxv) * inv_dx
-            by0 = (py - oyv) * inv_dy
-            by1 = (hiy - oyv) * inv_dy
-            bz0 = (pz - ozv) * inv_dz
-            bz1 = (hiz - ozv) * inv_dz
-            btn = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
-                                          jnp.minimum(by0, by1)),
-                              jnp.minimum(bz0, bz1))
-            btf = jnp.minimum(jnp.minimum(jnp.maximum(bx0, bx1),
-                                          jnp.maximum(by0, by1)),
-                              jnp.maximum(bz0, bz1))
-            t_b = jnp.where(btn > t_min, btn,
-                            jnp.where(btf > t_min, btf, inf))
-            t_b = jnp.where(btn <= btf, t_b, inf)
-            cand = jnp.where(kind == 3.0, t_b, cand)
+            cand = jnp.minimum(cand, cand_box(ci, px, py, pz, kind, sxyz))
         return cand
 
     # ---- phase 1: winning (t, prim index) ----
-    def cluster1(k, carry):
-        bt, bi = carry
-        hit = slab_hit(k, bt)
+    def cluster1_for(mode):
+        def cluster1(k, carry):
+            bt, bi = carry
+            hit = slab_hit(k, bt)
 
-        def visit(c):
-            bt, bi = c
-            base = k * CLUSTER
-            end = jnp.minimum(base + CLUSTER, n_prims)
+            def visit(c):
+                bt, bi = c
+                base = k * CLUSTER
+                end = jnp.minimum(base + CLUSTER, n_prims)
 
-            def prim(ci, c2):
-                bt, bi = c2
-                cand = cand_t(ci)
-                better = cand < bt
-                return (jnp.where(better, cand, bt),
-                        jnp.where(better, ci.astype(jnp.float32), bi))
+                def prim(ci, c2):
+                    bt, bi = c2
+                    cand = cand_t(ci, mode)
+                    better = cand < bt
+                    return (jnp.where(better, cand, bt),
+                            jnp.where(better, ci.astype(jnp.float32), bi))
 
-            return jax.lax.fori_loop(base, end, prim, (bt, bi))
+                return jax.lax.fori_loop(base, end, prim, (bt, bi))
 
-        return jax.lax.cond(jnp.any(hit), visit, lambda c: c, carry)
+            return jax.lax.cond(jnp.any(hit), visit, lambda c: c, carry)
+        return cluster1
 
-    bt, bi = jax.lax.fori_loop(
-        0, n_clusters, cluster1,
-        (jnp.full(shp, inf, jnp.float32), jnp.full(shp, -1.0, jnp.float32)))
+    carry = (jnp.full(shp, inf, jnp.float32),
+             jnp.full(shp, -1.0, jnp.float32))
+    for mode, k0, k1 in segments:
+        carry = jax.lax.fori_loop(k0, k1, cluster1_for(mode), carry)
+    bt, bi = carry
 
     # ---- phase 2: hit record of the winner (winner clusters only) ----
     t_safe = jnp.where(bt < inf, bt, 1.0)
@@ -611,102 +655,134 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
     if with_albedo:
         attrs0 = attrs0 + (jnp.zeros(shp, jnp.float32),) * 4
 
-    def cluster2(k, attrs):
-        base_f = (k * CLUSTER).astype(jnp.float32)
-        in_cl = (bi >= base_f) & (bi < base_f + jnp.float32(CLUSTER))
+    def attrs_of(ci, mode):
+        """(normal, front, uv, is_sphere) of prim ci at the lane's hit
+        point; ``mode`` statically prunes the other kinds' math."""
+        kind = tbl_ref[ci, 16]
+        px = tbl_ref[ci, 0]
+        py = tbl_ref[ci, 1]
+        pz = tbl_ref[ci, 2]
+        if has_motion:
+            sx, sy, sz = motion_shift(ci)
+            px = px + sx
+            py = py + sy
+            pz = pz + sz
 
-        def visit(attrs):
-            base = k * CLUSTER
-            end = jnp.minimum(base + CLUSTER, n_prims)
+        def sphere_attrs():
+            inv_r = jax.lax.rsqrt(
+                jnp.maximum(tbl_ref[ci, 3], 1e-30)) * jnp.sign(
+                    tbl_ref[ci, 30])
+            sox = (hx - px) * inv_r
+            soy = (hy - py) * inv_r
+            soz = (hz - pz) * inv_r
+            s_front = jnp.where(
+                dxv * sox + dyv * soy + dzv * soz <= 0.0, 1.0, 0.0)
+            # sphere uv is reconstructed by the caller from the outward
+            # normal (atan2 has no cheap lowering here): uv = (0, 0)
+            zero = jnp.zeros(shp, jnp.float32)
+            return sox, soy, soz, s_front, zero, zero
 
-            def prim(ci, attrs):
-                (cnx, cny, cnz, cfr, cu, cv, cm, csp) = attrs[:8]
-                sel = bi == ci.astype(jnp.float32)
-                kind = tbl_ref[ci, 16]
-                is_sphere = kind == 0.0
-                is_tri = kind == 2.0
-                px = tbl_ref[ci, 0]
-                py = tbl_ref[ci, 1]
-                pz = tbl_ref[ci, 2]
-                if has_motion:
-                    px = px + tbl_ref[ci, 24] + tmv * tbl_ref[ci, 27]
-                    py = py + tbl_ref[ci, 25] + tmv * tbl_ref[ci, 28]
-                    pz = pz + tbl_ref[ci, 26] + tmv * tbl_ref[ci, 29]
-                # sphere: outward normal from the hit point (signed radius)
-                inv_r = jax.lax.rsqrt(
-                    jnp.maximum(tbl_ref[ci, 3], 1e-30)) * jnp.sign(
-                        tbl_ref[ci, 30])
-                sox = (hx - px) * inv_r
-                soy = (hy - py) * inv_r
-                soz = (hz - pz) * inv_r
-                # front: d . outward <= 0 (Geometry.hs:85-90)
-                s_front = jnp.where(
-                    dxv * sox + dyv * soy + dzv * soz <= 0.0, 1.0, 0.0)
-                # plane
-                nxs, nys, nzs = tbl_ref[ci, 4], tbl_ref[ci, 5], tbl_ref[ci, 6]
-                den = dxv * nxs + dyv * nys + dzv * nzs
-                p_front = jnp.where(den < 0.0, 1.0, 0.0)
-                wax, way, waz = tbl_ref[ci, 7], tbl_ref[ci, 8], tbl_ref[ci, 9]
-                wbx, wby, wbz = (tbl_ref[ci, 10], tbl_ref[ci, 11],
-                                 tbl_ref[ci, 12])
-                a = (hx * wax + hy * way + hz * waz) - tbl_ref[ci, 14]
-                b = (hx * wbx + hy * wby + hz * wbz) - tbl_ref[ci, 15]
-                if has_motion:
-                    # w-dots of the motion shift (q moved with the prim)
-                    sx = px - tbl_ref[ci, 0]
-                    sy = py - tbl_ref[ci, 1]
-                    sz = pz - tbl_ref[ci, 2]
-                    a = a - (sx * wax + sy * way + sz * waz)
-                    b = b - (sx * wbx + sy * wby + sz * wbz)
-                u0, v0 = tbl_ref[ci, 18], tbl_ref[ci, 19]
-                u1, v1 = tbl_ref[ci, 20], tbl_ref[ci, 21]
-                u2, v2 = tbl_ref[ci, 22], tbl_ref[ci, 23]
-                w0 = 1.0 - a - b
-                uu = jnp.where(is_tri, w0 * u0 + a * u1 + b * u2, a)
-                vv = jnp.where(is_tri, w0 * v0 + a * v1 + b * v2, b)
-                n_x = jnp.where(is_sphere, sox, nxs)
-                n_y = jnp.where(is_sphere, soy, nys)
-                n_z = jnp.where(is_sphere, soz, nzs)
-                fr = jnp.where(is_sphere, s_front, p_front)
-                if has_box:
-                    is_boxk = kind == 3.0
-                    hix = tbl_ref[ci, 7]
-                    hiy = tbl_ref[ci, 8]
-                    hiz = tbl_ref[ci, 9]
-                    if has_motion:
-                        hix = hix + (px - tbl_ref[ci, 0])
-                        hiy = hiy + (py - tbl_ref[ci, 1])
-                        hiz = hiz + (pz - tbl_ref[ci, 2])
-                    b_nx, b_ny, b_nz, b_fr, b_uu, b_vv = _box_attrs(
-                        px, py, pz, hix, hiy, hiz, hx, hy, hz,
-                        dxv, dyv, dzv)
-                    n_x = jnp.where(is_boxk, b_nx, n_x)
-                    n_y = jnp.where(is_boxk, b_ny, n_y)
-                    n_z = jnp.where(is_boxk, b_nz, n_z)
-                    fr = jnp.where(is_boxk, b_fr, fr)
-                    uu = jnp.where(is_boxk, b_uu, uu)
-                    vv = jnp.where(is_boxk, b_vv, vv)
-                out = (
-                    jnp.where(sel, n_x, cnx),
-                    jnp.where(sel, n_y, cny),
-                    jnp.where(sel, n_z, cnz),
-                    jnp.where(sel, fr, cfr),
-                    jnp.where(sel, uu, cu),
-                    jnp.where(sel, vv, cv),
-                    jnp.where(sel, tbl_ref[ci, 17], cm),
-                    jnp.where(sel, jnp.where(is_sphere, 1.0, 0.0), csp),
-                )
-                if with_albedo:
-                    out = out + tuple(
-                        jnp.where(sel, tbl_ref[ci, 31 + k], attrs[8 + k])
-                        for k in range(4))
-                return out
+        def plane_attrs():
+            is_tri = kind == 2.0
+            nxs, nys, nzs = tbl_ref[ci, 4], tbl_ref[ci, 5], tbl_ref[ci, 6]
+            den = dxv * nxs + dyv * nys + dzv * nzs
+            p_front = jnp.where(den < 0.0, 1.0, 0.0)
+            wax, way, waz = tbl_ref[ci, 7], tbl_ref[ci, 8], tbl_ref[ci, 9]
+            wbx, wby, wbz = (tbl_ref[ci, 10], tbl_ref[ci, 11],
+                             tbl_ref[ci, 12])
+            a = (hx * wax + hy * way + hz * waz) - tbl_ref[ci, 14]
+            b = (hx * wbx + hy * wby + hz * wbz) - tbl_ref[ci, 15]
+            if has_motion:
+                # w-dots of the motion shift (q moved with the prim)
+                sx = px - tbl_ref[ci, 0]
+                sy = py - tbl_ref[ci, 1]
+                sz = pz - tbl_ref[ci, 2]
+                a = a - (sx * wax + sy * way + sz * waz)
+                b = b - (sx * wbx + sy * wby + sz * wbz)
+            u0, v0 = tbl_ref[ci, 18], tbl_ref[ci, 19]
+            u1, v1 = tbl_ref[ci, 20], tbl_ref[ci, 21]
+            u2, v2 = tbl_ref[ci, 22], tbl_ref[ci, 23]
+            w0 = 1.0 - a - b
+            uu = jnp.where(is_tri, w0 * u0 + a * u1 + b * u2, a)
+            vv = jnp.where(is_tri, w0 * v0 + a * v1 + b * v2, b)
+            return nxs, nys, nzs, p_front, uu, vv
 
-            return jax.lax.fori_loop(base, end, prim, attrs)
+        def box_attrs():
+            hix = tbl_ref[ci, 7]
+            hiy = tbl_ref[ci, 8]
+            hiz = tbl_ref[ci, 9]
+            if has_motion:
+                hix = hix + (px - tbl_ref[ci, 0])
+                hiy = hiy + (py - tbl_ref[ci, 1])
+                hiz = hiz + (pz - tbl_ref[ci, 2])
+            return _box_attrs(px, py, pz, hix, hiy, hiz, hx, hy, hz,
+                              dxv, dyv, dzv)
 
-        return jax.lax.cond(jnp.any(in_cl), visit, lambda a: a, attrs)
+        if mode == PRIM_SPHERE:
+            n_x, n_y, n_z, fr, uu, vv = sphere_attrs()
+            return n_x, n_y, n_z, fr, uu, vv, jnp.ones(shp, jnp.float32)
+        if mode == PRIM_PARALLELOGRAM:
+            n_x, n_y, n_z, fr, uu, vv = plane_attrs()
+            return n_x, n_y, n_z, fr, uu, vv, jnp.zeros(shp, jnp.float32)
+        if mode == PRIM_BOX:
+            n_x, n_y, n_z, fr, uu, vv = box_attrs()
+            return n_x, n_y, n_z, fr, uu, vv, jnp.zeros(shp, jnp.float32)
+        is_sphere = kind == 0.0
+        sx_, sy_, sz_, sfr, _, _ = sphere_attrs()
+        pxn, pyn, pzn, pfr, uu, vv = plane_attrs()
+        n_x = jnp.where(is_sphere, sx_, pxn)
+        n_y = jnp.where(is_sphere, sy_, pyn)
+        n_z = jnp.where(is_sphere, sz_, pzn)
+        fr = jnp.where(is_sphere, sfr, pfr)
+        if has_box:
+            is_boxk = kind == 3.0
+            b_nx, b_ny, b_nz, b_fr, b_uu, b_vv = box_attrs()
+            n_x = jnp.where(is_boxk, b_nx, n_x)
+            n_y = jnp.where(is_boxk, b_ny, n_y)
+            n_z = jnp.where(is_boxk, b_nz, n_z)
+            fr = jnp.where(is_boxk, b_fr, fr)
+            uu = jnp.where(is_boxk, b_uu, uu)
+            vv = jnp.where(is_boxk, b_vv, vv)
+        sph_f = jnp.where(is_sphere, 1.0, 0.0)
+        return n_x, n_y, n_z, fr, uu, vv, sph_f
 
-    attrs = jax.lax.fori_loop(0, n_clusters, cluster2, attrs0)
+    def cluster2_for(mode):
+        def cluster2(k, attrs):
+            base_f = (k * CLUSTER).astype(jnp.float32)
+            in_cl = (bi >= base_f) & (bi < base_f + jnp.float32(CLUSTER))
+
+            def visit(attrs):
+                base = k * CLUSTER
+                end = jnp.minimum(base + CLUSTER, n_prims)
+
+                def prim(ci, attrs):
+                    (cnx, cny, cnz, cfr, cu, cv, cm, csp) = attrs[:8]
+                    sel = bi == ci.astype(jnp.float32)
+                    n_x, n_y, n_z, fr, uu, vv, sph_f = attrs_of(ci, mode)
+                    out = (
+                        jnp.where(sel, n_x, cnx),
+                        jnp.where(sel, n_y, cny),
+                        jnp.where(sel, n_z, cnz),
+                        jnp.where(sel, fr, cfr),
+                        jnp.where(sel, uu, cu),
+                        jnp.where(sel, vv, cv),
+                        jnp.where(sel, tbl_ref[ci, 17], cm),
+                        jnp.where(sel, sph_f, csp),
+                    )
+                    if with_albedo:
+                        out = out + tuple(
+                            jnp.where(sel, tbl_ref[ci, 31 + j], attrs[8 + j])
+                            for j in range(4))
+                    return out
+
+                return jax.lax.fori_loop(base, end, prim, attrs)
+
+            return jax.lax.cond(jnp.any(in_cl), visit, lambda a: a, attrs)
+        return cluster2
+
+    attrs = attrs0
+    for mode, k0, k1 in segments:
+        attrs = jax.lax.fori_loop(k0, k1, cluster2_for(mode), attrs)
     (cnx, cny, cnz, cfr, cu, cv, cm, csp) = attrs[:8]
 
     flip = jnp.where(cfr > 0.5, 1.0, -1.0)
@@ -717,12 +793,12 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
 def _kernel(tbl_ref, ctbl_ref, ox, oy, oz, dx, dy, dz, tm,
             t_out, i_out, nx_out, ny_out, nz_out, fr_out, u_out, v_out,
             m_out, *, n_prims: int, t_min: float, has_motion: bool,
-            clustered: bool = True, has_box: bool = False):
+            clustered: bool = True, has_box: bool = False, segments=None):
     (bt, bi, nx, ny, nz, cfr, cu, cv, cm, csp) = prim_loop(
         tbl_ref, ox[...], oy[...], oz[...], dx[...], dy[...], dz[...],
         tm[...] if has_motion else None, n_prims=n_prims, t_min=t_min,
         has_motion=has_motion, ctbl_ref=ctbl_ref if clustered else None,
-        has_box=has_box)
+        has_box=has_box, segments=segments)
     t_out[...] = bt
     # sphere uv is computed by the caller (atan2/arccos have no cheap
     # Pallas lowering here) from the outward normal = normal * (+-1 front).
@@ -741,10 +817,11 @@ def _kernel(tbl_ref, ctbl_ref, ox, oy, oz, dx, dy, dz, tm,
 @functools.partial(
     jax.jit,
     static_argnames=("n_prims", "t_min", "has_motion", "has_box",
-                     "interpret"))
+                     "segments", "interpret"))
 def pallas_nearest_record(tbl, ctbl, ox, oy, oz, dx, dy, dz, tm, *,
                           n_prims: int, t_min: float, has_motion: bool,
-                          has_box: bool = False, interpret: bool = False):
+                          has_box: bool = False, segments=None,
+                          interpret: bool = False):
     """Run the dense megakernel.  Ray components are [G, 128] arrays;
     ``ctbl`` is the pack_clusters table (used above CLUSTER_MIN_PRIMS),
     or None to force the flat loop (a dummy table is substituted).
@@ -777,7 +854,8 @@ def pallas_nearest_record(tbl, ctbl, ox, oy, oz, dx, dy, dz, tm, *,
     ]
     kernel = functools.partial(_kernel, n_prims=n_prims, t_min=t_min,
                                has_motion=has_motion, clustered=clustered,
-                               has_box=has_box)
+                               has_box=has_box,
+                               segments=segments if clustered else None)
     if n_prims <= MAX_SMEM_PRIMS:
         # small scene: per-primitive scalars prefetched to SMEM
         grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -134,7 +134,8 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
         p = scene.prims
         hit_fn = make_diff_surface_hit(p.has_motion, float(s.t_min),
                                        use_pallas, clustered=clustered,
-                                       has_box=p.has_box)
+                                       has_box=p.has_box,
+                                       kind_segments=p.kind_segments)
         ints_f = (p.kind.astype(DTYPE), p.mat.astype(DTYPE))
         return hit_fn((p.p0, p.e1, p.e2, p.uvs, p.mv0, p.mv1), ints_f,
                       o, d, time)
@@ -150,7 +151,8 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
             tbl, ctbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
             resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
             n_prims=scene.prims.kind.shape[0], t_min=float(s.t_min),
-            has_motion=scene.prims.has_motion, has_box=scene.prims.has_box)
+            has_motion=scene.prims.has_motion, has_box=scene.prims.has_box,
+            segments=scene.prims.kind_segments)
         flat = lambda x: x.reshape(r)
         normal = jnp.stack([flat(nx), flat(ny), flat(nz)], axis=-1)
         flags = flat(fr)
@@ -466,7 +468,7 @@ def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
         n_mats=n_mats, n_targets=s.n_redirect,
         t_min=float(s.t_min), has_motion=scene.prims.has_motion,
         use_prim_albedo=use_beh, has_box=scene.prims.has_box,
-        interpret=interpret)
+        segments=scene.prims.kind_segments, interpret=interpret)
     fl = lambda x: x.reshape(r)
     new_comps = tuple(fl(outs[k]) for k in range(6)) + (comps[6],)
     thr_new = (fl(outs[6]), fl(outs[7]), fl(outs[8]))
@@ -724,11 +726,16 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
     some tail imbalance (lanes whose pixels have long paths finish last).
 
     ``rotate_k > 1`` (must divide ``spp``) rotates each lane through ``k``
-    pixels — lane ``l`` serves pixel ``(l + c) % lanes`` for samples in
-    chunk ``c = sample // (spp/k)`` — so per-lane total work averages the
-    path-length variance of ``k`` pixels (tail occupancy 0.43 -> ~0.8 on
-    Cornell).  The flush stays scatter-free: contributions land at a
-    per-chunk *fixed* lane shift, i.e. ``k`` masked ``jnp.roll`` adds.
+    pixels — lane ``l`` serves lane-slot ``(l + c*stride) % lanes`` for
+    samples in chunk ``c = sample // (spp/k)`` — so per-lane total work
+    averages the path-length variance of ``k`` pixels.  The stride is a
+    large multiple of the Pallas block width, so (a) the ``k`` pixels are
+    spread across the WHOLE image (sky lanes average with fog lanes —
+    adjacent pixels have correlated path lengths and average nothing) and
+    (b) each kernel block still covers one contiguous tile-ordered pixel
+    run (cluster-consensus coherence survives rotation).  The flush stays
+    scatter-free: contributions land at a per-chunk *fixed* lane shift,
+    i.e. ``k`` masked ``jnp.roll`` adds, unscrambled once at the end.
 
     RNG keys derive from absolute (pixel, sample) exactly as in
     :func:`trace_wavefront`, so all schedulers and any ``rotate_k``
@@ -753,7 +760,7 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
     from ..ops.pallas.intersect_kernel import CLUSTER_MIN_PRIMS
     # a static row-aligned offset covers both the full image and the
     # pixel-band splits of render_accumulate (whole rows per band)
-    use_tiles = (k_rot == 1 and isinstance(pixel_offset, int)
+    use_tiles = (isinstance(pixel_offset, int)
                  and pixel_offset % s.image_width == 0
                  and n_pix % s.image_width == 0
                  and scene.prims.kind.shape[0] >= CLUSTER_MIN_PRIMS)
@@ -762,14 +769,25 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
         tile_l2p = jnp.asarray(l2p_np) + pixel_offset
         tile_p2l = jnp.asarray(p2l_np)
 
+    # rotation stride: a multiple of the Pallas block width (32 rows x
+    # 128 lanes) so rotated blocks stay tile-contiguous; ~lanes/k spreads
+    # a lane's k pixels across the whole image.  Small lane pools where
+    # the aligned stride degenerates (stride % lanes == 0 would rotate by
+    # nothing) fall back to plain lanes/k.
+    _BLK = 32 * LANE_ALIGN
+    stride = max((lanes // max(k_rot, 1)) // _BLK * _BLK, _BLK)
+    if k_rot > 1 and stride % lanes == 0:
+        stride = max(lanes // k_rot, 1)
+
     lane_ids = jnp.arange(lanes, dtype=jnp.int32)
     if k_rot == 1:
         # padding lanes (>= n_pix) start exhausted
         init_sample = jnp.where(lane_ids < n_pix,
                                 sample_offset - 1, last_sample + 1)
     else:
-        # every lane works: padded slots are dummy pixels, sliced off at
-        # the end (wasted work: (lanes - n_pix) * spp samples, <0.1%)
+        # every lane works: padded slots are dummy pixels whose
+        # contributions land at lane slots >= n_pix and are dropped at
+        # the final unscramble (wasted work: (lanes-n_pix)*spp, <0.1%)
         init_sample = jnp.full((lanes,), sample_offset - 1, jnp.int32)
 
     def body(state):
@@ -790,9 +808,20 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
         else:
             rot_c = ((sample - sample_offset) // spp_k).astype(jnp.int32)
             rot_c = jnp.clip(rot_c, 0, k_rot - 1)
-            lane_pixel = pixel_offset + (lane_ids + rot_c) % lanes
-            cam_pixel = pixel_offset + jnp.minimum((lane_ids + rot_c) % lanes,
-                                                   n_pix - 1)
+            # lane l serves lane-slot (l + c*stride) % lanes; the k
+            # possible lane->pixel maps are rolled constants, selected by
+            # the per-lane chunk with a where-chain (no dynamic gather)
+            if use_tiles:
+                maps = [jnp.roll(tile_l2p, -cc * stride)
+                        for cc in range(k_rot)]
+            else:
+                maps = [pixel_offset + jnp.minimum(
+                            (lane_ids + cc * stride) % lanes, n_pix - 1)
+                        for cc in range(k_rot)]
+            lane_pixel = maps[0]
+            for cc in range(1, k_rot):
+                lane_pixel = jnp.where(rot_c == cc, maps[cc], lane_pixel)
+            cam_pixel = lane_pixel
         nk = rng.ray_keys_fast(base_key, lane_pixel, sample)
         keys = jax.random.wrap_key_data(jnp.where(
             can[:, None], jax.random.key_data(nk),
@@ -838,13 +867,13 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
             acc_g = acc_g + rad[1] * died_f
             acc_b = acc_b + rad[2] * died_f
         else:
-            # lane l's contribution lands at slot (l + c) % lanes — a
-            # fixed shift per chunk c, so k masked rolls, still no scatter
+            # lane l's contribution lands at slot (l + c*stride) % lanes —
+            # a fixed shift per chunk c: k masked rolls, still no scatter
             for cc in range(k_rot):
                 m = died_f * jnp.where(rot_c == cc, 1.0, 0.0)
-                acc_r = acc_r + jnp.roll(rad[0] * m, cc)
-                acc_g = acc_g + jnp.roll(rad[1] * m, cc)
-                acc_b = acc_b + jnp.roll(rad[2] * m, cc)
+                acc_r = acc_r + jnp.roll(rad[0] * m, cc * stride)
+                acc_g = acc_g + jnp.roll(rad[1] * m, cc * stride)
+                acc_b = acc_b + jnp.roll(rad[2] * m, cc * stride)
 
         segments = segments + jnp.sum((alive | died).astype(jnp.int32))
         return (acc_r, acc_g, acc_b, comps, rad, thr, alive, sample, depth,

@@ -86,12 +86,20 @@ def render_accumulate(scene: Scene, settings: CameraSettings, seed: int = 0,
         # samples [spp_done+done, ...+n_s) — absolute sample coordinates
         s0 = jnp.asarray(spp_done + done, jnp.int32)
         if stationary:
-            # rotate_k=1: measured on Cornell, the lane tail is per-sample
-            # path-length noise (rare deep paths), which pixel rotation
-            # cannot average away — Russian roulette (rr_depth) can.
+            # Pixel rotation averages per-PIXEL mean path-length imbalance
+            # (sky lanes finish their samples long before fog/glass lanes;
+            # demo2 tail occupancy 0.58 without it).  Largest divisor of
+            # the chunk <= 8: more chunks average better but each costs a
+            # masked roll per iteration.  Per-sample path-length noise
+            # (Cornell-style tails) is handled by rr_depth, not rotation.
+            rot = 1
+            for k in range(8, 1, -1):
+                if n_s % k == 0:
+                    rot = k
+                    break
             for off, bp in bands:
                 band = _stationary_jit(scene, settings, key, None, s0,
-                                       n_pix=bp, spp=n_s, rotate_k=1,
+                                       n_pix=bp, spp=n_s, rotate_k=rot,
                                        pixel_offset=off)
                 acc = jax.lax.dynamic_update_slice_in_dim(
                     acc, jax.lax.dynamic_slice_in_dim(acc, off, bp) + band,

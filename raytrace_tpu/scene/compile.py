@@ -31,7 +31,8 @@ from ..textures.textures import Texture, compile_textures
 from . import builder as B
 from .bvh import build_bvh, prim_aabbs
 from .types import (
-    BVH, PRIM_BOX, PRIM_PAD, PRIM_SPHERE, Primitives, Scene, Volumes,
+    BVH, PRIM_BOX, PRIM_PAD, PRIM_PARALLELOGRAM, PRIM_SPHERE, PRIM_TRIANGLE,
+    Primitives, Scene, Volumes,
 )
 
 _DEFAULT_TRI_UVS = np.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
@@ -171,7 +172,15 @@ def _walk(node: B.Geom, matrix, mv0, mv1, material, interner, rows: _Rows,
         raise TypeError(f"unknown scene node {type(node)!r}")
 
 
-def _rows_to_primitives(rows: _Rows, perm=None, pad_to: int = 1) -> Primitives:
+# the Pallas clustered loop's cluster width / minimum prim count
+# (ops/pallas/intersect_kernel.py CLUSTER / CLUSTER_MIN_PRIMS; duplicated
+# here to keep the compiler import-light)
+_CLUSTER = 64
+_SEGMENT_MIN_PRIMS = 65
+
+
+def _rows_to_primitives(rows: _Rows, perm=None, pad_to: int = 1,
+                        segment: bool = False) -> Primitives:
     kind = np.concatenate(rows.kind)
     p0 = np.concatenate(rows.p0)
     e1 = np.concatenate(rows.e1)
@@ -185,22 +194,63 @@ def _rows_to_primitives(rows: _Rows, perm=None, pad_to: int = 1) -> Primitives:
             x[perm] for x in (kind, p0, e1, e2, uvs, mat, mv0, mv1)
         )
     n = kind.shape[0]
-    n_pad = -n % pad_to
-    if n_pad:
-        kind = np.concatenate([kind, np.full(n_pad, PRIM_PAD, np.int32)])
+
+    def _pad(arrs, n_pad):
+        kind, p0, e1, e2, uvs, mat, mv0, mv1 = arrs
         z3 = np.zeros((n_pad, 3))
         # pad rows get non-degenerate dummy geometry (unit edges) so the
         # vectorized intersection math stays NaN-free under backward AD;
         # kind == PRIM_PAD guarantees they can never be hit
         ex = np.zeros((n_pad, 3)); ex[:, 0] = 1.0
         ey = np.zeros((n_pad, 3)); ey[:, 1] = 1.0
-        p0 = np.concatenate([p0, z3])
-        e1 = np.concatenate([e1, ex])
-        e2 = np.concatenate([e2, ey])
-        uvs = np.concatenate([uvs, np.zeros((n_pad, 3, 2))])
-        mat = np.concatenate([mat, np.zeros(n_pad, np.int32)])
-        mv0 = np.concatenate([mv0, z3])
-        mv1 = np.concatenate([mv1, z3])
+        return (
+            np.concatenate([kind, np.full(n_pad, PRIM_PAD, np.int32)]),
+            np.concatenate([p0, z3]),
+            np.concatenate([e1, ex]),
+            np.concatenate([e2, ey]),
+            np.concatenate([uvs, np.zeros((n_pad, 3, 2))]),
+            np.concatenate([mat, np.zeros(n_pad, np.int32)]),
+            np.concatenate([mv0, z3]),
+            np.concatenate([mv1, z3]),
+        )
+
+    arrs = (kind, p0, e1, e2, uvs, mat, mv0, mv1)
+    kind_segments = None
+    if segment and n >= _SEGMENT_MIN_PRIMS:
+        # Re-order rows kind-major for the segmented clustered Pallas
+        # loop (scene/types.py kind_segments).  The spatial (BVH) order
+        # is preserved within each kind; each segment is padded to the
+        # 64-row cluster width so clusters never mix kinds.
+        groups = (
+            (PRIM_SPHERE, kind == PRIM_SPHERE),
+            (PRIM_PARALLELOGRAM,
+             (kind == PRIM_PARALLELOGRAM) | (kind == PRIM_TRIANGLE)),
+            (PRIM_BOX, kind == PRIM_BOX),
+        )
+        pieces = None
+        segs = []
+        k_cursor = 0
+        for gkind, mask in groups:
+            idx = np.nonzero(mask)[0]
+            if idx.size == 0:
+                continue
+            part = tuple(a[idx] for a in arrs)
+            n_padg = -idx.size % _CLUSTER
+            if n_padg:
+                part = _pad(part, n_padg)
+            n_cl = (idx.size + n_padg) // _CLUSTER
+            segs.append((int(gkind), k_cursor, k_cursor + n_cl))
+            k_cursor += n_cl
+            pieces = part if pieces is None else tuple(
+                np.concatenate([a, b]) for a, b in zip(pieces, part))
+        arrs = pieces
+        kind_segments = tuple(segs)
+    else:
+        n_pad = -n % pad_to
+        if n_pad:
+            arrs = _pad(arrs, n_pad)
+
+    kind, p0, e1, e2, uvs, mat, mv0, mv1 = arrs
     has_motion = bool(np.any(mv0 != 0.0) or np.any(mv1 != 0.0))
     has_box = bool(np.any(kind == PRIM_BOX))
     f32 = lambda x: jnp.asarray(x, jnp.float32)
@@ -208,6 +258,7 @@ def _rows_to_primitives(rows: _Rows, perm=None, pad_to: int = 1) -> Primitives:
         kind=jnp.asarray(kind), p0=f32(p0), e1=f32(e1), e2=f32(e2),
         uvs=f32(uvs), mat=jnp.asarray(mat), mv0=f32(mv0), mv1=f32(mv1),
         n=int(n), has_motion=has_motion, has_box=has_box,
+        kind_segments=kind_segments,
     )
 
 
@@ -255,7 +306,8 @@ def compile_scene(root: B.Geom, *, accel: str = "auto", leaf_size: int = 4,
                 n_nodes=int(nodes["lo"].shape[0]),
             )
 
-    prims = _rows_to_primitivies_or_empty(rows, perm, pad_to)
+    prims = _rows_to_primitivies_or_empty(rows, perm, pad_to,
+                                          segment=not use_bvh)
 
     vol = None
     if volumes:
@@ -281,7 +333,8 @@ def compile_scene(root: B.Geom, *, accel: str = "auto", leaf_size: int = 4,
                  bvh=bvh, volumes=vol)
 
 
-def _rows_to_primitivies_or_empty(rows: _Rows, perm, pad_to) -> Primitives:
+def _rows_to_primitivies_or_empty(rows: _Rows, perm, pad_to,
+                                  segment: bool = False) -> Primitives:
     if rows.n() == 0:
         z3 = jnp.zeros((1, 3), jnp.float32)
         return Primitives(
@@ -290,4 +343,4 @@ def _rows_to_primitivies_or_empty(rows: _Rows, perm, pad_to) -> Primitives:
             mat=jnp.zeros((1,), jnp.int32), mv0=z3, mv1=z3, n=0,
             has_motion=False,
         )
-    return _rows_to_primitives(rows, perm, pad_to)
+    return _rows_to_primitives(rows, perm, pad_to, segment=segment)

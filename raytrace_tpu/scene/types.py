@@ -50,6 +50,15 @@ class Primitives(struct.PyTreeNode):
     # static "any PRIM_BOX rows" flag so scenes without boxes compile
     # zero box code into the (branchless, pays-for-every-kind) prim scans
     has_box: bool = struct.field(pytree_node=False, default=False)
+    # static kind segmentation for the clustered Pallas loop: rows are
+    # reordered kind-major (spatial BVH order preserved within each kind,
+    # each segment padded to the 64-row cluster width) and this records
+    # ``((kind, cluster_start, cluster_end), ...)`` so every cluster runs
+    # an intersection loop specialized to its ONE kind — sphere clusters
+    # compile no plane/box code and vice versa.  None = unsegmented
+    # (BVH mode / tiny scenes / hand-built Primitives).
+    kind_segments: tuple | None = struct.field(pytree_node=False,
+                                               default=None)
 
     def __len__(self):
         return self.n

@@ -38,6 +38,20 @@ def test_schedulers_agree():
     np.testing.assert_allclose(q, st, atol=1e-4, rtol=1e-4)
 
 
+def test_stationary_rotation_matches_unrotated():
+    """Pixel rotation (stride-rolled lane->pixel maps + masked-roll
+    flushes) must reproduce the unrotated image exactly: RNG keys are
+    absolute (pixel, sample) coordinates."""
+    scene = _scene()
+    key = rng.base_key(5)
+    base = np.asarray(trace_wavefront_stationary(scene, SETTINGS, key,
+                                                 N_PIX, 4))
+    for k in (2, 4):
+        rot = np.asarray(trace_wavefront_stationary(scene, SETTINGS, key,
+                                                    N_PIX, 4, rotate_k=k))
+        np.testing.assert_allclose(rot, base, atol=1e-4, rtol=1e-4)
+
+
 def test_queue_invariant_to_lane_count():
     scene = _scene()
     key = rng.base_key(5)
