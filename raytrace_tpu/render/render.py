@@ -67,14 +67,12 @@ def render_accumulate(scene: Scene, settings: CameraSettings, seed: int = 0,
     stationary = bands[0][1] >= _STATIONARY_MIN_PIXELS
     if spp_chunk is None:
         if stationary:
-            # tail imbalance amortizes over samples; bigger launches win.
-            # Prefer a chunk that divides spp evenly: a trailing partial
-            # chunk is a whole extra program to compile (spp is static).
-            spp_chunk = min(spp, 64)
-            for c in range(min(spp, 64), 15, -1):
-                if spp % c == 0:
-                    spp_chunk = c
-                    break
+            # The drain tail (lanes whose pixels drew long paths finish
+            # last) is paid once per launch and amortizes over samples:
+            # Cornell 200 spp occupancy is 0.71 in one launch vs 0.52 in
+            # 50-spp chunks.  So launch everything at once unless the
+            # caller asked for progress/checkpoint granularity.
+            spp_chunk = min(spp, 512)
         else:
             # Each launch ends with a low-occupancy drain tail (long
             # survivor paths); queue >= ~32 lane-fills amortizes it.

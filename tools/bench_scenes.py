@@ -45,8 +45,7 @@ n_pix = settings.image_width * settings.image_height
 acc, _ = render_accumulate(scene, settings, seed=0, spp=4, spp_chunk=4)
 acc.block_until_ready()
 t0 = time.time()
-acc, _ = render_accumulate(scene, settings, seed=1, spp={spp},
-                           spp_chunk=min({spp}, 64))
+acc, _ = render_accumulate(scene, settings, seed=1, spp={spp})
 acc.block_until_ready()
 dt = time.time() - t0
 print("RESULT " + json.dumps(dict(wall_s=dt, rays_per_s=n_pix * {spp} / dt)))
