@@ -913,7 +913,8 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
                          pixel_ids, spp: int, n_iters: int | None = None,
                          sample_offset: int = 0, remat: bool = True,
                          use_mega: bool | None = None,
-                         mega_interpret: bool = False):
+                         mega_interpret: bool = False,
+                         rotate_k: int = 1):
     """Differentiable pixel-stationary wavefront.
 
     Reverse-mode AD cannot cross ``while_loop``, and a fixed
@@ -933,8 +934,22 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
     out of iterations drop their remaining samples, so the mean is over
     ``samples_done`` (choose ``n_iters`` with slack — default
     ``6 * spp + max_depth`` — and monitor ``samples_done == spp``).
+
+    ``rotate_k`` (must divide ``spp``): as in
+    :func:`trace_wavefront_stationary`, rotate each lane through k
+    pixels at a large stride so per-lane total work averages per-pixel
+    path-length imbalance — the bounded scan then needs fewer
+    iterations for the same completion fraction.  Rolls are linear, so
+    gradients flow through unchanged.
     """
     lanes = pixel_ids.shape[0]
+    k_rot = rotate_k if (rotate_k > 1 and spp % rotate_k == 0) else 1
+    spp_k = spp // k_rot
+    _BLK = 32 * LANE_ALIGN
+    stride = max((lanes // k_rot) // _BLK * _BLK, _BLK)
+    if k_rot > 1 and stride % lanes == 0:
+        stride = max(lanes // k_rot, 1)
+    pixel_maps = [jnp.roll(pixel_ids, -cc * stride) for cc in range(k_rot)]
     n_u = n_bounce_uniforms(scene)
     frame = camera_frame(s)
     use_pallas = pallas_eligible(scene, lanes) and scene.bvh is None
@@ -950,7 +965,17 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
         can = ~alive & (sample < last_sample)
         can_f = jnp.where(can, 1.0, 0.0)
         sample = jnp.where(can, sample + 1, sample)
-        nk = rng.ray_keys_fast(base_key, pixel_ids, sample)
+        if k_rot == 1:
+            rot_c = None
+            lane_pixel = pixel_ids
+        else:
+            rot_c = jnp.clip(((sample - sample_offset) // spp_k)
+                             .astype(jnp.int32), 0, k_rot - 1)
+            lane_pixel = pixel_maps[0]
+            for cc in range(1, k_rot):
+                lane_pixel = jnp.where(rot_c == cc, pixel_maps[cc],
+                                       lane_pixel)
+        nk = rng.ray_keys_fast(base_key, lane_pixel, sample)
         keys = jax.random.wrap_key_data(jnp.where(
             can[:, None], jax.random.key_data(nk),
             jax.random.key_data(keys)))
@@ -962,7 +987,7 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
         dkeys = rng.mix_depth(keys, depth)
         uniforms = rng.uniform_block(dkeys, n_u + 6)
         no, nd, ntime = generate_rays_from_uniforms(
-            s, frame, pixel_ids, uniforms[:, n_u:n_u + 5])
+            s, frame, lane_pixel, uniforms[:, n_u:n_u + 5])
         o, d, time = comps
         o = jnp.where(can[:, None], no, o)
         d = jnp.where(can[:, None], nd, d)
@@ -989,8 +1014,17 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
             thr = jnp.stack(thr_t, axis=-1)
 
         died_f = jnp.where(died, 1.0, 0.0)
-        acc = acc + rad * died_f[:, None]
-        done = done + died.astype(jnp.int32)
+        if k_rot == 1:
+            acc = acc + rad * died_f[:, None]
+            done = done + died.astype(jnp.int32)
+        else:
+            # contribution of lane l belongs to pixel slot
+            # (l + c*stride) % lanes: fixed shift per chunk -> masked
+            # rolls (linear; AD-transparent)
+            for cc in range(k_rot):
+                m = (died_f * jnp.where(rot_c == cc, 1.0, 0.0))
+                acc = acc + jnp.roll(rad * m[:, None], cc * stride, axis=0)
+                done = done + jnp.roll(m.astype(jnp.int32), cc * stride)
         return (acc, done, (o, d, time), rad, thr, alive, sample, depth,
                 keys), None
 

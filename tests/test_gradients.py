@@ -211,3 +211,28 @@ def test_wavefront_diff_loss_with_rr_matches_scan():
                                          pix, target, spp=32, n_iters=200)
     assert float(frac) > 0.98
     np.testing.assert_allclose(float(l_scan), float(l_wave), rtol=0.08)
+
+
+def test_wavefront_diff_rotation_matches_unrotated():
+    """Pixel rotation in the diff wavefront (rolled pixel maps + rolled
+    flushes) reproduces the unrotated loss AND gradients exactly when
+    every lane completes (absolute (pixel, sample) RNG keys)."""
+    from raytrace_tpu.diff.gradients import partition, render_loss_wavefront
+    scene = _simple_scene()
+    s = rt.CameraSettings(image_width=16, samples_per_pixel=16, max_depth=6,
+                          background=rt.const_background(0.5))
+    params, statics = partition(scene)
+    key = rng.base_key(3)
+    pix = jnp.arange(256, dtype=jnp.int32)
+    target = jnp.full((256, 3), 0.25, jnp.float32)
+    vg = jax.value_and_grad(render_loss_wavefront, has_aux=True)
+    (l0, f0), g0 = vg(params, statics, s, key, pix, target, spp=16,
+                      n_iters=140)
+    (l1, f1), g1 = vg(params, statics, s, key, pix, target, spp=16,
+                      n_iters=140, rotate_k=4)
+    assert float(f0) == 1.0 and float(f1) == 1.0
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
