@@ -19,9 +19,15 @@ SURVEY.md §7 "hard parts" (b)).
 
 Performance: the naive form gathers 4 tables x 8 corners per call; with
 7-octave fractal + 7-octave turbulence textures, that was ~450 gathers
-per wavefront bounce — 45 of 65 ms of the demo2 bounce.  Here the
-permutation gathers are hoisted (6 per call: 2 per axis) and the
-gradient gather is replaced by arithmetic, so a call costs 6 gathers.
+per wavefront bounce — 45 of 65 ms of the demo2 bounce.  Tables were
+first replaced by one-hot matmuls (~0.1 ms each; a TPU gather from even
+a 256-table costs ~1 ms per 90k lanes), but 7-octave marble still spent
+~4.2 ms/iteration in 42 of them.  Since the reference's *gradient*
+bitstream is unreproducible anyway (above), the permutation tables buy
+no parity — so the default lattice hash is pure arithmetic (a murmur
+avalanche of the period-256 lattice coordinates): zero table traffic,
+same noise statistics.  ``perlin_noise(..., use_tables=True)`` keeps the
+reference-table path (tests / bit-level table checks).
 """
 from __future__ import annotations
 
@@ -79,7 +85,27 @@ def _hash_gradient(h):
     return r * jnp.cos(phi), r * jnp.sin(phi), z
 
 
-def perlin_noise(p):
+def _lattice_hash_pair(ip):
+    """Per-axis (h(c), h(c+1)) lattice hashes, arithmetic only.
+
+    Mirrors the reference's structure (independent per-axis tables XORed
+    per corner, Noise.hs:21-33) with per-axis murmur avalanches of the
+    period-256 coordinate; the XOR combine happens at the corner like
+    the table path."""
+    def ava(c, mul):
+        u = (c & 255).astype(jnp.uint32) * jnp.uint32(mul)
+        u = (u ^ (u >> 4)) * jnp.uint32(0x21F0AAAD)
+        u = u ^ (u >> 15)
+        return u.astype(jnp.int32)
+
+    out = []
+    for ax, mul in ((0, 0x9E3779B1), (1, 0x85EBCA77), (2, 0xC2B2AE3D)):
+        c = ip[..., ax]
+        out.append((ava(c, mul), ava(c + 1, mul)))
+    return out
+
+
+def perlin_noise(p, use_tables: bool = False):
     """Perlin noise for points ``p`` of shape [..., 3] -> noise of shape [...].
 
     Values lie in [-sqrt(3)/2, +sqrt(3)/2] (Noise.hs:17-19).
@@ -89,10 +115,13 @@ def perlin_noise(p):
     f = p - ip  # fractional part in [0, 1)
     ip = ip.astype(jnp.int32)
 
-    # hoisted permutation lookups: one one-hot matmul per axis
-    hx = _perm_pair("x", ip[..., 0])
-    hy = _perm_pair("y", ip[..., 1])
-    hz = _perm_pair("z", ip[..., 2])
+    if use_tables:
+        # hoisted permutation lookups: one one-hot matmul per axis
+        hx = _perm_pair("x", ip[..., 0])
+        hy = _perm_pair("y", ip[..., 1])
+        hz = _perm_pair("z", ip[..., 2])
+    else:
+        hx, hy, hz = _lattice_hash_pair(ip)
 
     total = jnp.zeros(p.shape[:-1], DTYPE)
     sx, sy, sz = _smoothstep(f[..., 0]), _smoothstep(f[..., 1]), _smoothstep(f[..., 2])
@@ -111,19 +140,19 @@ def perlin_noise(p):
     return total
 
 
-def fractal_noise(depth: int, p):
+def fractal_noise(depth: int, p, use_tables: bool = False):
     """Sum of ``depth`` octaves: weight halves, frequency doubles per octave
     (Noise.hs:41-46). ``depth`` is static."""
     p = jnp.asarray(p, DTYPE)
     total = jnp.zeros(p.shape[:-1], DTYPE)
     coef = 1.0
     for _ in range(depth):
-        total = total + coef * perlin_noise(p)
+        total = total + coef * perlin_noise(p, use_tables=use_tables)
         coef *= 0.5
         p = p * 2.0
     return total
 
 
-def turbulence(depth: int, p):
+def turbulence(depth: int, p, use_tables: bool = False):
     """Absolute value of fractal noise (Noise.hs:48-50)."""
-    return jnp.abs(fractal_noise(depth, p))
+    return jnp.abs(fractal_noise(depth, p, use_tables=use_tables))
