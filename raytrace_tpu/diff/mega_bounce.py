@@ -81,11 +81,32 @@ def mega_bounce_diff(scene, s, o, d, time, uniforms, radiance, throughput,
                throughput, alive_f, idx)
         return outs, res
 
+    from .lane_replay import replay_eligible
+    use_replay = replay_eligible(scene)
+
     def f_bwd(res, cts):
         (params, statics_f, s, o, d, time, uniforms, radiance, throughput,
          alive_f, idx) = res
         ct_o, ct_d, ct_rad, ct_thr, _ct_alive, _ct_died = cts
         alive = alive_f > 0.5
+
+        if use_replay:
+            # SoA replay: same VJP, ~2.6x cheaper per iteration than the
+            # generic [R, 3] replay below (diff/lane_replay.py)
+            from .lane_replay import replay_bwd
+            scene_r = rebuild(params, statics_f)
+            g_scene, g_o, g_d, g_time, g_rad, g_thr = replay_bwd(
+                scene_r, s, o, d, time, uniforms, throughput, alive, idx,
+                (ct_o, ct_d, ct_rad, ct_thr), has_motion=has_motion,
+                t_min=t_min)
+            g_params = jax.tree_util.tree_map(
+                lambda x: x if (hasattr(x, "dtype") and jnp.issubdtype(
+                    x.dtype, jnp.floating)) else None, g_scene)
+            g_s = jax.tree_util.tree_map(jnp.zeros_like, s)
+            return (g_params,
+                    jax.tree_util.tree_map(jnp.zeros_like, statics_f),
+                    g_s, g_o, g_d, g_time, jnp.zeros_like(uniforms),
+                    g_rad, g_thr, jnp.zeros_like(alive_f))
 
         def g(params, s, o, d, time, radiance, throughput):
             scene = rebuild(params, statics_f)
