@@ -46,7 +46,9 @@ from ..scene.types import (
 )
 from ..textures.textures import TEX_CHECKER
 
-INF = jnp.float32(jnp.inf)
+# a plain python inf stays a weak-typed literal; np.float32(inf) would be
+# a captured constant, which pallas_call kernels reject
+INF = float("inf")
 
 # one-hot row caps: [R, N] selector cost grows linearly in N; past these
 # the generic backward's gathers win (and its residuals stay bounded)
@@ -448,7 +450,7 @@ def lane_math(diff, det, tgt, *, has_motion: bool, has_box: bool,
                 us[ti][0], us[ti][1], us[ti][2],
                 vs[ti][0], vs[ti][1], vs[ti][2])
             cp2 = jnp.maximum(cpx_t * cpx_t + cpy_t * cpy_t
-                              + cpz_t * cpz_t, jnp.float32(1e-30))
+                              + cpz_t * cpz_t, 1e-30)
             inv_sq_t = jax.lax.rsqrt(cp2)
             ntx = cpx_t * inv_sq_t
             nty = cpy_t * inv_sq_t
@@ -628,6 +630,87 @@ def replay_bwd(scene, s, o, d, time, uniforms, throughput, alive, idx,
     g_o = jnp.stack([g_ox, g_oy, g_oz], axis=-1)
     g_d = jnp.stack([g_dx, g_dy, g_dz], axis=-1)
     g_thr = jnp.stack([g_tr, g_tg, g_tb], axis=-1)
+    return g_scene, g_o, g_d, g_time, ct_rad, g_thr
+
+
+def replay_bwd_pallas(scene, s, o, d, time, uniforms, throughput, alive,
+                      idx, cts, *, has_motion: bool, t_min: float,
+                      interpret: bool = False):
+    """VJP of one megakernel bounce with the replay + transpose fused in
+    ONE Pallas kernel (ops/pallas/bounce_bwd_kernel.py).  Same contract
+    and numerics as :func:`replay_bwd`; the only HBM traffic is the
+    kernel's inputs and gradient outputs plus the one-hot gather/reduce
+    matmuls and the background-term VJP, which stay in XLA."""
+    from ..ops.pallas.bounce_bwd_kernel import bounce_bwd_megakernel
+    from ..ops.pallas.bounce_kernel import pack_targets
+
+    p = scene.prims
+    m = scene.materials
+    tx = scene.textures
+    n_targets = int(s.n_redirect)
+    has_box = p.has_box
+    r = o.shape[0]
+    g = r // 128
+
+    det, oh_p, oh_m, oh_t = build_det(scene, s, uniforms, alive, idx)
+    parts = [p.p0, p.e1, p.e2]
+    if has_motion:
+        parts += [p.mv0, p.mv1]
+    ptab = jnp.concatenate(parts, axis=1)
+    n_row = ptab.shape[1]
+    rows = oh_p @ ptab
+    c0 = oh_t @ tx.c0
+    c1 = oh_t @ tx.c1
+    param = oh_m @ m.param
+
+    diff_rows = (tuple(rows[:, k] for k in range(n_row))
+                 + (c0[:, 0], c0[:, 1], c0[:, 2],
+                    c1[:, 0], c1[:, 1], c1[:, 2], param,
+                    o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                    time, throughput[:, 0], throughput[:, 1],
+                    throughput[:, 2]))
+    n_diff = len(diff_rows)
+    ct_o, ct_d, ct_rad, ct_thr = cts
+    ct_rows = (ct_o[:, 0], ct_o[:, 1], ct_o[:, 2],
+               ct_d[:, 0], ct_d[:, 1], ct_d[:, 2],
+               ct_rad[:, 0], ct_rad[:, 1], ct_rad[:, 2],
+               ct_thr[:, 0], ct_thr[:, 1], ct_thr[:, 2])
+    st = lambda xs: jnp.stack(xs).reshape(len(xs), g, 128)
+    ttbl = pack_targets(s.redirect_prob, s.redirect_q, s.redirect_u,
+                        s.redirect_v)
+    gdiff, miss = bounce_bwd_megakernel(
+        _SG(ttbl), _SG(st(diff_rows)), st(det), _SG(st(ct_rows)),
+        n_targets=n_targets, has_motion=has_motion, has_box=has_box,
+        t_min=t_min, interpret=interpret)
+    gd = gdiff.reshape(n_diff, r)
+    miss_f = miss.reshape(r)
+
+    # winner-row / material / texture grads: one-hot-transpose matmuls
+    g_ptab = (gd[0:n_row] @ oh_p).T                    # [N, n_row]
+    i = n_row
+    g_tc0 = (gd[i:i + 3] @ oh_t).T
+    g_tc1 = (gd[i + 3:i + 6] @ oh_t).T
+    g_mparam = gd[i + 6] @ oh_m
+    i += 7
+    g_o = jnp.stack([gd[i], gd[i + 1], gd[i + 2]], axis=-1)
+    g_d = jnp.stack([gd[i + 3], gd[i + 4], gd[i + 5]], axis=-1)
+    g_time = gd[i + 6]
+    g_thr = jnp.stack([gd[i + 7], gd[i + 8], gd[i + 9]], axis=-1)
+
+    # miss-background term (kept in XLA: arbitrary jittable backgrounds)
+    def bgf(o, d, thr):
+        return _bg_term(s, o, d, thr, miss_f)
+
+    _, bg_vjp = jax.vjp(bgf, o, d, throughput)
+    go_bg, gd_bg, gthr_bg = bg_vjp(ct_rad)
+    g_o = g_o + go_bg
+    g_d = g_d + gd_bg
+    g_thr = g_thr + gthr_bg
+
+    g_scene = assemble_scene_grads(
+        scene, g_ptab[:, 0:3], g_ptab[:, 3:6], g_ptab[:, 6:9],
+        g_ptab[:, 9:12] if has_motion else None,
+        g_ptab[:, 12:15] if has_motion else None, g_mparam, g_tc0, g_tc1)
     return g_scene, g_o, g_d, g_time, ct_rad, g_thr
 
 

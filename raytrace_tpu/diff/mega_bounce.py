@@ -91,14 +91,25 @@ def mega_bounce_diff(scene, s, o, d, time, uniforms, radiance, throughput,
         alive = alive_f > 0.5
 
         if use_replay:
-            # SoA replay: same VJP, ~2.6x cheaper per iteration than the
-            # generic [R, 3] replay below (diff/lane_replay.py)
-            from .lane_replay import replay_bwd
+            # SoA replay of the bounce from the winner index
+            # (diff/lane_replay.py): on TPU the replay + its transpose
+            # run fused in ONE Pallas kernel (machine-derived VJP inside
+            # the kernel); elsewhere the same math runs as an XLA vjp.
+            from .lane_replay import replay_bwd, replay_bwd_pallas
             scene_r = rebuild(params, statics_f)
-            g_scene, g_o, g_d, g_time, g_rad, g_thr = replay_bwd(
-                scene_r, s, o, d, time, uniforms, throughput, alive, idx,
-                (ct_o, ct_d, ct_rad, ct_thr), has_motion=has_motion,
-                t_min=t_min)
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            if (on_tpu or interpret) and o.shape[0] % 128 == 0:
+                g_scene, g_o, g_d, g_time, g_rad, g_thr = \
+                    replay_bwd_pallas(
+                        scene_r, s, o, d, time, uniforms, throughput,
+                        alive, idx, (ct_o, ct_d, ct_rad, ct_thr),
+                        has_motion=has_motion, t_min=t_min,
+                        interpret=interpret)
+            else:
+                g_scene, g_o, g_d, g_time, g_rad, g_thr = replay_bwd(
+                    scene_r, s, o, d, time, uniforms, throughput, alive,
+                    idx, (ct_o, ct_d, ct_rad, ct_thr),
+                    has_motion=has_motion, t_min=t_min)
             g_params = jax.tree_util.tree_map(
                 lambda x: x if (hasattr(x, "dtype") and jnp.issubdtype(
                     x.dtype, jnp.floating)) else None, g_scene)

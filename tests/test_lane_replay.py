@@ -127,6 +127,22 @@ def test_replay_bwd_matches_generic(motion, n_targets):
     close(g_thr, g_thr_ref, "g_thr")
     close(g_rad, cts[2], "g_rad")
 
+    # the Pallas backward kernel (interpret mode) must agree too
+    from raytrace_tpu.diff.lane_replay import replay_bwd_pallas
+    pk = jax.jit(lambda: replay_bwd_pallas(
+        scene, s, o, d, time, uniforms, thr, alive, idx, cts,
+        has_motion=has_motion, t_min=t_min, interpret=True))()
+    for got, want, nm in zip(pk[1:4], (g_o_ref, g_d_ref, g_time_ref),
+                             ("g_o", "g_d", "g_time")):
+        close(got, want, f"pallas {nm}")
+    close(pk[5], g_thr_ref, "pallas g_thr")
+    for lp, lr2 in zip(jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(
+                lambda x: x if (hasattr(x, "dtype") and jnp.issubdtype(
+                    x.dtype, jnp.floating)) else None, pk[0])),
+            jax.tree_util.tree_leaves(g_params_ref)):
+        close(lp, lr2, "pallas param leaf")
+
     leaves_new, treedef_new = jax.tree_util.tree_flatten(
         jax.tree_util.tree_map(
             lambda x: x if (hasattr(x, "dtype") and jnp.issubdtype(
