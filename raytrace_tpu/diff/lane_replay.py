@@ -652,16 +652,44 @@ def replay_bwd_pallas(scene, s, o, d, time, uniforms, throughput, alive,
     r = o.shape[0]
     g = r // 128
 
-    det, oh_p, oh_m, oh_t = build_det(scene, s, uniforms, alive, idx)
+    # ONE [R, N] one-hot matmul gathers everything per-prim (rows, uvs,
+    # kind, mat) — oh_p is 25 MB at 2^18 lanes/24 prims, so every extra
+    # pass over it is ~30 us of pure HBM traffic
+    from ..core.vecmath import onehot_rows
+    n = p.kind.shape[0]
+    pi = jnp.maximum(idx, 0)
+    oh_p = _SG(onehot_rows(pi, n))
     parts = [p.p0, p.e1, p.e2]
     if has_motion:
         parts += [p.mv0, p.mv1]
-    ptab = jnp.concatenate(parts, axis=1)
-    n_row = ptab.shape[1]
-    rows = oh_p @ ptab
-    c0 = oh_t @ tx.c0
-    c1 = oh_t @ tx.c1
-    param = oh_m @ m.param
+    n_row = 3 * len(parts)
+    merged = jnp.concatenate(
+        parts + [p.uvs.reshape(n, 6), p.kind.astype(DTYPE)[:, None],
+                 p.mat.astype(DTYPE)[:, None]], axis=1)
+    rows_all = _SG(oh_p @ merged)
+    rows = rows_all[:, :n_row]
+    uvr = rows_all[:, n_row:n_row + 6]
+    kind_p = rows_all[:, n_row + 6]
+    mat_f = rows_all[:, n_row + 7]
+    nm, nt = m.kind.shape[0], tx.kind.shape[0]
+    oh_m = _SG(jax.nn.one_hot(mat_f.astype(jnp.int32), nm, dtype=DTYPE))
+    mrows = oh_m @ jnp.concatenate(
+        [m.kind.astype(DTYPE)[:, None], m.tex.astype(DTYPE)[:, None],
+         m.param[:, None]], axis=1)
+    kind_m, tex_f, param = mrows[:, 0], mrows[:, 1], mrows[:, 2]
+    oh_t = _SG(jax.nn.one_hot(tex_f.astype(jnp.int32), nt, dtype=DTYPE))
+    trows = oh_t @ jnp.concatenate(
+        [tx.kind.astype(DTYPE)[:, None], tx.f0[:, None], tx.f1[:, None],
+         tx.c0, tx.c1], axis=1)
+    texkind, f0l, f1l = trows[:, 0], trows[:, 1], trows[:, 2]
+    c0 = trows[:, 3:6]
+    c1 = trows[:, 6:9]
+    det = ((_SG(kind_p), _SG(kind_m), _SG(texkind), _SG(f0l), _SG(f1l))
+           + tuple(_SG(uvr[:, k]) for k in range(6))
+           + tuple(uniforms[:, k] for k in range(8))
+           + (jnp.where(alive, 1.0, 0.0).astype(DTYPE),
+              jnp.where(idx >= 0, 1.0, 0.0).astype(DTYPE)))
+    det = jax.lax.stop_gradient(det)
 
     diff_rows = (tuple(rows[:, k] for k in range(n_row))
                  + (c0[:, 0], c0[:, 1], c0[:, 2],
@@ -675,27 +703,28 @@ def replay_bwd_pallas(scene, s, o, d, time, uniforms, throughput, alive,
                ct_d[:, 0], ct_d[:, 1], ct_d[:, 2],
                ct_rad[:, 0], ct_rad[:, 1], ct_rad[:, 2],
                ct_thr[:, 0], ct_thr[:, 1], ct_thr[:, 2])
-    st = lambda xs: jnp.stack(xs).reshape(len(xs), g, 128)
+    st = lambda xs: tuple(x.reshape(g, 128) for x in xs)   # free reshape
     ttbl = pack_targets(s.redirect_prob, s.redirect_q, s.redirect_u,
                         s.redirect_v)
     gdiff, miss = bounce_bwd_megakernel(
         _SG(ttbl), _SG(st(diff_rows)), st(det), _SG(st(ct_rows)),
         n_targets=n_targets, has_motion=has_motion, has_box=has_box,
         t_min=t_min, interpret=interpret)
-    gd = gdiff.reshape(n_diff, r)
+    gd = tuple(x.reshape(r) for x in gdiff)
     miss_f = miss.reshape(r)
 
     # winner-row / material / texture grads: one-hot-transpose matmuls
-    g_ptab = (gd[0:n_row] @ oh_p).T                    # [N, n_row]
+    stk = lambda a, b: jnp.stack(gd[a:b], axis=-1)     # [R, b-a]
+    g_ptab = oh_p.T @ stk(0, n_row)                    # [N, n_row]
     i = n_row
-    g_tc0 = (gd[i:i + 3] @ oh_t).T
-    g_tc1 = (gd[i + 3:i + 6] @ oh_t).T
+    g_tc0 = oh_t.T @ stk(i, i + 3)
+    g_tc1 = oh_t.T @ stk(i + 3, i + 6)
     g_mparam = gd[i + 6] @ oh_m
     i += 7
-    g_o = jnp.stack([gd[i], gd[i + 1], gd[i + 2]], axis=-1)
-    g_d = jnp.stack([gd[i + 3], gd[i + 4], gd[i + 5]], axis=-1)
+    g_o = stk(i, i + 3)
+    g_d = stk(i + 3, i + 6)
     g_time = gd[i + 6]
-    g_thr = jnp.stack([gd[i + 7], gd[i + 8], gd[i + 9]], axis=-1)
+    g_thr = stk(i + 7, i + 10)
 
     # miss-background term (kept in XLA: arbitrary jittable backgrounds)
     def bgf(o, d, thr):

@@ -56,28 +56,33 @@ def mega_bounce_diff(scene, s, o, d, time, uniforms, radiance, throughput,
                                     statics_f, st_dtypes)
         return combine(params, st)
 
-    def run_fwd(params, statics_f, s, o, d, time, uniforms, radiance,
-                throughput, alive_f):
+    # f takes only the N_U bounce uniform columns and NO radiance (it
+    # returns the radiance CONTRIBUTION; the caller adds) — the scan's
+    # backward stores every f argument per iteration, and slimming the
+    # residual row from ~33 to ~23 floats/lane is a direct HBM win.
+    def run_fwd(params, statics_f, s, o, d, time, uniforms, throughput,
+                alive_f):
         scene = rebuild(params, statics_f)
-        o2, d2, rad2, thr2, alive2, died2, idx = bounce_mega(
-            scene, s, o, d, time, uniforms, radiance, throughput,
+        zero_rad = jnp.zeros_like(throughput)
+        o2, d2, contrib, thr2, alive2, died2, idx = bounce_mega(
+            scene, s, o, d, time, uniforms, zero_rad, throughput,
             alive_f > 0.5, interpret=interpret, with_idx=True)
-        outs = (o2, d2, rad2, thr2,
+        outs = (o2, d2, contrib, thr2,
                 jnp.where(alive2, 1.0, 0.0).astype(DTYPE),
                 jnp.where(died2, 1.0, 0.0).astype(DTYPE))
         return outs, idx
 
     @jax.custom_vjp
-    def f(params, statics_f, s, o, d, time, uniforms, radiance,
-          throughput, alive_f):
+    def f(params, statics_f, s, o, d, time, uniforms, throughput,
+          alive_f):
         return run_fwd(params, statics_f, s, o, d, time, uniforms,
-                       radiance, throughput, alive_f)[0]
+                       throughput, alive_f)[0]
 
-    def f_fwd(params, statics_f, s, o, d, time, uniforms, radiance,
-              throughput, alive_f):
+    def f_fwd(params, statics_f, s, o, d, time, uniforms, throughput,
+              alive_f):
         outs, idx = run_fwd(params, statics_f, s, o, d, time, uniforms,
-                            radiance, throughput, alive_f)
-        res = (params, statics_f, s, o, d, time, uniforms, radiance,
+                            throughput, alive_f)
+        res = (params, statics_f, s, o, d, time, uniforms,
                throughput, alive_f, idx)
         return outs, res
 
@@ -85,7 +90,7 @@ def mega_bounce_diff(scene, s, o, d, time, uniforms, radiance, throughput,
     use_replay = replay_eligible(scene)
 
     def f_bwd(res, cts):
-        (params, statics_f, s, o, d, time, uniforms, radiance, throughput,
+        (params, statics_f, s, o, d, time, uniforms, throughput,
          alive_f, idx) = res
         ct_o, ct_d, ct_rad, ct_thr, _ct_alive, _ct_died = cts
         alive = alive_f > 0.5
@@ -117,30 +122,33 @@ def mega_bounce_diff(scene, s, o, d, time, uniforms, radiance, throughput,
             return (g_params,
                     jax.tree_util.tree_map(jnp.zeros_like, statics_f),
                     g_s, g_o, g_d, g_time, jnp.zeros_like(uniforms),
-                    g_rad, g_thr, jnp.zeros_like(alive_f))
+                    g_thr, jnp.zeros_like(alive_f))
 
-        def g(params, s, o, d, time, radiance, throughput):
+        def g(params, s, o, d, time, throughput):
             scene = rebuild(params, statics_f)
             p = scene.prims
             from ..ops.diff_intersect import winner_surface_hit
             hit = winner_surface_hit(
                 (p.p0, p.e1, p.e2, p.uvs, p.mv0, p.mv1), (p.kind, p.mat),
                 o, d, time, idx, has_motion, t_min, has_box=p.has_box)
-            o2, d2, rad2, thr2, _alive2, _died2 = bounce(
-                scene, s, o, d, time, uniforms, radiance, throughput,
+            o2, d2, contrib, thr2, _alive2, _died2 = bounce(
+                scene, s, o, d, time, uniforms,
+                jnp.zeros_like(throughput), throughput,
                 alive, diff=True, hit_override=hit)
-            return o2, d2, rad2, thr2
+            return o2, d2, contrib, thr2
 
-        _, vjp = jax.vjp(g, params, s, o, d, time, radiance, throughput)
-        g_params, g_s, g_o, g_d, g_time, g_rad, g_thr = vjp(
+        _, vjp = jax.vjp(g, params, s, o, d, time, throughput)
+        g_params, g_s, g_o, g_d, g_time, g_thr = vjp(
             (ct_o, ct_d, ct_rad, ct_thr))
         return (g_params, jax.tree_util.tree_map(jnp.zeros_like, statics_f),
-                g_s, g_o, g_d, g_time, jnp.zeros_like(uniforms), g_rad,
+                g_s, g_o, g_d, g_time, jnp.zeros_like(uniforms),
                 g_thr, jnp.zeros_like(alive_f))
 
     f.defvjp(f_fwd, f_bwd)
 
-    o2, d2, rad2, thr2, alive_f2, died_f2 = f(
-        params, statics_f, s, o, d, time, uniforms, radiance, throughput,
+    from ..ops.pallas.bounce_kernel import N_U
+    o2, d2, contrib, thr2, alive_f2, died_f2 = f(
+        params, statics_f, s, o, d, time, uniforms[:, :N_U], throughput,
         jnp.where(alive, 1.0, 0.0).astype(DTYPE))
-    return o2, d2, rad2, thr2, alive_f2 > 0.5, died_f2 > 0.5
+    return (o2, d2, radiance + contrib, thr2, alive_f2 > 0.5,
+            died_f2 > 0.5)

@@ -17,12 +17,15 @@ traffic).  This kernel runs the whole replay + transpose in VMEM:
 HBM traffic collapses to the kernel's inputs and gradient outputs.
 Winner/material/texture rows are gathered outside with one-hot matmuls
 (MXU) and the per-lane row gradients are reduced back outside the same
-way (``oh.T @ g`` — scatter-free); see diff/mega_bounce.py for the
-gather/reduce glue and the background-term VJP that stays in XLA
-(arbitrary jittable backgrounds, like the forward path).
+way (``oh.T @ g`` — scatter-free); see diff/lane_replay.py:
+replay_bwd_pallas for the gather/reduce glue and the background-term VJP
+that stays in XLA (arbitrary jittable backgrounds, like the forward
+path).
 
-Lane-level layout: rows of stacked [C, G, 128] arrays (C components per
-lane) so the kernel takes 4 operands instead of ~60.
+Every per-lane quantity is its own [G, 128] operand — a [R] -> [G, 128]
+reshape is free, whereas stacking rows into one [C, G, 128] array
+materializes a real HBM copy per launch (~0.2 ms/iteration of pure
+glue when this kernel used stacked operands).
 """
 from __future__ import annotations
 
@@ -36,15 +39,16 @@ from jax.experimental.pallas import tpu as pltpu
 from ...diff.lane_replay import N_DET, lane_math
 
 LANES = 128
-BLOCK_G = 16
+BLOCK_G = 32
+N_CT = 12
 
 
-def _kernel(ttbl, diff_ref, det_ref, ct_ref, gdiff_ref, miss_ref, *,
-            n_targets: int, has_motion: bool, has_box: bool,
+def _kernel(ttbl, *refs, n_targets: int, has_motion: bool, has_box: bool,
             t_min: float, n_diff: int):
-    diff_v = tuple(diff_ref[k] for k in range(n_diff))
-    det_v = tuple(det_ref[k] for k in range(N_DET))
-    ct_v = tuple(ct_ref[k] for k in range(12))
+    diff_v = tuple(refs[k][...] for k in range(n_diff))
+    det_v = tuple(refs[n_diff + k][...] for k in range(N_DET))
+    ct_v = tuple(refs[n_diff + N_DET + k][...] for k in range(N_CT))
+    out_refs = refs[n_diff + N_DET + N_CT:]
 
     if n_targets > 0:
         qs = [(ttbl[t, 0], ttbl[t, 1], ttbl[t, 2]) for t in range(n_targets)]
@@ -61,11 +65,11 @@ def _kernel(ttbl, diff_ref, det_ref, ct_ref, gdiff_ref, miss_ref, *,
                          n_targets=n_targets, exact_trig=False)
 
     outs, vjp = jax.vjp(f, *diff_v)
-    miss_ref[...] = outs[12]
+    out_refs[n_diff][...] = outs[12]                    # miss_f
     zero = jnp.zeros_like(outs[12])
     grads = vjp(ct_v + (zero,))
     for k in range(n_diff):
-        gdiff_ref[k] = grads[k]
+        out_refs[k][...] = grads[k]
 
 
 @functools.partial(
@@ -75,32 +79,32 @@ def _kernel(ttbl, diff_ref, det_ref, ct_ref, gdiff_ref, miss_ref, *,
 def bounce_bwd_megakernel(ttbl, diff, det, cts, *, n_targets: int,
                           has_motion: bool, has_box: bool, t_min: float,
                           interpret: bool = False):
-    """``diff`` [n_diff, G, 128], ``det`` [N_DET, G, 128], ``cts``
-    [12, G, 128]; ``ttbl`` the pack_targets table.  Returns
-    ``(gdiff [n_diff, G, 128], miss_f [G, 128])``."""
-    n_diff, g, _ = diff.shape
+    """``diff`` / ``det`` / ``cts``: tuples of [G, 128] f32 arrays (the
+    differentiable lane inputs, the detached context, the 12 output
+    cotangents); ``ttbl`` the pack_targets table.  Returns
+    ``(gdiff tuple, miss_f)``."""
+    n_diff = len(diff)
+    assert len(det) == N_DET and len(cts) == N_CT
+    g = diff[0].shape[0]
     bg = min(BLOCK_G, g)
     grid = (pl.cdiv(g, bg),)
-
-    def stacked(c):
-        return pl.BlockSpec((c, bg, LANES), lambda i, *_: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-
     flat = pl.BlockSpec((bg, LANES), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
+    n_in = n_diff + N_DET + N_CT
     kernel = functools.partial(
         _kernel, n_targets=n_targets, has_motion=has_motion,
         has_box=has_box, t_min=t_min, n_diff=n_diff)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[stacked(n_diff), stacked(N_DET), stacked(12)],
-        out_specs=[stacked(n_diff), flat],
+        in_specs=[flat] * n_in,
+        out_specs=[flat] * (n_diff + 1),
     )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_diff, g, LANES), jnp.float32),
-                   jax.ShapeDtypeStruct((g, LANES), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((g, LANES), jnp.float32)]
+        * (n_diff + 1),
         interpret=interpret,
-    )(ttbl, diff, det, cts)
+    )(ttbl, *diff, *det, *cts)
+    return tuple(outs[:n_diff]), outs[n_diff]
