@@ -91,7 +91,7 @@ def winner_surface_hit(floats, ints, o, d, time, idx, has_motion, t_min,
 
 def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,
                           clustered: bool = True, has_box: bool = False,
-                          kind_segments=None):
+                          kind_segments=None, kinds=None):
     """Build a differentiable surface-hit fn over float primitive buffers.
 
     Returns ``hit(floats, ints_f, o, d, time) -> (t, idx, normal, front,
@@ -122,7 +122,7 @@ def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,
                 tbl, ctbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
                 resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
                 n_prims=kind.shape[0], t_min=t_min, has_motion=has_motion,
-                has_box=has_box, segments=kind_segments)
+                has_box=has_box, segments=kind_segments, kinds=kinds)
             fl = lambda x: x.reshape(r)
             flags = fl(fr)
             front = (flags & 1).astype(bool)

@@ -149,7 +149,7 @@ def _kernel(ptbl, ctbl, mtbl, ttbl,
             rr_o, rg_o, rb_o, al_o, ms_o, pi_o,
             *, n_prims: int, n_mats: int, n_targets: int, t_min: float,
             has_motion: bool, use_prim_albedo: bool = False,
-            has_box: bool = False, segments=None):
+            has_box: bool = False, segments=None, kinds=None):
     oxv, oyv, ozv = ox[...], oy[...], oz[...]
     dxv, dyv, dzv = dx[...], dy[...], dz[...]
     trv, tgv, tbv = tr[...], tg[...], tb[...]
@@ -162,7 +162,7 @@ def _kernel(ptbl, ctbl, mtbl, ttbl,
         tm[...] if has_motion else None,
         n_prims=n_prims, t_min=t_min, has_motion=has_motion,
         ctbl_ref=ctbl, with_albedo=use_prim_albedo, has_box=has_box,
-        segments=segments)
+        segments=segments, kinds=kinds)
     (t, bi, nx, ny, nz, fr_f, uu, vv, mat_f, sph_f) = hit_res[:10]
 
     hit = t < jnp.float32(jnp.inf)
@@ -425,12 +425,12 @@ def _kernel(ptbl, ctbl, mtbl, ttbl,
     jax.jit,
     static_argnames=("n_prims", "n_mats", "n_targets", "t_min",
                      "has_motion", "use_prim_albedo", "has_box",
-                     "segments", "interpret"))
+                     "segments", "kinds", "interpret"))
 def bounce_megakernel(ptbl, ctbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
                       tr, tg, tb, al, uniforms, *, n_prims: int, n_mats: int,
                       n_targets: int, t_min: float, has_motion: bool,
                       use_prim_albedo: bool = False, has_box: bool = False,
-                      segments=None, interpret: bool = False):
+                      segments=None, kinds=None, interpret: bool = False):
     """Ray components / throughput / alive are [G, 128]; ``uniforms`` is
     [N_U, G, 128]; ``ctbl`` the pack_clusters AABB table.  Returns 15
     [G, 128] outputs (see _kernel; the last is the winner prim index as
@@ -451,7 +451,7 @@ def bounce_megakernel(ptbl, ctbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
         _kernel, n_prims=n_prims, n_mats=n_mats, n_targets=n_targets,
         t_min=t_min, has_motion=has_motion,
         use_prim_albedo=use_prim_albedo, has_box=has_box,
-        segments=segments)
+        segments=segments, kinds=kinds)
     from .intersect_kernel import MAX_SMEM_PRIMS
     if n_prims <= MAX_SMEM_PRIMS:
         grid_spec = pltpu.PrefetchScalarGridSpec(

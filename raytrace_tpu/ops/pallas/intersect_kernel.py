@@ -161,7 +161,7 @@ def pack_clusters(prims: Primitives) -> jnp.ndarray:
 def prim_loop(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *, n_prims: int,
               t_min: float, has_motion: bool, ctbl_ref=None,
               with_albedo: bool = False, has_box: bool = False,
-              segments=None):
+              segments=None, kinds=None):
     """Shared fused nearest-hit loop over the packed primitive table.
 
     Operates on value tiles (any shape); returns
@@ -200,7 +200,7 @@ def prim_loop(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *, n_prims: int,
             return _prim_loop_flat(
                 tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
                 n_prims=n_prims, t_min=t_min, has_motion=has_motion,
-                with_albedo=with_albedo, has_box=has_box)
+                with_albedo=with_albedo, has_box=has_box, kinds=kinds)
 
         def clustered(_):
             return _prim_loop_clustered(
@@ -239,7 +239,7 @@ def prim_loop(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *, n_prims: int,
     return _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
                            n_prims=n_prims, t_min=t_min,
                            has_motion=has_motion, with_albedo=with_albedo,
-                           has_box=has_box)
+                           has_box=has_box, kinds=kinds)
 
 
 def _box_attrs(lox, loy, loz, hix, hiy, hiz, hx, hy, hz, dxv, dyv, dzv):
@@ -281,9 +281,20 @@ def _box_attrs(lox, loy, loz, hix, hiy, hiz, hx, hy, hz, dxv, dyv, dzv):
 
 def _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *,
                     n_prims: int, t_min: float, has_motion: bool,
-                    with_albedo: bool = False, has_box: bool = False):
-    """Single-pass dense scan (see :func:`prim_loop`)."""
+                    with_albedo: bool = False, has_box: bool = False,
+                    kinds: tuple | None = None):
+    """Single-pass dense scan (see :func:`prim_loop`).
+
+    ``kinds`` (static) is the set of primitive kinds present in the
+    table (scene/types.py Primitives.kinds_present); branches for absent
+    kinds compile to nothing — a parallelogram-only scene (Cornell) runs
+    no sphere code per prim and vice versa.  None compiles everything.
+    """
     shp = oxv.shape
+    want_sphere = kinds is None or PRIM_SPHERE in kinds
+    want_plane = kinds is None or (PRIM_PARALLELOGRAM in kinds
+                                   or PRIM_TRIANGLE in kinds)
+    want_tri = kinds is None or PRIM_TRIANGLE in kinds
     if has_box:
         safe = lambda dd: jnp.where(jnp.abs(dd) < 1e-20,
                                     jnp.where(dd < 0, -1e-20, 1e-20), dd)
@@ -320,58 +331,73 @@ def _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *,
             py = py + sy
             pz = pz + sz
         kind = tbl_ref[ci, 16]
-
-        # ---- sphere branch (Geometry.hs:63-92) ----
-        r2 = tbl_ref[ci, 3]
-        ocx = px - oxv
-        ocy = py - oyv
-        ocz = pz - ozv
-        h = dxv * ocx + dyv * ocy + dzv * ocz
-        cterm = ocx * ocx + ocy * ocy + ocz * ocz - r2
-        disc = h * h - cterm
-        ok_s = disc >= 0.0
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        r1 = h - sq
-        rr2 = h + sq
-        t_s = jnp.where(r1 > t_min, r1, jnp.where(rr2 > t_min, rr2, inf))
-        t_s = jnp.where(ok_s, t_s, inf)
-
-        # ---- plane branch (Geometry.hs:117-142) ----
-        nxs = tbl_ref[ci, 4]
-        nys = tbl_ref[ci, 5]
-        nzs = tbl_ref[ci, 6]
-        den = dxv * nxs + dyv * nys + dzv * nzs
-        den_ok = jnp.abs(den) > 1e-8
-        den_safe = jnp.where(den_ok, den, 1.0)
-        on = oxv * nxs + oyv * nys + ozv * nzs
-        qn = tbl_ref[ci, 13]
-        qwa = tbl_ref[ci, 14]
-        qwb = tbl_ref[ci, 15]
-        wax, way, waz = tbl_ref[ci, 7], tbl_ref[ci, 8], tbl_ref[ci, 9]
-        wbx, wby, wbz = tbl_ref[ci, 10], tbl_ref[ci, 11], tbl_ref[ci, 12]
-        if has_motion:
-            # the plane (its corner q) moves with the prim (Geometry.hs:452)
-            qn = qn + sx * nxs + sy * nys + sz * nzs
-            qwa = qwa + sx * wax + sy * way + sz * waz
-            qwb = qwb + sx * wbx + sy * wby + sz * wbz
-        t_p = (qn - on) / den_safe
-        owa = oxv * wax + oyv * way + ozv * waz
-        dwa = dxv * wax + dyv * way + dzv * waz
-        owb = oxv * wbx + oyv * wby + ozv * wbz
-        dwb = dxv * wbx + dyv * wby + dzv * wbz
-        a = owa - qwa + t_p * dwa
-        b = owb - qwb + t_p * dwb
-        is_tri = kind == 2.0
-        # Mosaic cannot select i1 vectors: fold the tri/para membership
-        # difference into a float bound (tri: a+b<=1; para: max(a,b)<=1)
-        bound = jnp.where(is_tri, a + b, jnp.maximum(a, b))
-        memb = (a >= 0.0) & (b >= 0.0) & (bound <= 1.0)
-        ok_p = den_ok & memb & (t_p > t_min)
-        t_pv = jnp.where(ok_p, t_p, inf)
-
         is_sphere = kind == 0.0
-        cand = jnp.where(is_sphere, t_s,
-                         jnp.where(kind > 0.5, t_pv, inf))
+
+        if want_sphere:
+            # ---- sphere branch (Geometry.hs:63-92) ----
+            r2 = tbl_ref[ci, 3]
+            ocx = px - oxv
+            ocy = py - oyv
+            ocz = pz - ozv
+            h = dxv * ocx + dyv * ocy + dzv * ocz
+            cterm = ocx * ocx + ocy * ocy + ocz * ocz - r2
+            disc = h * h - cterm
+            ok_s = disc >= 0.0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            r1 = h - sq
+            rr2 = h + sq
+            t_s = jnp.where(r1 > t_min, r1,
+                            jnp.where(rr2 > t_min, rr2, inf))
+            t_s = jnp.where(ok_s & is_sphere, t_s, inf)
+
+        if want_plane:
+            # ---- plane branch (Geometry.hs:117-142) ----
+            nxs = tbl_ref[ci, 4]
+            nys = tbl_ref[ci, 5]
+            nzs = tbl_ref[ci, 6]
+            den = dxv * nxs + dyv * nys + dzv * nzs
+            den_ok = jnp.abs(den) > 1e-8
+            den_safe = jnp.where(den_ok, den, 1.0)
+            on = oxv * nxs + oyv * nys + ozv * nzs
+            qn = tbl_ref[ci, 13]
+            qwa = tbl_ref[ci, 14]
+            qwb = tbl_ref[ci, 15]
+            wax, way, waz = tbl_ref[ci, 7], tbl_ref[ci, 8], tbl_ref[ci, 9]
+            wbx, wby, wbz = (tbl_ref[ci, 10], tbl_ref[ci, 11],
+                             tbl_ref[ci, 12])
+            if has_motion:
+                # the plane's corner q moves with the prim (Geometry.hs:452)
+                qn = qn + sx * nxs + sy * nys + sz * nzs
+                qwa = qwa + sx * wax + sy * way + sz * waz
+                qwb = qwb + sx * wbx + sy * wby + sz * wbz
+            t_p = (qn - on) / den_safe
+            owa = oxv * wax + oyv * way + ozv * waz
+            dwa = dxv * wax + dyv * way + dzv * waz
+            owb = oxv * wbx + oyv * wby + ozv * wbz
+            dwb = dxv * wbx + dyv * wby + dzv * wbz
+            a = owa - qwa + t_p * dwa
+            b = owb - qwb + t_p * dwb
+            is_tri = kind == 2.0
+            # Mosaic cannot select i1 vectors: fold the tri/para
+            # membership difference into a float bound
+            # (tri: a+b<=1; para: max(a,b)<=1)
+            if want_tri:
+                bound = jnp.where(is_tri, a + b, jnp.maximum(a, b))
+            else:
+                bound = jnp.maximum(a, b)
+            memb = (a >= 0.0) & (b >= 0.0) & (bound <= 1.0)
+            ok_p = den_ok & memb & (t_p > t_min)
+            # the kind mask keeps pad rows (and absent-branch kinds) out
+            t_pv = jnp.where(ok_p & (kind > 0.5) & (kind < 2.5), t_p, inf)
+
+        if want_sphere and want_plane:
+            cand = jnp.minimum(t_s, t_pv)
+        elif want_sphere:
+            cand = t_s
+        elif want_plane:
+            cand = t_pv
+        else:
+            cand = jnp.full(shp, inf, jnp.float32)
         if has_box:
             is_boxk = kind == 3.0
             hix = tbl_ref[ci, 7]
@@ -400,28 +426,46 @@ def _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *,
         better = cand < bt
 
         # record attributes of the candidate
-        # sphere: outward normal (computed from point), front = t <= h
-        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30)) * jnp.sign(
-            tbl_ref[ci, 30])
-        sox = (oxv + cand * dxv - px) * inv_r
-        soy = (oyv + cand * dyv - py) * inv_r
-        soz = (ozv + cand * dzv - pz) * inv_r
-        # front flags as floats (i1-vector selects don't legalize)
-        s_front = jnp.where(cand <= h, 1.0, 0.0)
-        # plane: normal = n (flip later by front), front = den < 0
-        p_front = jnp.where(den < 0.0, 1.0, 0.0)
-        # triangle uv interpolation / parallelogram (a, b)
-        u0, v0 = tbl_ref[ci, 18], tbl_ref[ci, 19]
-        u1, v1 = tbl_ref[ci, 20], tbl_ref[ci, 21]
-        u2, v2 = tbl_ref[ci, 22], tbl_ref[ci, 23]
-        w0 = 1.0 - a - b
-        uu = jnp.where(is_tri, w0 * u0 + a * u1 + b * u2, a)
-        vv = jnp.where(is_tri, w0 * v0 + a * v1 + b * v2, b)
+        if want_sphere:
+            # sphere: outward normal (from the point), front = t <= h
+            inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30)) * jnp.sign(
+                tbl_ref[ci, 30])
+            sox = (oxv + cand * dxv - px) * inv_r
+            soy = (oyv + cand * dyv - py) * inv_r
+            soz = (ozv + cand * dzv - pz) * inv_r
+            # front flags as floats (i1-vector selects don't legalize)
+            s_front = jnp.where(cand <= h, 1.0, 0.0)
+        if want_plane:
+            # plane: normal = n (flip later by front), front = den < 0
+            p_front = jnp.where(den < 0.0, 1.0, 0.0)
+            if want_tri:
+                # triangle uv interpolation / parallelogram (a, b)
+                u0, v0 = tbl_ref[ci, 18], tbl_ref[ci, 19]
+                u1, v1 = tbl_ref[ci, 20], tbl_ref[ci, 21]
+                u2, v2 = tbl_ref[ci, 22], tbl_ref[ci, 23]
+                w0 = 1.0 - a - b
+                uu = jnp.where(is_tri, w0 * u0 + a * u1 + b * u2, a)
+                vv = jnp.where(is_tri, w0 * v0 + a * v1 + b * v2, b)
+            else:
+                uu, vv = a, b
+        else:
+            uu = jnp.zeros(shp, jnp.float32)
+            vv = jnp.zeros(shp, jnp.float32)
 
-        nx_c = jnp.where(is_sphere, sox, nxs)
-        ny_c = jnp.where(is_sphere, soy, nys)
-        nz_c = jnp.where(is_sphere, soz, nzs)
-        fr_c = jnp.where(is_sphere, s_front, p_front)
+        if want_sphere and want_plane:
+            nx_c = jnp.where(is_sphere, sox, nxs)
+            ny_c = jnp.where(is_sphere, soy, nys)
+            nz_c = jnp.where(is_sphere, soz, nzs)
+            fr_c = jnp.where(is_sphere, s_front, p_front)
+        elif want_sphere:
+            nx_c, ny_c, nz_c, fr_c = sox, soy, soz, s_front
+        elif want_plane:
+            nx_c, ny_c, nz_c, fr_c = nxs, nys, nzs, p_front
+        else:
+            nx_c = jnp.zeros(shp, jnp.float32)
+            ny_c = jnp.zeros(shp, jnp.float32)
+            nz_c = jnp.ones(shp, jnp.float32)
+            fr_c = jnp.ones(shp, jnp.float32)
         if has_box:
             t_hit = jnp.where(cand < inf, cand, 1.0)
             b_nx, b_ny, b_nz, b_fr, b_uu, b_vv = _box_attrs(
@@ -793,12 +837,13 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
 def _kernel(tbl_ref, ctbl_ref, ox, oy, oz, dx, dy, dz, tm,
             t_out, i_out, nx_out, ny_out, nz_out, fr_out, u_out, v_out,
             m_out, *, n_prims: int, t_min: float, has_motion: bool,
-            clustered: bool = True, has_box: bool = False, segments=None):
+            clustered: bool = True, has_box: bool = False, segments=None,
+            kinds=None):
     (bt, bi, nx, ny, nz, cfr, cu, cv, cm, csp) = prim_loop(
         tbl_ref, ox[...], oy[...], oz[...], dx[...], dy[...], dz[...],
         tm[...] if has_motion else None, n_prims=n_prims, t_min=t_min,
         has_motion=has_motion, ctbl_ref=ctbl_ref if clustered else None,
-        has_box=has_box, segments=segments)
+        has_box=has_box, segments=segments, kinds=kinds)
     t_out[...] = bt
     # sphere uv is computed by the caller (atan2/arccos have no cheap
     # Pallas lowering here) from the outward normal = normal * (+-1 front).
@@ -817,11 +862,11 @@ def _kernel(tbl_ref, ctbl_ref, ox, oy, oz, dx, dy, dz, tm,
 @functools.partial(
     jax.jit,
     static_argnames=("n_prims", "t_min", "has_motion", "has_box",
-                     "segments", "interpret"))
+                     "segments", "kinds", "interpret"))
 def pallas_nearest_record(tbl, ctbl, ox, oy, oz, dx, dy, dz, tm, *,
                           n_prims: int, t_min: float, has_motion: bool,
                           has_box: bool = False, segments=None,
-                          interpret: bool = False):
+                          kinds=None, interpret: bool = False):
     """Run the dense megakernel.  Ray components are [G, 128] arrays;
     ``ctbl`` is the pack_clusters table (used above CLUSTER_MIN_PRIMS),
     or None to force the flat loop (a dummy table is substituted).
@@ -855,7 +900,8 @@ def pallas_nearest_record(tbl, ctbl, ox, oy, oz, dx, dy, dz, tm, *,
     kernel = functools.partial(_kernel, n_prims=n_prims, t_min=t_min,
                                has_motion=has_motion, clustered=clustered,
                                has_box=has_box,
-                               segments=segments if clustered else None)
+                               segments=segments if clustered else None,
+                               kinds=kinds)
     if n_prims <= MAX_SMEM_PRIMS:
         # small scene: per-primitive scalars prefetched to SMEM
         grid_spec = pltpu.PrefetchScalarGridSpec(

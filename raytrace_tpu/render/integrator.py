@@ -135,7 +135,8 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
         hit_fn = make_diff_surface_hit(p.has_motion, float(s.t_min),
                                        use_pallas, clustered=clustered,
                                        has_box=p.has_box,
-                                       kind_segments=p.kind_segments)
+                                       kind_segments=p.kind_segments,
+                                       kinds=p.kinds_present)
         ints_f = (p.kind.astype(DTYPE), p.mat.astype(DTYPE))
         return hit_fn((p.p0, p.e1, p.e2, p.uvs, p.mv0, p.mv1), ints_f,
                       o, d, time)
@@ -152,7 +153,8 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
             resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
             n_prims=scene.prims.kind.shape[0], t_min=float(s.t_min),
             has_motion=scene.prims.has_motion, has_box=scene.prims.has_box,
-            segments=scene.prims.kind_segments)
+            segments=scene.prims.kind_segments,
+            kinds=scene.prims.kinds_present)
         flat = lambda x: x.reshape(r)
         normal = jnp.stack([flat(nx), flat(ny), flat(nz)], axis=-1)
         flags = flat(fr)
@@ -468,7 +470,8 @@ def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
         n_mats=n_mats, n_targets=s.n_redirect,
         t_min=float(s.t_min), has_motion=scene.prims.has_motion,
         use_prim_albedo=use_beh, has_box=scene.prims.has_box,
-        segments=scene.prims.kind_segments, interpret=interpret)
+        segments=scene.prims.kind_segments,
+        kinds=scene.prims.kinds_present, interpret=interpret)
     fl = lambda x: x.reshape(r)
     new_comps = tuple(fl(outs[k]) for k in range(6)) + (comps[6],)
     thr_new = (fl(outs[6]), fl(outs[7]), fl(outs[8]))

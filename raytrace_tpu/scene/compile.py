@@ -259,6 +259,7 @@ def _rows_to_primitives(rows: _Rows, perm=None, pad_to: int = 1,
         uvs=f32(uvs), mat=jnp.asarray(mat), mv0=f32(mv0), mv1=f32(mv1),
         n=int(n), has_motion=has_motion, has_box=has_box,
         kind_segments=kind_segments,
+        kinds_present=tuple(sorted(set(int(k) for k in kind if k >= 0))),
     )
 
 

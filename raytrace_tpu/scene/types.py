@@ -59,6 +59,12 @@ class Primitives(struct.PyTreeNode):
     # (BVH mode / tiny scenes / hand-built Primitives).
     kind_segments: tuple | None = struct.field(pytree_node=False,
                                                default=None)
+    # static set of primitive kinds present (pad rows excluded): lets the
+    # flat Pallas prim loop compile ONLY the branches a scene needs
+    # (Cornell is parallelogram-only — skipping the sphere branch nearly
+    # halves the per-prim VPU work).  None = unknown (compile all).
+    kinds_present: tuple | None = struct.field(pytree_node=False,
+                                               default=None)
 
     def __len__(self):
         return self.n
