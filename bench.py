@@ -74,10 +74,16 @@ def main():
     def time_fwd(s):
         acc, _ = render_accumulate(scene, s, spp=fwd_spp, spp_chunk=fwd_spp)
         acc.block_until_ready()
-        t0 = time.time()
-        acc, _ = render_accumulate(scene, s, spp=fwd_spp, spp_chunk=fwd_spp)
-        acc.block_until_ready()
-        return n_pix * fwd_spp / (time.time() - t0)
+        best = float("inf")
+        # vary the seed per rep (identical (program, inputs) repeats can
+        # come back implausibly fast on the tunnel — CLAUDE.md)
+        for r in range(3):
+            t0 = time.time()
+            acc, _ = render_accumulate(scene, s, seed=r + 1, spp=fwd_spp,
+                                       spp_chunk=fwd_spp)
+            acc.block_until_ready()
+            best = min(best, time.time() - t0)
+        return n_pix * fwd_spp / best
 
     fwd_rays_s_exact = time_fwd(settings)
     log(f"forward (exact estimator): {fwd_rays_s_exact/1e6:.2f}M primary rays/s")
@@ -109,11 +115,18 @@ def main():
     (loss, frac), grads = run_bwd(0)
     jax.block_until_ready((loss, grads))
     log("fwd+bwd compiled")
-    t0 = time.time()
-    for i in range(BWD_BATCHES):
-        (loss, frac), grads = run_bwd(i)
-    jax.block_until_ready((loss, grads))
-    dt = time.time() - t0
+    # the chip is shared and throughput swings 2-10x with contention:
+    # take the best of three timed rounds (CLAUDE.md benchmarking notes)
+    best_dt = float("inf")
+    for r in range(3):
+        t0 = time.time()
+        for i in range(BWD_BATCHES):
+            (loss, frac), grads = run_bwd(r * BWD_BATCHES + i)
+        jax.block_until_ready((loss, grads))
+        dt = time.time() - t0
+        log(f"fwd+bwd round {r}: {dt:.3f}s")
+        best_dt = min(best_dt, dt)
+    dt = best_dt
     bwd_rays = BWD_BATCHES * bwd_pix * bwd_spp
     bwd_rays_s = bwd_rays / dt
     log(f"fwd+bwd: {bwd_rays_s/1e6:.2f}M primary rays/s "
