@@ -516,9 +516,10 @@ def lane_math(diff, det, tgt, *, has_motion: bool, has_box: bool,
             thr2r, thr2g, thr2b, miss_f)
 
 
-def build_det(scene, s, uniforms, alive, idx):
+def build_det(scene, s, uniforms_cols, alive, idx):
     """Detached per-lane context for :func:`lane_math` + the one-hot
-    selectors: returns ``(det, oh_p, oh_m, oh_t)``."""
+    selectors: returns ``(det, oh_p, oh_m, oh_t)``.  ``uniforms_cols`` is
+    the 8-tuple of bounce uniform columns ([R] each)."""
     from ..core.vecmath import onehot_rows
     p, m, tx = scene.prims, scene.materials, scene.textures
     n, nm, nt = p.kind.shape[0], m.kind.shape[0], tx.kind.shape[0]
@@ -536,7 +537,7 @@ def build_det(scene, s, uniforms, alive, idx):
     uvr = oh_p @ p.uvs.reshape(n, 6)
     det = ((kind_p, kind_m, texkind, f0l, f1l)
            + tuple(uvr[:, k] for k in range(6))
-           + tuple(uniforms[:, k] for k in range(8))
+           + tuple(uniforms_cols)
            + (jnp.where(alive, 1.0, 0.0).astype(DTYPE),
               jnp.where(idx >= 0, 1.0, 0.0).astype(DTYPE)))
     return jax.lax.stop_gradient(det), _SG(oh_p), _SG(oh_m), _SG(oh_t)
@@ -564,98 +565,81 @@ def _bg_term(s, o, d, thr, miss_f):
     return thr * bg * miss_f[:, None]
 
 
-def replay_bwd(scene, s, o, d, time, uniforms, throughput, alive, idx,
-               cts, *, has_motion: bool, t_min: float):
-    """VJP of one megakernel bounce via the SoA replay (XLA path).
+def replay_bwd_soa(scene, s, comps, u_cols, thr, alive, idx, ct12, *,
+                   has_motion: bool, t_min: float, use_pallas: bool,
+                   interpret: bool = False):
+    """VJP of one megakernel bounce via the SoA replay.
 
-    ``cts = (ct_o, ct_d, ct_rad, ct_thr)`` as [R, 3] cotangents.  Returns
-    ``(g_scene, g_o, g_d, g_time, g_rad, g_thr)`` where ``g_scene``
-    mirrors the scene pytree with float-leaf gradients (zeros for leaves
-    the bounce never touches) — numerically equal to ``jax.vjp`` over the
-    generic XLA replay (see module docstring)."""
+    ``comps`` = (ox, oy, oz, dx, dy, dz, time), ``thr`` = (r, g, b),
+    ``u_cols`` the 8 bounce uniform columns, ``ct12`` the cotangents of
+    (o2 x3, d2 x3, radiance contribution x3, thr2 x3) — all 1-D [R].
+    ``use_pallas=True`` runs the replay + transpose fused in one Pallas
+    kernel (ops/pallas/bounce_bwd_kernel.py); False runs the same math
+    as an XLA vjp (CPU / the numerical-oracle path in tests).
+
+    Returns ``(g_scene, g_lane)`` with ``g_lane = (g_o x3, g_d x3,
+    g_time, g_thr x3)``; ``g_scene`` mirrors the scene pytree with
+    float-leaf gradients and is numerically equal to ``jax.vjp`` over
+    the generic XLA replay.
+    """
     p = scene.prims
     m = scene.materials
     tx = scene.textures
     n_targets = int(s.n_redirect)
     has_box = p.has_box
+    ox, oy, oz, dx, dy, dz, time = comps
+    tr, tg, tb = thr
+    r = ox.shape[0]
 
-    det, oh_p, oh_m, oh_t = build_det(scene, s, uniforms, alive, idx)
-    tgt = build_tgt(s, n_targets)
+    if not use_pallas:
+        det, oh_p, oh_m, oh_t = build_det(scene, s, u_cols, alive, idx)
+        tgt = build_tgt(s, n_targets)
+        parts = [p.p0, p.e1, p.e2]
+        if has_motion:
+            parts += [p.mv0, p.mv1]
+        ptab = jnp.concatenate(parts, axis=1)
 
-    parts = [p.p0, p.e1, p.e2]
-    if has_motion:
-        parts += [p.mv0, p.mv1]
-    ptab = jnp.concatenate(parts, axis=1)
+        def h(ptab, mparam, tc0, tc1, ox, oy, oz, dx, dy, dz, time,
+              tr, tg, tb):
+            rows = oh_p @ ptab
+            c0 = oh_t @ tc0
+            c1 = oh_t @ tc1
+            param = oh_m @ mparam
+            diff = (tuple(rows[:, k] for k in range(rows.shape[1]))
+                    + (c0[:, 0], c0[:, 1], c0[:, 2],
+                       c1[:, 0], c1[:, 1], c1[:, 2], param,
+                       ox, oy, oz, dx, dy, dz, time, tr, tg, tb))
+            outs = lane_math(diff, det, tgt, has_motion=has_motion,
+                             has_box=has_box, t_min=t_min,
+                             n_targets=n_targets, exact_trig=True)
+            o3 = jnp.stack([ox, oy, oz], axis=-1)
+            d3 = jnp.stack([dx, dy, dz], axis=-1)
+            thr3 = jnp.stack([tr, tg, tb], axis=-1)
+            bg = _bg_term(s, o3, d3, thr3, outs[12])
+            return outs[:6] + (outs[6] + bg[:, 0], outs[7] + bg[:, 1],
+                               outs[8] + bg[:, 2]) + outs[9:12]
 
-    def h(ptab, mparam, tc0, tc1, ox, oy, oz, dx, dy, dz, time,
-          thr_r, thr_g, thr_b):
-        rows = oh_p @ ptab
-        c0 = oh_t @ tc0
-        c1 = oh_t @ tc1
-        param = oh_m @ mparam
-        diff = (tuple(rows[:, k] for k in range(rows.shape[1]))
-                + (c0[:, 0], c0[:, 1], c0[:, 2],
-                   c1[:, 0], c1[:, 1], c1[:, 2], param,
-                   ox, oy, oz, dx, dy, dz, time, thr_r, thr_g, thr_b))
-        outs = lane_math(diff, det, tgt, has_motion=has_motion,
-                         has_box=has_box, t_min=t_min,
-                         n_targets=n_targets, exact_trig=True)
-        (o2x, o2y, o2z, d2x, d2y, d2z, rad_r, rad_g, rad_b,
-         thr2r, thr2g, thr2b, miss_f) = outs
-        o3 = jnp.stack([ox, oy, oz], axis=-1)
-        d3 = jnp.stack([dx, dy, dz], axis=-1)
-        thr3 = jnp.stack([thr_r, thr_g, thr_b], axis=-1)
-        rad = jnp.stack([rad_r, rad_g, rad_b], axis=-1) \
-            + _bg_term(s, o3, d3, thr3, miss_f)
-        return (o2x, o2y, o2z, d2x, d2y, d2z, rad[:, 0], rad[:, 1],
-                rad[:, 2], thr2r, thr2g, thr2b)
+        _, vjp = jax.vjp(h, ptab, m.param, tx.c0, tx.c1,
+                         ox, oy, oz, dx, dy, dz, time, tr, tg, tb)
+        (g_ptab, g_mparam, g_tc0, g_tc1, g_ox, g_oy, g_oz, g_dx, g_dy,
+         g_dz, g_time, g_tr, g_tg, g_tb) = vjp(tuple(ct12))
+        g_scene = assemble_scene_grads(
+            scene, g_ptab[:, 0:3], g_ptab[:, 3:6], g_ptab[:, 6:9],
+            g_ptab[:, 9:12] if has_motion else None,
+            g_ptab[:, 12:15] if has_motion else None,
+            g_mparam, g_tc0, g_tc1)
+        return g_scene, (g_ox, g_oy, g_oz, g_dx, g_dy, g_dz, g_time,
+                         g_tr, g_tg, g_tb)
 
-    _, vjp = jax.vjp(
-        h, ptab, m.param, tx.c0, tx.c1, o[:, 0], o[:, 1], o[:, 2],
-        d[:, 0], d[:, 1], d[:, 2], time,
-        throughput[:, 0], throughput[:, 1], throughput[:, 2])
-
-    ct_o, ct_d, ct_rad, ct_thr = cts
-    cts_soa = (ct_o[:, 0], ct_o[:, 1], ct_o[:, 2],
-               ct_d[:, 0], ct_d[:, 1], ct_d[:, 2],
-               ct_rad[:, 0], ct_rad[:, 1], ct_rad[:, 2],
-               ct_thr[:, 0], ct_thr[:, 1], ct_thr[:, 2])
-    (g_ptab, g_mparam, g_tc0, g_tc1, g_ox, g_oy, g_oz, g_dx, g_dy, g_dz,
-     g_time, g_tr, g_tg, g_tb) = vjp(cts_soa)
-
-    g_scene = assemble_scene_grads(
-        scene, g_ptab[:, 0:3], g_ptab[:, 3:6], g_ptab[:, 6:9],
-        g_ptab[:, 9:12] if has_motion else None,
-        g_ptab[:, 12:15] if has_motion else None, g_mparam, g_tc0, g_tc1)
-    g_o = jnp.stack([g_ox, g_oy, g_oz], axis=-1)
-    g_d = jnp.stack([g_dx, g_dy, g_dz], axis=-1)
-    g_thr = jnp.stack([g_tr, g_tg, g_tb], axis=-1)
-    return g_scene, g_o, g_d, g_time, ct_rad, g_thr
-
-
-def replay_bwd_pallas(scene, s, o, d, time, uniforms, throughput, alive,
-                      idx, cts, *, has_motion: bool, t_min: float,
-                      interpret: bool = False):
-    """VJP of one megakernel bounce with the replay + transpose fused in
-    ONE Pallas kernel (ops/pallas/bounce_bwd_kernel.py).  Same contract
-    and numerics as :func:`replay_bwd`; the only HBM traffic is the
-    kernel's inputs and gradient outputs plus the one-hot gather/reduce
-    matmuls and the background-term VJP, which stay in XLA."""
+    # ---- Pallas path: replay + transpose fused in one kernel ----
     from ..ops.pallas.bounce_bwd_kernel import bounce_bwd_megakernel
     from ..ops.pallas.bounce_kernel import pack_targets
+    from ..core.vecmath import onehot_rows
 
-    p = scene.prims
-    m = scene.materials
-    tx = scene.textures
-    n_targets = int(s.n_redirect)
-    has_box = p.has_box
-    r = o.shape[0]
     g = r // 128
-
     # ONE [R, N] one-hot matmul gathers everything per-prim (rows, uvs,
     # kind, mat) — oh_p is 25 MB at 2^18 lanes/24 prims, so every extra
     # pass over it is ~30 us of pure HBM traffic
-    from ..core.vecmath import onehot_rows
     n = p.kind.shape[0]
     pi = jnp.maximum(idx, 0)
     oh_p = _SG(onehot_rows(pi, n))
@@ -686,7 +670,7 @@ def replay_bwd_pallas(scene, s, o, d, time, uniforms, throughput, alive,
     c1 = trows[:, 6:9]
     det = ((_SG(kind_p), _SG(kind_m), _SG(texkind), _SG(f0l), _SG(f1l))
            + tuple(_SG(uvr[:, k]) for k in range(6))
-           + tuple(uniforms[:, k] for k in range(8))
+           + tuple(u_cols)
            + (jnp.where(alive, 1.0, 0.0).astype(DTYPE),
               jnp.where(idx >= 0, 1.0, 0.0).astype(DTYPE)))
     det = jax.lax.stop_gradient(det)
@@ -694,20 +678,13 @@ def replay_bwd_pallas(scene, s, o, d, time, uniforms, throughput, alive,
     diff_rows = (tuple(rows[:, k] for k in range(n_row))
                  + (c0[:, 0], c0[:, 1], c0[:, 2],
                     c1[:, 0], c1[:, 1], c1[:, 2], param,
-                    o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-                    time, throughput[:, 0], throughput[:, 1],
-                    throughput[:, 2]))
+                    ox, oy, oz, dx, dy, dz, time, tr, tg, tb))
     n_diff = len(diff_rows)
-    ct_o, ct_d, ct_rad, ct_thr = cts
-    ct_rows = (ct_o[:, 0], ct_o[:, 1], ct_o[:, 2],
-               ct_d[:, 0], ct_d[:, 1], ct_d[:, 2],
-               ct_rad[:, 0], ct_rad[:, 1], ct_rad[:, 2],
-               ct_thr[:, 0], ct_thr[:, 1], ct_thr[:, 2])
     st = lambda xs: tuple(x.reshape(g, 128) for x in xs)   # free reshape
     ttbl = pack_targets(s.redirect_prob, s.redirect_q, s.redirect_u,
                         s.redirect_v)
     gdiff, miss = bounce_bwd_megakernel(
-        _SG(ttbl), _SG(st(diff_rows)), st(det), _SG(st(ct_rows)),
+        _SG(ttbl), _SG(st(diff_rows)), st(det), _SG(st(ct12)),
         n_targets=n_targets, has_motion=has_motion, has_box=has_box,
         t_min=t_min, interpret=interpret)
     gd = tuple(x.reshape(r) for x in gdiff)
@@ -721,26 +698,75 @@ def replay_bwd_pallas(scene, s, o, d, time, uniforms, throughput, alive,
     g_tc1 = oh_t.T @ stk(i + 3, i + 6)
     g_mparam = gd[i + 6] @ oh_m
     i += 7
-    g_o = stk(i, i + 3)
-    g_d = stk(i + 3, i + 6)
-    g_time = gd[i + 6]
-    g_thr = stk(i + 7, i + 10)
+    g_lane = gd[i:i + 10]
 
     # miss-background term (kept in XLA: arbitrary jittable backgrounds)
-    def bgf(o, d, thr):
-        return _bg_term(s, o, d, thr, miss_f)
+    def bgf(o3, d3, thr3):
+        return _bg_term(s, o3, d3, thr3, miss_f)
 
-    _, bg_vjp = jax.vjp(bgf, o, d, throughput)
-    go_bg, gd_bg, gthr_bg = bg_vjp(ct_rad)
-    g_o = g_o + go_bg
-    g_d = g_d + gd_bg
-    g_thr = g_thr + gthr_bg
+    o3 = jnp.stack([ox, oy, oz], axis=-1)
+    d3 = jnp.stack([dx, dy, dz], axis=-1)
+    thr3 = jnp.stack([tr, tg, tb], axis=-1)
+    ct_rad3 = jnp.stack(ct12[6:9], axis=-1)
+    _, bg_vjp = jax.vjp(bgf, o3, d3, thr3)
+    go_bg, gd_bg, gthr_bg = bg_vjp(ct_rad3)
+    g_lane = (g_lane[0] + go_bg[:, 0], g_lane[1] + go_bg[:, 1],
+              g_lane[2] + go_bg[:, 2],
+              g_lane[3] + gd_bg[:, 0], g_lane[4] + gd_bg[:, 1],
+              g_lane[5] + gd_bg[:, 2], g_lane[6],
+              g_lane[7] + gthr_bg[:, 0], g_lane[8] + gthr_bg[:, 1],
+              g_lane[9] + gthr_bg[:, 2])
 
     g_scene = assemble_scene_grads(
         scene, g_ptab[:, 0:3], g_ptab[:, 3:6], g_ptab[:, 6:9],
         g_ptab[:, 9:12] if has_motion else None,
         g_ptab[:, 12:15] if has_motion else None, g_mparam, g_tc0, g_tc1)
-    return g_scene, g_o, g_d, g_time, ct_rad, g_thr
+    return g_scene, g_lane
+
+
+def replay_bwd(scene, s, o, d, time, uniforms, throughput, alive, idx,
+               cts, *, has_motion: bool, t_min: float):
+    """[R, 3]-interface wrapper over :func:`replay_bwd_soa` (XLA path);
+    the numerical-oracle entry used by tests.  Returns
+    ``(g_scene, g_o, g_d, g_time, g_rad, g_thr)``."""
+    ct_o, ct_d, ct_rad, ct_thr = cts
+    ct12 = (ct_o[:, 0], ct_o[:, 1], ct_o[:, 2],
+            ct_d[:, 0], ct_d[:, 1], ct_d[:, 2],
+            ct_rad[:, 0], ct_rad[:, 1], ct_rad[:, 2],
+            ct_thr[:, 0], ct_thr[:, 1], ct_thr[:, 2])
+    comps = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], time)
+    thr = (throughput[:, 0], throughput[:, 1], throughput[:, 2])
+    u_cols = tuple(uniforms[:, k] for k in range(8))
+    g_scene, gl = replay_bwd_soa(
+        scene, s, comps, u_cols, thr, alive, idx, ct12,
+        has_motion=has_motion, t_min=t_min, use_pallas=False)
+    g_o = jnp.stack(gl[0:3], axis=-1)
+    g_d = jnp.stack(gl[3:6], axis=-1)
+    g_thr = jnp.stack(gl[7:10], axis=-1)
+    return g_scene, g_o, g_d, gl[6], ct_rad, g_thr
+
+
+def replay_bwd_pallas(scene, s, o, d, time, uniforms, throughput, alive,
+                      idx, cts, *, has_motion: bool, t_min: float,
+                      interpret: bool = False):
+    """[R, 3]-interface wrapper over :func:`replay_bwd_soa` (Pallas
+    path); kept for tests/benchmarks."""
+    ct_o, ct_d, ct_rad, ct_thr = cts
+    ct12 = (ct_o[:, 0], ct_o[:, 1], ct_o[:, 2],
+            ct_d[:, 0], ct_d[:, 1], ct_d[:, 2],
+            ct_rad[:, 0], ct_rad[:, 1], ct_rad[:, 2],
+            ct_thr[:, 0], ct_thr[:, 1], ct_thr[:, 2])
+    comps = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], time)
+    thr = (throughput[:, 0], throughput[:, 1], throughput[:, 2])
+    u_cols = tuple(uniforms[:, k] for k in range(8))
+    g_scene, gl = replay_bwd_soa(
+        scene, s, comps, u_cols, thr, alive, idx, ct12,
+        has_motion=has_motion, t_min=t_min, use_pallas=True,
+        interpret=interpret)
+    g_o = jnp.stack(gl[0:3], axis=-1)
+    g_d = jnp.stack(gl[3:6], axis=-1)
+    g_thr = jnp.stack(gl[7:10], axis=-1)
+    return g_scene, g_o, g_d, gl[6], ct_rad, g_thr
 
 
 def assemble_scene_grads(scene, g_p0, g_e1, g_e2, g_mv0, g_mv1, g_mparam,

@@ -982,43 +982,47 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
         keys = jax.random.wrap_key_data(jnp.where(
             can[:, None], jax.random.key_data(nk),
             jax.random.key_data(keys)))
-        rad = rad * (1.0 - can_f)[:, None]
-        thr = jnp.where(can[:, None], 1.0, thr)
+        rad = tuple(x * (1.0 - can_f) for x in rad)
+        thr = tuple(jnp.where(can, 1.0, x) for x in thr)
         depth = jnp.where(can, 0, depth)
         alive = alive | can
 
         dkeys = rng.mix_depth(keys, depth)
         uniforms = rng.uniform_block(dkeys, n_u + 6)
-        no, nd, ntime = generate_rays_from_uniforms(
-            s, frame, lane_pixel, uniforms[:, n_u:n_u + 5])
-        o, d, time = comps
-        o = jnp.where(can[:, None], no, o)
-        d = jnp.where(can[:, None], nd, d)
-        time = jnp.where(can, ntime, time)
+        new_comps = generate_ray_components(s, frame, lane_pixel,
+                                            uniforms[:, n_u:n_u + 5])
+        comps = tuple(jnp.where(can, nc, c)
+                      for nc, c in zip(new_comps, comps))
 
         if use_mega:
-            from ..diff.mega_bounce import mega_bounce_diff
-            o, d, rad, thr, alive, died = mega_bounce_diff(
-                scene, s, o, d, time, uniforms, rad, thr, alive,
+            from ..diff.mega_bounce import mega_bounce_diff_soa
+            comps, contrib, thr, alive, died = mega_bounce_diff_soa(
+                scene, s, comps, uniforms, thr, alive,
                 interpret=mega_interpret)
+            rad = tuple(r + c for r, c in zip(rad, contrib))
         else:
-            o, d, rad, thr, alive, died = bounce(
-                scene, s, o, d, time, uniforms, rad, thr, alive,
+            o = jnp.stack(comps[0:3], axis=-1)
+            d = jnp.stack(comps[3:6], axis=-1)
+            o, d, rad3, thr3, alive, died = bounce(
+                scene, s, o, d, comps[6], uniforms,
+                jnp.stack(rad, axis=-1), jnp.stack(thr, axis=-1), alive,
                 use_pallas=use_pallas, diff=True)
+            comps = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1],
+                     d[:, 2], comps[6])
+            rad = (rad3[:, 0], rad3[:, 1], rad3[:, 2])
+            thr = (thr3[:, 0], thr3[:, 1], thr3[:, 2])
         depth = depth + 1
         capped = alive & (depth >= s.max_depth)
         died = died | capped
         alive = alive & ~capped
         if s.rr_depth is not None:
-            thr_t = (thr[:, 0], thr[:, 1], thr[:, 2])
-            thr_t, alive, died = _russian_roulette(
-                s, uniforms[:, n_u + 5], depth, thr_t, alive, died,
+            thr, alive, died = _russian_roulette(
+                s, uniforms[:, n_u + 5], depth, thr, alive, died,
                 detach=True)
-            thr = jnp.stack(thr_t, axis=-1)
 
         died_f = jnp.where(died, 1.0, 0.0)
         if k_rot == 1:
-            acc = acc + rad * died_f[:, None]
+            acc = tuple(a + r * died_f for a, r in zip(acc, rad))
             done = done + died.astype(jnp.int32)
         else:
             # contribution of lane l belongs to pixel slot
@@ -1026,20 +1030,20 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
             # rolls (linear; AD-transparent)
             for cc in range(k_rot):
                 m = (died_f * jnp.where(rot_c == cc, 1.0, 0.0))
-                acc = acc + jnp.roll(rad * m[:, None], cc * stride, axis=0)
+                acc = tuple(a + jnp.roll(r * m, cc * stride)
+                            for a, r in zip(acc, rad))
                 done = done + jnp.roll(m.astype(jnp.int32), cc * stride)
-        return (acc, done, (o, d, time), rad, thr, alive, sample, depth,
+        return (acc, done, comps, rad, thr, alive, sample, depth,
                 keys), None
 
     z1 = jnp.zeros((lanes,), DTYPE)
-    z3 = jnp.zeros((lanes, 3), DTYPE)
+    o1 = jnp.ones((lanes,), DTYPE)
     init_keys = rng.ray_keys_fast(base_key, jnp.zeros(lanes, jnp.int32),
                                   jnp.zeros(lanes, jnp.int32))
     state = (
-        z3, jnp.zeros((lanes,), jnp.int32),
-        (z3, jnp.concatenate([jnp.zeros((lanes, 2), DTYPE),
-                              jnp.ones((lanes, 1), DTYPE)], axis=1), z1),
-        z3, jnp.ones((lanes, 3), DTYPE),
+        (z1, z1, z1), jnp.zeros((lanes,), jnp.int32),
+        (z1, z1, z1, z1, z1, o1, z1),       # o, d (dummy unit z), time
+        (z1, z1, z1), (o1, o1, o1),         # radiance, throughput
         jnp.zeros((lanes,), bool),
         jnp.full((lanes,), sample_offset - 1, jnp.int32),
         jnp.zeros((lanes,), jnp.int32), init_keys,
@@ -1047,5 +1051,5 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
     scan_body = jax.checkpoint(body) if remat else body
     state, _ = jax.lax.scan(scan_body, state, None, length=n_iters)
     acc, done = state[0], state[1]
-    mean = acc / jnp.maximum(done, 1)[:, None]
+    mean = jnp.stack(acc, axis=-1) / jnp.maximum(done, 1)[:, None]
     return mean, done
