@@ -57,6 +57,8 @@ MAX_SMEM_PRIMS = 512       # parameter table in SMEM (scalar prefetch)
 MAX_DENSE_PRIMS = 65536    # above MAX_SMEM_PRIMS the table lives in VMEM
 CLUSTER = 64               # prims per cluster (clustered consensus loop)
 CLUSTER_MIN_PRIMS = 65     # below this, the flat single-pass loop wins
+FORCE_LOOP = None          # None adaptive; "flat"/"clustered" pin the
+                           # block-level choice (tests + A/B tools)
 
 
 def pack_prims(prims: Primitives, mat_override=None, albedo=None,
@@ -185,18 +187,16 @@ def prim_loop(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *, n_prims: int,
     if ctbl_ref is not None and n_prims >= CLUSTER_MIN_PRIMS:
         n_clusters = -(-n_prims // CLUSTER)
 
-        if segments is not None:
-            # Kind-segmented table: every visited cluster runs a loop
-            # specialized to its one kind, so even visit-everything
-            # (incoherent) blocks beat the generic flat scan — no
-            # adaptive pre-pass needed.
-            return _prim_loop_clustered(
-                tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
-                n_prims=n_prims, t_min=t_min, has_motion=has_motion,
-                with_albedo=with_albedo, has_box=has_box,
-                segments=segments)
-
         def flat(_):
+            if segments is not None:
+                # Kind-segmented one-pass scan: same per-kind
+                # specialization as the clustered loop, but no slab
+                # tests, conds, or second (attribute) traversal — wins
+                # when the block would visit most clusters anyway.
+                return _prim_loop_flat_segmented(
+                    tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
+                    n_prims=n_prims, t_min=t_min, has_motion=has_motion,
+                    with_albedo=with_albedo, segments=segments)
             return _prim_loop_flat(
                 tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
                 n_prims=n_prims, t_min=t_min, has_motion=has_motion,
@@ -206,7 +206,13 @@ def prim_loop(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *, n_prims: int,
             return _prim_loop_clustered(
                 tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
                 n_prims=n_prims, t_min=t_min, has_motion=has_motion,
-                with_albedo=with_albedo, has_box=has_box)
+                with_albedo=with_albedo, has_box=has_box,
+                segments=segments)
+
+        if FORCE_LOOP == "flat":
+            return flat(0)
+        if FORCE_LOOP == "clustered":
+            return clustered(0)
 
         # pre-pass: how many cluster AABBs does this block touch at all?
         safe = lambda d: jnp.where(jnp.abs(d) < 1e-20,
@@ -282,13 +288,20 @@ def _box_attrs(lox, loy, loz, hix, hiy, hiz, hx, hy, hz, dxv, dyv, dzv):
 def _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *,
                     n_prims: int, t_min: float, has_motion: bool,
                     with_albedo: bool = False, has_box: bool = False,
-                    kinds: tuple | None = None):
+                    kinds: tuple | None = None, row0: int = 0,
+                    carry0=None, flip_normal: bool = True):
     """Single-pass dense scan (see :func:`prim_loop`).
 
     ``kinds`` (static) is the set of primitive kinds present in the
     table (scene/types.py Primitives.kinds_present); branches for absent
     kinds compile to nothing — a parallelogram-only scene (Cornell) runs
     no sphere code per prim and vice versa.  None compiles everything.
+
+    ``row0``/``n_prims`` bound the scanned row range and ``carry0``
+    seeds the running best (both static), so segmented callers
+    (:func:`_prim_loop_flat_segmented`) can chain one specialized scan
+    per kind segment; ``flip_normal=False`` defers the front-side flip
+    to the last segment.
     """
     shp = oxv.shape
     want_sphere = kinds is None or PRIM_SPHERE in kinds
@@ -303,20 +316,23 @@ def _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *,
         inv_dz = 1.0 / safe(dzv)
 
     inf = jnp.float32(jnp.inf)
-    init = (
-        jnp.full(shp, inf, jnp.float32),          # best t
-        jnp.full(shp, -1.0, jnp.float32),         # best prim index
-        jnp.zeros(shp, jnp.float32),              # outward x / normal
-        jnp.zeros(shp, jnp.float32),
-        jnp.ones(shp, jnp.float32),
-        jnp.zeros(shp, jnp.float32),              # front (1.0 = front)
-        jnp.zeros(shp, jnp.float32),              # u
-        jnp.zeros(shp, jnp.float32),              # v
-        jnp.zeros(shp, jnp.float32),              # mat
-        jnp.ones(shp, jnp.float32),               # is_sphere (for post uv)
-    )
-    if with_albedo:
-        init = init + (jnp.zeros(shp, jnp.float32),) * 4  # ar, ag, ab, prm
+    if carry0 is not None:
+        init = carry0
+    else:
+        init = (
+            jnp.full(shp, inf, jnp.float32),          # best t
+            jnp.full(shp, -1.0, jnp.float32),         # best prim index
+            jnp.zeros(shp, jnp.float32),              # outward x / normal
+            jnp.zeros(shp, jnp.float32),
+            jnp.ones(shp, jnp.float32),
+            jnp.zeros(shp, jnp.float32),              # front (1.0 = front)
+            jnp.zeros(shp, jnp.float32),              # u
+            jnp.zeros(shp, jnp.float32),              # v
+            jnp.zeros(shp, jnp.float32),              # mat
+            jnp.ones(shp, jnp.float32),               # is_sphere (post uv)
+        )
+        if with_albedo:
+            init = init + (jnp.zeros(shp, jnp.float32),) * 4  # ar ag ab prm
 
     def body(ci, carry):
         (bt, bi, cnx, cny, cnz, cfr, cu, cv, cm, csp) = carry[:10]
@@ -496,13 +512,51 @@ def _prim_loop_flat(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *,
                 for k in range(4))
         return out
 
-    res = jax.lax.fori_loop(0, n_prims, body, init)
+    res = jax.lax.fori_loop(row0, n_prims, body, init)
+    if not flip_normal:
+        return res
     (bt, bi, cnx, cny, cnz, cfr, cu, cv, cm, csp) = res[:10]
 
     # flip the normal toward the ray
     flip = jnp.where(cfr > 0.5, 1.0, -1.0)
     return (bt, bi, cnx * flip, cny * flip, cnz * flip, cfr, cu, cv, cm,
             csp) + res[10:]
+
+
+_SEG_KINDS = {
+    PRIM_SPHERE: (PRIM_SPHERE,),
+    PRIM_PARALLELOGRAM: (PRIM_PARALLELOGRAM, PRIM_TRIANGLE),
+    PRIM_BOX: (PRIM_BOX,),
+}
+
+
+def _prim_loop_flat_segmented(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
+                              *, n_prims: int, t_min: float,
+                              has_motion: bool, with_albedo: bool = False,
+                              segments=None):
+    """Kind-segmented single-pass scan: one :func:`_prim_loop_flat` range
+    per kind segment (compile_scene's kind-major row order), each
+    compiling only its kind's math, chained through one running-best
+    carry.  For incoherent blocks that would visit every cluster anyway
+    this does the same math as the two-phase clustered loop but in ONE
+    pass — no slab pre-tests, no per-cluster ``lax.cond`` overhead, and
+    no second attribute-reconstruction traversal."""
+    carry = None
+    first = True
+    for gkind, k0, k1 in segments:
+        row0 = k0 * CLUSTER
+        row1 = min(k1 * CLUSTER, n_prims)
+        carry = _prim_loop_flat(
+            tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
+            n_prims=row1, t_min=t_min, has_motion=has_motion,
+            with_albedo=with_albedo, has_box=(gkind == PRIM_BOX),
+            kinds=_SEG_KINDS[gkind], row0=row0,
+            carry0=None if first else carry, flip_normal=False)
+        first = False
+    (bt, bi, cnx, cny, cnz, cfr, cu, cv, cm, csp) = carry[:10]
+    flip = jnp.where(cfr > 0.5, 1.0, -1.0)
+    return (bt, bi, cnx * flip, cny * flip, cnz * flip, cfr, cu, cv, cm,
+            csp) + carry[10:]
 
 
 def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,

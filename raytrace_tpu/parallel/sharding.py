@@ -85,7 +85,7 @@ def sharded_wavefront_render_fn(mesh: Mesh, n_pix: int, spp: int):
     Scaling story (BASELINE north-star): dp is embarrassingly parallel
     over ICI/DCN — see tools/bench_scaling.py for the efficiency harness.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from ..render.integrator import LANE_ALIGN, trace_wavefront_stationary
 
     n_dev = mesh.devices.size
@@ -100,7 +100,7 @@ def sharded_wavefront_render_fn(mesh: Mesh, n_pix: int, spp: int):
     sharded = shard_map(
         local_render, mesh=mesh,
         in_specs=(P(), P(), P(), spec),
-        out_specs=spec, check_rep=False)
+        out_specs=spec, check_vma=False)
 
     def render(scene, settings, key):
         offsets = jnp.arange(n_dev, dtype=jnp.int32) * block

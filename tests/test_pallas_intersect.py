@@ -75,10 +75,10 @@ def _run_both(scene, n=512, seed=0, t_min=1e-3):
     )
 
 
-def _compare(ref, pal):
+def _compare(ref, pal, t_rtol=2e-5):
     hit = np.isfinite(ref["t"])
     assert (hit == np.isfinite(pal["t"])).all()
-    np.testing.assert_allclose(pal["t"][hit], ref["t"][hit], rtol=2e-5,
+    np.testing.assert_allclose(pal["t"][hit], ref["t"][hit], rtol=t_rtol,
                                atol=1e-5)
     assert (pal["i"][hit] == ref["i"][hit]).all()
     assert (pal["m"][hit] == ref["m"][hit]).all()
@@ -133,6 +133,45 @@ def test_clustered_mixed_motion_matches():
     assert scene.prims.kind.shape[0] >= 65  # clustered path engaged
     ref, pal = _run_both(scene, n=1024, seed=3)
     _compare(ref, pal)
+
+
+def test_segmented_flat_and_clustered_match_oracle():
+    """Pin each side of the adaptive block-level choice (FORCE_LOOP) and
+    check both the kind-segmented flat one-pass scan and the segmented
+    two-phase clustered loop against the XLA oracle on a mixed
+    sphere/planar/box motion scene."""
+    import raytrace_tpu.ops.pallas.intersect_kernel as ik
+
+    rng_ = np.random.default_rng(11)
+    items = []
+    for i in range(40):
+        c = rng_.uniform(-8, 8, 3)
+        items.append(rt.with_material(M, rt.sphere(c, rng_.uniform(0.3, 1.0))))
+    for i in range(30):
+        q = rng_.uniform(-8, 8, 3)
+        g = rt.with_material(M2, rt.parallelogram(
+            q, rng_.uniform(-1.5, 1.5, 3), rng_.uniform(-1.5, 1.5, 3)))
+        if i % 3 == 0:
+            g = rt.moving([0, 0, 0], rng_.uniform(-1, 1, 3), g)
+        items.append(g)
+    for i in range(10):
+        lo = rng_.uniform(-8, 8, 3)
+        items.append(rt.with_material(M, rt.cuboid(
+            lo, lo + rng_.uniform(0.5, 2.0, 3))))
+    scene = rt.compile_scene(rt.group(items), accel="dense")
+    assert scene.prims.kind_segments is not None
+    assert len(scene.prims.kind_segments) == 3
+    try:
+        for mode in ("flat", "clustered"):
+            ik.FORCE_LOOP = mode
+            pallas_nearest_record._clear_cache()
+            ref, pal = _run_both(scene, n=1024, seed=5)
+            # t_rtol: this scene's wide coordinate range gives a couple
+            # of lanes ~4e-5 relative f32 association noise (same winner)
+            _compare(ref, pal, t_rtol=2e-4)
+    finally:
+        ik.FORCE_LOOP = None
+        pallas_nearest_record._clear_cache()
 
 
 def test_moving_parallelogram_single_pass():
