@@ -1,0 +1,406 @@
+"""All-pairs broadcast intersect kernel: prims on sublanes, rays on lanes.
+
+The flat/clustered loops in intersect_kernel.py iterate one primitive per
+``fori_loop`` step; at mesh scale the per-iteration overhead (scalar
+loads + loop control) dominates — the demo2 table (1536 rows) measures
+~19x above its arithmetic bound.  This kernel restructures the scan so
+one iteration intersects ONE RAY ROW [1, 128] against a whole PRIM CHUNK
+[L, 1] via broadcasting, producing [L, 128] candidate tiles with pure
+vector ops — no per-prim scalar traffic, no coherence dependence:
+
+  for chunk in chunk_plan:          # static; one primitive kind each
+      cols = tbl[p0:p0+L, c:c+1]    # [L, 1] column loads, ONCE per chunk
+      for g in rows:                # fori_loop
+          t_cand = kind_math(cols, ray_row_g)        # [L, 128]
+          reduce min/argmin over sublanes -> best[g]  # [1, 128]
+
+Winner attributes are reconstructed in a second per-row pass with an MXU
+one-hot gather: onehot[P, 128] = (iota == best_i) matmul'd against the
+whole [P, 36] table (precision HIGHEST keeps the gathered f32 columns
+exact to ~2^-22), then the normal/uv/front math runs ONCE per lane
+instead of once per (prim, lane) as in the clustered loop's phase 2.
+
+Semantics and the packed-table layout are identical to
+intersect_kernel.py (reference Geometry.hs:58-176): two-root sphere
+selection on the open interval (t_min, inf), plane membership via scalar
+triple products, native axis-aligned boxes, per-prim linear motion,
+front-side normal flip, first-lowest-index tie-breaking.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...scene.types import (
+    PRIM_BOX, PRIM_PARALLELOGRAM, PRIM_SPHERE, PRIM_TRIANGLE,
+)
+from .intersect_kernel import CLUSTER, N_COLS
+
+import os
+
+LANES = 128
+BLOCK_RG = int(os.environ.get("RT_AP_RG", "64"))
+                     # ray rows per grid program (64*128 = 8192 rays)
+CHUNK = int(os.environ.get("RT_AP_CHUNK", "512"))
+                     # prims per chunk ([512, 128] f32 tile = 256 KB)
+WIDE_LANES = int(os.environ.get("RT_AP_W", "512"))
+                     # target row width (rays per row iteration): fewer
+                     # row iterations + reductions for the same math.
+                     # demo2-table sweep (ms/90k lanes): 128 -> 4.8,
+                     # 256 -> 3.96, 512 -> 3.50, 1024 -> 3.37 (plateau;
+                     # 512 keeps [CHUNK, W] tiles at 1 MB)
+MIN_PRIMS = 192      # below this the per-prim loops win (small tables)
+_SKIP_ATTRS = bool(os.environ.get("RT_AP_SKIP_ATTRS"))   # profiling only
+
+
+def chunk_plan(segments, n_prims: int):
+    """Static (kind, row0, length) chunks from compile_scene's
+    kind_segments (cluster units).  Rows within a segment are split into
+    <= CHUNK pieces; segment rows are CLUSTER-aligned so every length is
+    a sublane multiple."""
+    plan = []
+    for gkind, k0, k1 in segments:
+        row0 = k0 * CLUSTER
+        row1 = min(k1 * CLUSTER, n_prims)
+        p = row0
+        while p < row1:
+            ln = min(CHUNK, row1 - p)
+            plan.append((int(gkind), p, ln))
+            p += ln
+    return tuple(plan)
+
+
+def _row(ref, g):
+    return ref[pl.ds(g, 1), :]
+
+
+def _kernel(tbl_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+            tm_ref, t_out, i_out, nx_out, ny_out, nz_out, fr_out, u_out,
+            v_out, m_out, bt_s, bi_s, *, plan, n_prims: int, t_min: float,
+            has_motion: bool, rg: int, w: int):
+    inf = jnp.float32(jnp.inf)
+    tmn = jnp.float32(t_min)
+    bt_s[...] = jnp.full((rg, w), inf, jnp.float32)
+    bi_s[...] = jnp.full((rg, w), -1.0, jnp.float32)
+
+    col = lambda p0, ln, c: tbl_ref[pl.ds(p0, ln), pl.ds(c, 1)]  # [L, 1]
+
+    # ---- phase 1: per-chunk candidate sweep, running best per row ----
+    for gkind, p0, ln in plan:
+        kindc = col(p0, ln, 16)
+        piota = (jnp.float32(p0) + jax.lax.broadcasted_iota(
+            jnp.int32, (ln, 1), 0).astype(jnp.float32))
+        if has_motion:
+            mvx, mvy, mvz = col(p0, ln, 27), col(p0, ln, 28), col(p0, ln, 29)
+
+        if gkind == PRIM_SPHERE:
+            # mv0 folds into the center; everything else is computed in
+            # the direct oc = c - o form — all ops are [L, 128]-sized
+            # regardless of factoring, so the minimum-op form wins
+            cx, cy, cz = col(p0, ln, 0), col(p0, ln, 1), col(p0, ln, 2)
+            if has_motion:
+                cx = cx + col(p0, ln, 24)
+                cy = cy + col(p0, ln, 25)
+                cz = cz + col(p0, ln, 26)
+            r2 = col(p0, ln, 3)
+            ok0 = kindc == 0.0
+
+            def cand(ox, oy, oz, dx, dy, dz, tm):
+                if has_motion:
+                    ocx = cx + tm * mvx - ox              # [L, 128]
+                    ocy = cy + tm * mvy - oy
+                    ocz = cz + tm * mvz - oz
+                else:
+                    ocx = cx - ox
+                    ocy = cy - oy
+                    ocz = cz - oz
+                h = ocx * dx + ocy * dy + ocz * dz
+                disc = h * h - (ocx * ocx + ocy * ocy + ocz * ocz - r2)
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                r1 = h - sq
+                r2_ = h + sq
+                t = jnp.where(r1 > tmn, r1, jnp.where(r2_ > tmn, r2_, inf))
+                return jnp.where((disc >= 0.0) & ok0, t, inf)
+
+        elif gkind == PRIM_PARALLELOGRAM:  # planar segment: para + tri
+            nx, ny, nz = col(p0, ln, 4), col(p0, ln, 5), col(p0, ln, 6)
+            wax, way, waz = col(p0, ln, 7), col(p0, ln, 8), col(p0, ln, 9)
+            wbx, wby, wbz = (col(p0, ln, 10), col(p0, ln, 11),
+                             col(p0, ln, 12))
+            qn, qwa, qwb = col(p0, ln, 13), col(p0, ln, 14), col(p0, ln, 15)
+            if has_motion:
+                m0x, m0y, m0z = (col(p0, ln, 24), col(p0, ln, 25),
+                                 col(p0, ln, 26))
+                qn = qn + m0x * nx + m0y * ny + m0z * nz
+                qwa = qwa + m0x * wax + m0y * way + m0z * waz
+                qwb = qwb + m0x * wbx + m0y * wby + m0z * wbz
+                dn = mvx * nx + mvy * ny + mvz * nz
+                dwa = mvx * wax + mvy * way + mvz * waz
+                dwb = mvx * wbx + mvy * wby + mvz * wbz
+            is_tri = kindc == 2.0
+            okp = (kindc > 0.5) & (kindc < 2.5)
+
+            def cand(ox, oy, oz, dx, dy, dz, tm):
+                qn_e, qwa_e, qwb_e = qn, qwa, qwb
+                if has_motion:
+                    qn_e = qn + tm * dn
+                    qwa_e = qwa + tm * dwa
+                    qwb_e = qwb + tm * dwb
+                den = nx * dx + ny * dy + nz * dz          # [L, 128]
+                den_ok = jnp.abs(den) > 1e-8
+                t = (qn_e - (nx * ox + ny * oy + nz * oz)) / jnp.where(
+                    den_ok, den, 1.0)
+                a = (wax * ox + way * oy + waz * oz) - qwa_e \
+                    + t * (wax * dx + way * dy + waz * dz)
+                b = (wbx * ox + wby * oy + wbz * oz) - qwb_e \
+                    + t * (wbx * dx + wby * dy + wbz * dz)
+                bound = jnp.where(is_tri, a + b, jnp.maximum(a, b))
+                ok = (den_ok & (a >= 0.0) & (b >= 0.0) & (bound <= 1.0)
+                      & (t > tmn) & okp)
+                return jnp.where(ok, t, inf)
+
+        else:  # PRIM_BOX: lo in cols 0-2, hi in the w_a slots 7-9
+            lox, loy, loz = col(p0, ln, 0), col(p0, ln, 1), col(p0, ln, 2)
+            hix, hiy, hiz = col(p0, ln, 7), col(p0, ln, 8), col(p0, ln, 9)
+            if has_motion:
+                m0x, m0y, m0z = (col(p0, ln, 24), col(p0, ln, 25),
+                                 col(p0, ln, 26))
+                lox, loy, loz = lox + m0x, loy + m0y, loz + m0z
+                hix, hiy, hiz = hix + m0x, hiy + m0y, hiz + m0z
+            okb = kindc == 3.0
+
+            def cand(ox, oy, oz, dx, dy, dz, tm):
+                safe = lambda d: jnp.where(
+                    jnp.abs(d) < 1e-20,
+                    jnp.where(d < 0, -1e-20, 1e-20), d)
+                ivx, ivy, ivz = 1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz)
+                lx, ly, lz, hx, hy, hz = lox, loy, loz, hix, hiy, hiz
+                if has_motion:
+                    sx, sy, sz = tm * mvx, tm * mvy, tm * mvz
+                    lx, ly, lz = lx + sx, ly + sy, lz + sz
+                    hx, hy, hz = hx + sx, hy + sy, hz + sz
+                t0x = (lx - ox) * ivx
+                t1x = (hx - ox) * ivx
+                t0y = (ly - oy) * ivy
+                t1y = (hy - oy) * ivy
+                t0z = (lz - oz) * ivz
+                t1z = (hz - oz) * ivz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.minimum(t0z, t1z))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.maximum(t0z, t1z))
+                t = jnp.where(tn > tmn, tn, jnp.where(tf > tmn, tf, inf))
+                return jnp.where((tn <= tf) & okb, t, inf)
+
+        def row_body(g, _, cand=cand, piota=piota):
+            ox, oy, oz = _row(ox_ref, g), _row(oy_ref, g), _row(oz_ref, g)
+            dx, dy, dz = _row(dx_ref, g), _row(dy_ref, g), _row(dz_ref, g)
+            tm = _row(tm_ref, g) if has_motion else None
+            t_c = cand(ox, oy, oz, dx, dy, dz, tm)         # [L, 128]
+            tmin = jnp.min(t_c, axis=0, keepdims=True)     # [1, 128]
+            pi = jnp.min(jnp.where(t_c == tmin, piota, inf), axis=0,
+                         keepdims=True)
+            bt = bt_s[pl.ds(g, 1), :]
+            better = tmin < bt                      # strict: earlier chunk
+            bt_s[pl.ds(g, 1), :] = jnp.where(better, tmin, bt)
+            bi = bi_s[pl.ds(g, 1), :]
+            bi_s[pl.ds(g, 1), :] = jnp.where(
+                better, jnp.where(tmin < inf, pi, -1.0), bi)
+            return 0
+
+        jax.lax.fori_loop(0, rg, row_body, 0)
+
+    # ---- phase 2: winner attributes via MXU one-hot gather ----
+    kinds = tuple(sorted({k for k, _, _ in plan}))
+    want_sphere = PRIM_SPHERE in kinds
+    want_plane = PRIM_PARALLELOGRAM in kinds
+    want_box = PRIM_BOX in kinds
+
+    def attr_body(g, _):
+        bt = bt_s[pl.ds(g, 1), :]
+        bi = bi_s[pl.ds(g, 1), :]
+        hit = bt < inf
+        if _SKIP_ATTRS:        # profiling: phase-1 cost in isolation
+            gsl = (pl.ds(g, 1), slice(None))
+            t_out[gsl] = bt
+            i_out[gsl] = bi.astype(jnp.int32)
+            for ref in (nx_out, ny_out, nz_out, u_out, v_out):
+                ref[gsl] = bt * 0.0
+            for ref in (fr_out, m_out):
+                ref[gsl] = bi.astype(jnp.int32) * 0
+            return 0
+        # one-hot gather of the winner's table row, accumulated over
+        # CHUNK-row pieces so the [chunk, W] one-hot stays VMEM-small
+        # even for mesh-scale tables (bunny @ W=512: 1 MB vs 10 MB)
+        gt = None
+        for _, p0, ln in plan:
+            piota = (jnp.float32(p0) + jax.lax.broadcasted_iota(
+                jnp.int32, (ln, 1), 0).astype(jnp.float32))
+            oh = (piota == bi).astype(jnp.float32)         # [L, W]
+            g_c = jax.lax.dot_general(
+                tbl_ref[pl.ds(p0, ln), :], oh, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)        # [36, W]
+            gt = g_c if gt is None else gt + g_c
+        c = lambda j: gt[j:j + 1, :]                       # [1, W]
+
+        ox, oy, oz = _row(ox_ref, g), _row(oy_ref, g), _row(oz_ref, g)
+        dx, dy, dz = _row(dx_ref, g), _row(dy_ref, g), _row(dz_ref, g)
+        t_safe = jnp.where(hit, bt, 1.0)
+        hx = ox + t_safe * dx
+        hy = oy + t_safe * dy
+        hz = oz + t_safe * dz
+        if has_motion:
+            tm = _row(tm_ref, g)
+            sx = c(24) + tm * c(27)
+            sy = c(25) + tm * c(28)
+            sz = c(26) + tm * c(29)
+        else:
+            sx = sy = sz = jnp.zeros_like(bt)
+
+        kind = c(16)
+        zero = jnp.zeros_like(bt)
+        n_x = zero
+        n_y = zero
+        n_z = jnp.ones_like(bt)
+        fr = zero
+        uu = zero
+        vv = zero
+        sphf = zero
+
+        if want_sphere:
+            inv_r = jax.lax.rsqrt(jnp.maximum(c(3), 1e-30)) * jnp.sign(
+                c(30))
+            cex = c(0) + sx
+            cey = c(1) + sy
+            cez = c(2) + sz
+            snx = (hx - cex) * inv_r
+            sny = (hy - cey) * inv_r
+            snz = (hz - cez) * inv_r
+            s_fr = jnp.where(dx * snx + dy * sny + dz * snz <= 0.0, 1.0,
+                             0.0)
+            is_s = kind == 0.0
+            n_x = jnp.where(is_s, snx, n_x)
+            n_y = jnp.where(is_s, sny, n_y)
+            n_z = jnp.where(is_s, snz, n_z)
+            fr = jnp.where(is_s, s_fr, fr)
+            sphf = jnp.where(is_s, 1.0, sphf)
+            # sphere uv reconstructed by the caller (atan2/acos)
+
+        if want_plane:
+            pnx, pny, pnz = c(4), c(5), c(6)
+            den = dx * pnx + dy * pny + dz * pnz
+            p_fr = jnp.where(den < 0.0, 1.0, 0.0)
+            wax, way, waz = c(7), c(8), c(9)
+            wbx, wby, wbz = c(10), c(11), c(12)
+            a = (hx * wax + hy * way + hz * waz) - c(14) \
+                - (sx * wax + sy * way + sz * waz)
+            b = (hx * wbx + hy * wby + hz * wbz) - c(15) \
+                - (sx * wbx + sy * wby + sz * wbz)
+            is_tri = kind == 2.0
+            w0 = 1.0 - a - b
+            puu = jnp.where(is_tri, w0 * c(18) + a * c(20) + b * c(22), a)
+            pvv = jnp.where(is_tri, w0 * c(19) + a * c(21) + b * c(23), b)
+            is_p = (kind > 0.5) & (kind < 2.5)
+            n_x = jnp.where(is_p, pnx, n_x)
+            n_y = jnp.where(is_p, pny, n_y)
+            n_z = jnp.where(is_p, pnz, n_z)
+            fr = jnp.where(is_p, p_fr, fr)
+            uu = jnp.where(is_p, puu, uu)
+            vv = jnp.where(is_p, pvv, vv)
+
+        if want_box:
+            from .intersect_kernel import _box_attrs
+            b_nx, b_ny, b_nz, b_fr, b_uu, b_vv = _box_attrs(
+                c(0) + sx, c(1) + sy, c(2) + sz,
+                c(7) + sx, c(8) + sy, c(9) + sz,
+                hx, hy, hz, dx, dy, dz)
+            is_b = kind == 3.0
+            n_x = jnp.where(is_b, b_nx, n_x)
+            n_y = jnp.where(is_b, b_ny, n_y)
+            n_z = jnp.where(is_b, b_nz, n_z)
+            fr = jnp.where(is_b, b_fr, fr)
+            uu = jnp.where(is_b, b_uu, uu)
+            vv = jnp.where(is_b, b_vv, vv)
+
+        flip = jnp.where(fr > 0.5, 1.0, -1.0)
+        gsl = (pl.ds(g, 1), slice(None))
+        t_out[gsl] = bt
+        i_out[gsl] = bi.astype(jnp.int32)
+        nx_out[gsl] = n_x * flip
+        ny_out[gsl] = n_y * flip
+        nz_out[gsl] = n_z * flip
+        fr_out[gsl] = ((fr > 0.5).astype(jnp.int32)
+                       + 2 * (sphf > 0.5).astype(jnp.int32))
+        u_out[gsl] = uu
+        v_out[gsl] = vv
+        m_out[gsl] = c(17).astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, rg, attr_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_prims", "t_min", "has_motion", "segments",
+                     "interpret"))
+def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
+                            n_prims: int, t_min: float, has_motion: bool,
+                            segments, interpret: bool = False):
+    """All-pairs nearest hit.  Same contract as
+    intersect_kernel.pallas_nearest_record: [G, 128] ray components in,
+    (t, idx, nx, ny, nz, front|sphere<<1, u, v, mat) out.  Requires a
+    kind-segmented table (compile_scene pads each segment to CLUSTER
+    rows, so chunk lengths stay sublane-aligned)."""
+    g = ox.shape[0]
+    plan = chunk_plan(segments, n_prims)
+    # Row width: regroup the [G, 128] components into [G', W] rows so one
+    # row iteration intersects W rays (fewer iterations + reductions for
+    # the same arithmetic).  Pure relabeling — every lane is independent.
+    w = LANES
+    while w < WIDE_LANES and g % 2 == 0 and g >= 2:
+        w *= 2
+        g //= 2
+    resh = lambda x: x.reshape(g, w)
+    ox, oy, oz = resh(ox), resh(oy), resh(oz)
+    dx, dy, dz, tm = resh(dx), resh(dy), resh(dz), resh(tm)
+    rg = min(max(BLOCK_RG * LANES // w, 8), g)
+    grid = (pl.cdiv(g, rg),)
+    ray_spec = pl.BlockSpec((rg, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((rg, w), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] * 9
+    f32 = jnp.float32
+    i32 = jnp.int32
+    out_shape = [
+        jax.ShapeDtypeStruct((g, w), f32),   # t
+        jax.ShapeDtypeStruct((g, w), i32),   # idx
+        jax.ShapeDtypeStruct((g, w), f32),   # nx
+        jax.ShapeDtypeStruct((g, w), f32),   # ny
+        jax.ShapeDtypeStruct((g, w), f32),   # nz
+        jax.ShapeDtypeStruct((g, w), i32),   # front | sphere<<1
+        jax.ShapeDtypeStruct((g, w), f32),   # u
+        jax.ShapeDtypeStruct((g, w), f32),   # v
+        jax.ShapeDtypeStruct((g, w), i32),   # mat
+    ]
+    kernel = functools.partial(_kernel, plan=plan, n_prims=n_prims,
+                               t_min=t_min, has_motion=has_motion, rg=rg,
+                               w=w)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 7,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((rg, w), f32),
+                        pltpu.VMEM((rg, w), f32)],
+        interpret=interpret,
+    )(tbl, ox, oy, oz, dx, dy, dz, tm)
+    g0 = ox.size // LANES
+    return tuple(o.reshape(g0, LANES) for o in outs)

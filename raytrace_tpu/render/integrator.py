@@ -151,20 +151,38 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
         return hit_fn((p.p0, p.e1, p.e2, p.uvs, p.mv0, p.mv1), ints_f,
                       o, d, time)
     if use_pallas:
+        from ..ops.pallas.allpairs_kernel import (
+            MIN_PRIMS, allpairs_nearest_record,
+        )
         from ..ops.pallas.intersect_kernel import (
             pack_clusters, pack_prims, pallas_nearest_record,
         )
         g = r // 128
         resh = lambda x: x.reshape(g, 128)
         tbl = pack_prims(scene.prims)
-        ctbl = pack_clusters(scene.prims) if clustered else None
-        t, idx, nx, ny, nz, fr, uu, vv, mat = pallas_nearest_record(
-            tbl, ctbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
-            resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
-            n_prims=_n_scan_prims(scene.prims), t_min=float(s.t_min),
-            has_motion=scene.prims.has_motion, has_box=scene.prims.has_box,
-            segments=scene.prims.kind_segments,
-            kinds=scene.prims.kinds_present)
+        # The all-pairs broadcast kernel is coherence-independent; the
+        # production wavefronts are regenerating (lanes sit at mixed
+        # path depths), where it beats the clustered consensus loop
+        # (demo2 table: 5.4 vs 8.1 ms/90k semi-coherent lanes).
+        use_allpairs = (scene.prims.kind_segments is not None
+                        and _n_scan_prims(scene.prims) >= MIN_PRIMS)
+        if use_allpairs:
+            t, idx, nx, ny, nz, fr, uu, vv, mat = allpairs_nearest_record(
+                tbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
+                resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
+                n_prims=_n_scan_prims(scene.prims), t_min=float(s.t_min),
+                has_motion=scene.prims.has_motion,
+                segments=scene.prims.kind_segments)
+        else:
+            ctbl = pack_clusters(scene.prims) if clustered else None
+            t, idx, nx, ny, nz, fr, uu, vv, mat = pallas_nearest_record(
+                tbl, ctbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
+                resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
+                n_prims=_n_scan_prims(scene.prims), t_min=float(s.t_min),
+                has_motion=scene.prims.has_motion,
+                has_box=scene.prims.has_box,
+                segments=scene.prims.kind_segments,
+                kinds=scene.prims.kinds_present)
         flat = lambda x: x.reshape(r)
         normal = jnp.stack([flat(nx), flat(ny), flat(nz)], axis=-1)
         flags = flat(fr)

@@ -74,12 +74,22 @@ def bench(label, o, d):
 
     def run_once(i):
         oo = o + 0.001 * i
-        t, idx, *_ = ik.pallas_nearest_record(
-            tbl, ctbl, resh(oo[:, 0]), resh(oo[:, 1]), resh(oo[:, 2]),
-            resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(tm),
-            n_prims=n_prims, t_min=1e-3, has_motion=prims.has_motion,
-            has_box=prims.has_box, segments=prims.kind_segments,
-            kinds=prims.kinds_present)
+        if mode == "allpairs":
+            from raytrace_tpu.ops.pallas.allpairs_kernel import (
+                allpairs_nearest_record,
+            )
+            t, idx, *_ = allpairs_nearest_record(
+                tbl, resh(oo[:, 0]), resh(oo[:, 1]), resh(oo[:, 2]),
+                resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(tm),
+                n_prims=n_prims, t_min=1e-3, has_motion=prims.has_motion,
+                segments=prims.kind_segments)
+        else:
+            t, idx, *_ = ik.pallas_nearest_record(
+                tbl, ctbl, resh(oo[:, 0]), resh(oo[:, 1]), resh(oo[:, 2]),
+                resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(tm),
+                n_prims=n_prims, t_min=1e-3, has_motion=prims.has_motion,
+                has_box=prims.has_box, segments=prims.kind_segments,
+                kinds=prims.kinds_present)
         return (jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0)),
                 jnp.sum(jnp.isfinite(t)))
 
