@@ -298,7 +298,8 @@ def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
         param = scene.materials.param[mat_id]
     tex_onehot = diff or scene.textures.kind.shape[0] <= 64
     albedo = eval_texture(scene.textures, tex_id, point, uv,
-                          onehot=tex_onehot)
+                          onehot=tex_onehot,
+                          marble_pallas=use_pallas and not diff)
 
     live_hit = alive & hit_any
 

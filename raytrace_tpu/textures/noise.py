@@ -77,55 +77,30 @@ def _hash_gradient(h):
     u = u ^ (u >> 15)
     u = u * jnp.uint32(0x735A2D97)
     u = u ^ (u >> 13)
-    u1 = (u & jnp.uint32(0xFFFF)).astype(DTYPE) * DTYPE(1.0 / 65536.0)
-    u2 = (u >> jnp.uint32(16)).astype(DTYPE) * DTYPE(1.0 / 65536.0)
+    # Mosaic has no uint32 -> f32 cast; both halves fit int32 exactly
+    u1 = (u & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(DTYPE) \
+        * DTYPE(1.0 / 65536.0)
+    u2 = (u >> jnp.uint32(16)).astype(jnp.int32).astype(DTYPE) \
+        * DTYPE(1.0 / 65536.0)
     z = 1.0 - 2.0 * u1
     r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
     phi = (2.0 * np.pi) * u2
     return r * jnp.cos(phi), r * jnp.sin(phi), z
 
 
-def _lattice_hash_pair(ip):
-    """Per-axis (h(c), h(c+1)) lattice hashes, arithmetic only.
-
-    Mirrors the reference's structure (independent per-axis tables XORed
-    per corner, Noise.hs:21-33) with per-axis murmur avalanches of the
-    period-256 coordinate; the XOR combine happens at the corner like
-    the table path."""
-    def ava(c, mul):
-        u = (c & 255).astype(jnp.uint32) * jnp.uint32(mul)
-        u = (u ^ (u >> 4)) * jnp.uint32(0x21F0AAAD)
-        u = u ^ (u >> 15)
-        return u.astype(jnp.int32)
-
-    out = []
-    for ax, mul in ((0, 0x9E3779B1), (1, 0x85EBCA77), (2, 0xC2B2AE3D)):
-        c = ip[..., ax]
-        out.append((ava(c, mul), ava(c + 1, mul)))
-    return out
+def _ava(c, mul):
+    """Murmur avalanche of the period-256 lattice coordinate ``c`` (i32)."""
+    u = (c & 255).astype(jnp.uint32) * jnp.uint32(mul)
+    u = (u ^ (u >> 4)) * jnp.uint32(0x21F0AAAD)
+    u = u ^ (u >> 15)
+    return u.astype(jnp.int32)
 
 
-def perlin_noise(p, use_tables: bool = False):
-    """Perlin noise for points ``p`` of shape [..., 3] -> noise of shape [...].
-
-    Values lie in [-sqrt(3)/2, +sqrt(3)/2] (Noise.hs:17-19).
-    """
-    p = jnp.asarray(p, DTYPE)
-    ip = jnp.floor(p)
-    f = p - ip  # fractional part in [0, 1)
-    ip = ip.astype(jnp.int32)
-
-    if use_tables:
-        # hoisted permutation lookups: one one-hot matmul per axis
-        hx = _perm_pair("x", ip[..., 0])
-        hy = _perm_pair("y", ip[..., 1])
-        hz = _perm_pair("z", ip[..., 2])
-    else:
-        hx, hy, hz = _lattice_hash_pair(ip)
-
-    total = jnp.zeros(p.shape[:-1], DTYPE)
-    sx, sy, sz = _smoothstep(f[..., 0]), _smoothstep(f[..., 1]), _smoothstep(f[..., 2])
-    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+def _blend_corners(hx, hy, hz, fx, fy, fz):
+    """Smoothstep-weighted trilinear blend of the 8 corner gradient dots
+    (Noise.hs:15-39).  ``hx/hy/hz`` are per-axis (h(c), h(c+1)) pairs."""
+    total = jnp.zeros_like(fx)
+    sx, sy, sz = _smoothstep(fx), _smoothstep(fy), _smoothstep(fz)
     for i in (0, 1):
         for j in (0, 1):
             for k in (0, 1):
@@ -138,6 +113,56 @@ def perlin_noise(p, use_tables: bool = False):
                 )
                 total = total + coef * dot
     return total
+
+
+def perlin_noise_soa(px, py, pz):
+    """Arithmetic-hash Perlin noise on SoA components.
+
+    Pure elementwise arithmetic (no tables, no gathers) — traceable
+    inside Pallas TPU kernels (ops/pallas/texture_kernel.py) and
+    identical to ``perlin_noise(p, use_tables=False)``.
+    """
+    ipx, ipy, ipz = jnp.floor(px), jnp.floor(py), jnp.floor(pz)
+    fx, fy, fz = px - ipx, py - ipy, pz - ipz
+    hs = []
+    for c, mul in ((ipx, 0x9E3779B1), (ipy, 0x85EBCA77), (ipz, 0xC2B2AE3D)):
+        c = c.astype(jnp.int32)
+        hs.append((_ava(c, mul), _ava(c + 1, mul)))
+    return _blend_corners(hs[0], hs[1], hs[2], fx, fy, fz)
+
+
+def fractal_noise_soa(depth: int, px, py, pz):
+    """SoA :func:`fractal_noise` (arithmetic hash only)."""
+    total = jnp.zeros_like(px)
+    coef = 1.0
+    for _ in range(depth):
+        total = total + coef * perlin_noise_soa(px, py, pz)
+        coef *= 0.5
+        px, py, pz = px * 2.0, py * 2.0, pz * 2.0
+    return total
+
+
+def turbulence_soa(depth: int, px, py, pz):
+    """SoA :func:`turbulence` (arithmetic hash only)."""
+    return jnp.abs(fractal_noise_soa(depth, px, py, pz))
+
+
+def perlin_noise(p, use_tables: bool = False):
+    """Perlin noise for points ``p`` of shape [..., 3] -> noise of shape [...].
+
+    Values lie in [-sqrt(3)/2, +sqrt(3)/2] (Noise.hs:17-19).
+    """
+    p = jnp.asarray(p, DTYPE)
+    if not use_tables:
+        return perlin_noise_soa(p[..., 0], p[..., 1], p[..., 2])
+    ip = jnp.floor(p)
+    f = p - ip  # fractional part in [0, 1)
+    ip = ip.astype(jnp.int32)
+    # hoisted permutation lookups: one one-hot matmul per axis
+    hx = _perm_pair("x", ip[..., 0])
+    hy = _perm_pair("y", ip[..., 1])
+    hz = _perm_pair("z", ip[..., 2])
+    return _blend_corners(hx, hy, hz, f[..., 0], f[..., 1], f[..., 2])
 
 
 def fractal_noise(depth: int, p, use_tables: bool = False):

@@ -132,6 +132,7 @@ class TextureTable(struct.PyTreeNode):
     kinds_present: tuple = struct.field(pytree_node=False, default=())
     noise_octaves: tuple = struct.field(pytree_node=False, default=())
     custom_fns: tuple = struct.field(pytree_node=False, default=())
+    marble_rows: tuple = struct.field(pytree_node=False, default=())
 
 
 def compile_textures(textures: Sequence[Texture]) -> TextureTable:
@@ -189,6 +190,8 @@ def compile_textures(textures: Sequence[Texture]) -> TextureTable:
         f1=jnp.asarray(f1), i0=jnp.asarray(i0), images=jnp.asarray(atlas),
         image_hw=jnp.asarray(hw), kinds_present=kinds_present,
         noise_octaves=tuple(sorted(octaves)), custom_fns=tuple(custom_fns),
+        marble_rows=tuple(i for i, t in enumerate(textures)
+                          if t.kind == TEX_MARBLE),
     )
 
 
@@ -197,7 +200,7 @@ def compile_textures(textures: Sequence[Texture]) -> TextureTable:
 # ---------------------------------------------------------------------------
 
 def eval_texture(table: TextureTable, tex_ids, points, uvs,
-                 onehot: bool = False):
+                 onehot: bool = False, marble_pallas: bool = False):
     """Evaluate texture ``tex_ids[...]`` at ``points[..., 3]`` / ``uvs[..., 2]``.
 
     Branchless over lanes; only kinds present in the scene are computed.
@@ -205,6 +208,12 @@ def eval_texture(table: TextureTable, tex_ids, points, uvs,
     ``onehot=True`` (differentiable path, 1-D ``tex_ids`` only) gathers
     the float parameter tables with a single one-hot matmul so the
     backward is scatter-free (core/vecmath.py:onehot_rows).
+
+    ``marble_pallas=True`` (production TPU path, flat 128-aligned lanes)
+    evaluates marble stripes in a Pallas kernel whose blocks skip the
+    7-octave turbulence when no lane in the block samples that texture
+    (ops/pallas/texture_kernel.py) — not differentiable, so the diff
+    path keeps the XLA form.
     """
     kind = table.kind[tex_ids]
     if onehot:
@@ -266,12 +275,18 @@ def eval_texture(table: TextureTable, tex_ids, points, uvs,
         out = jnp.where((kind == TEX_NOISE)[..., None], noise_col, out)
 
     if TEX_MARBLE in table.kinds_present:
-        direction = _v0()
-        shift = _v1()
-        freq = _f0()
-        sin_arg = freq * vdot0(direction, points)
-        nz = 10.0 * turbulence(7, 0.25 * freq[..., None] * points + shift)
-        stripe = 0.5 + 0.5 * jnp.sin(sin_arg + nz)  # Texture.hs:72-79
+        from ..ops.pallas.texture_kernel import (
+            marble_eligible, marble_stripe_pallas,
+        )
+        if marble_pallas and marble_eligible(table, points):
+            stripe = marble_stripe_pallas(table, tex_ids, points)
+        else:
+            direction = _v0()
+            shift = _v1()
+            freq = _f0()
+            sin_arg = freq * vdot0(direction, points)
+            nz = 10.0 * turbulence(7, 0.25 * freq[..., None] * points + shift)
+            stripe = 0.5 + 0.5 * jnp.sin(sin_arg + nz)  # Texture.hs:72-79
         out = jnp.where((kind == TEX_MARBLE)[..., None], stripe[..., None], out)
 
     if TEX_CUSTOM in table.kinds_present:

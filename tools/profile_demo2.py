@@ -126,11 +126,21 @@ def body_volumes(pallas):
     return b
 
 
-def body_textures(i, st):
+def body_textures(i, st, marble_pallas=False, sparse=False):
     o, d, time_, rad, thr, alive, uniforms = regen(i, st)
-    tex_id = (lane_pixel % scene.textures.kind.shape[0]).astype(jnp.int32)
+    nt = scene.textures.kind.shape[0]
+    if sparse:
+        # realistic pattern: marble appears only in a small lane range
+        # (the marble sphere covers a small screen fraction) — measures
+        # the per-block cond skip
+        mrow = scene.textures.marble_rows[0] if scene.textures.marble_rows \
+            else 0
+        tex_id = jnp.where(lane_pixel < 4096, mrow,
+                           lane_pixel % 2).astype(jnp.int32)
+    else:
+        tex_id = (lane_pixel % nt).astype(jnp.int32)
     alb = eval_texture(scene.textures, tex_id, o, uniforms[:, 0:2],
-                       onehot=False)
+                       onehot=False, marble_pallas=marble_pallas)
     rad = rad + alb
     return o, d, time_, rad, thr, alive
 
@@ -149,5 +159,14 @@ timeit("intersect (flat)    ", loop(body_intersect(False)))
 timeit("intersect (clustered)", loop(body_intersect(True)))
 timeit("volumes XLA         ", loop(body_volumes(False)))
 timeit("volumes pallas      ", loop(body_volumes(True)))
+import functools
+
 timeit("textures (all lanes)", loop(body_textures))
+timeit("textures mkernel striped",
+       loop(functools.partial(body_textures, marble_pallas=True)))
+timeit("textures xla sparse ",
+       loop(functools.partial(body_textures, sparse=True)))
+timeit("textures mkernel sparse",
+       loop(functools.partial(body_textures, marble_pallas=True,
+                              sparse=True)))
 timeit("full bounce         ", loop(body_full))
