@@ -142,7 +142,8 @@ def mega_bounce_diff_soa(scene, s, comps, uniforms, thr, alive,
             from ..ops.diff_intersect import winner_surface_hit
             hit = winner_surface_hit(
                 (p.p0, p.e1, p.e2, p.uvs, p.mv0, p.mv1), (p.kind, p.mat),
-                o, d, time, idx, has_motion, t_min, has_box=p.has_box)
+                o, d, time, idx, has_motion, t_min, has_box=p.has_box,
+                sphere_rots=p.sphere_rots)
             o2, d2, contrib, thr2, _a, _dd = bounce(
                 scene, s, o, d, time, uni, jnp.zeros_like(thr3), thr3,
                 alive, diff=True, hit_override=hit)

@@ -25,7 +25,7 @@ from .intersect import (
 
 
 def _winner_record(floats, ints, o, d, time, idx, has_motion, t_min,
-                   has_box=False):
+                   has_box=False, sphere_rots=()):
     """Differentiable recompute of the hit for a known winner ``idx``.
 
     Per-ray primitive rows are gathered with ONE one-hot matmul over the
@@ -61,20 +61,22 @@ def _winner_record(floats, ints, o, d, time, idx, has_motion, t_min,
     t_safe = jnp.where(valid, t, 1.0)
     rec = make_hit_record_rows(
         (g_kind, g_p0, g_e1, g_e2, g_mv0, g_mv1, g_uvs), has_motion,
-        mat[pi], idx, o, d, time, t_safe, has_box=has_box)
+        mat[pi], idx, o, d, time, t_safe, has_box=has_box,
+        sphere_rots=sphere_rots)
     return t_safe, valid, rec
 
 
 def _winner_outputs(floats, ints, o, d, time, idx, has_motion, t_min,
-                    has_box=False):
+                    has_box=False, sphere_rots=()):
     """Differentiable recompute of (t, normal, uv) for winner ``idx``."""
     t_safe, _, rec = _winner_record(floats, ints, o, d, time, idx,
-                                    has_motion, t_min, has_box=has_box)
+                                    has_motion, t_min, has_box=has_box,
+                                    sphere_rots=sphere_rots)
     return t_safe, rec.normal, rec.uv
 
 
 def winner_surface_hit(floats, ints, o, d, time, idx, has_motion, t_min,
-                       has_box=False):
+                       has_box=False, sphere_rots=()):
     """Differentiable surface-hit tuple for a KNOWN winner index.
 
     Returns ``(t, idx, normal, front, uv, mat)`` matching the
@@ -84,14 +86,15 @@ def winner_surface_hit(floats, ints, o, d, time, idx, has_motion, t_min,
     winner index, and the backward re-derives the bounce through this.
     """
     t_safe, valid, rec = _winner_record(floats, ints, o, d, time, idx,
-                                        has_motion, t_min, has_box=has_box)
+                                        has_motion, t_min, has_box=has_box,
+                                        sphere_rots=sphere_rots)
     t = jnp.where(valid, t_safe, INF)
     return t, idx, rec.normal, rec.front, rec.uv, rec.mat
 
 
 def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,
                           clustered: bool = True, has_box: bool = False,
-                          kind_segments=None, kinds=None):
+                          kind_segments=None, kinds=None, sphere_rots=()):
     """Build a differentiable surface-hit fn over float primitive buffers.
 
     Returns ``hit(floats, ints_f, o, d, time) -> (t, idx, normal, front,
@@ -108,7 +111,8 @@ def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,
         prims = Primitives(kind=kind, p0=p0, e1=e1, e2=e2, uvs=uvs, mat=mat,
                            mv0=mv0, mv1=mv1, n=kind.shape[0],
                            has_motion=has_motion, has_box=has_box,
-                           kind_segments=kind_segments)
+                           kind_segments=kind_segments,
+                           sphere_rots=sphere_rots)
         if use_pallas:
             from .pallas.intersect_kernel import (
                 pack_clusters, pack_prims, pallas_nearest_record,
@@ -128,7 +132,9 @@ def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,
             front = (flags & 1).astype(bool)
             is_sphere = (flags & 2).astype(bool)
             normal = jnp.stack([fl(nx), fl(ny), fl(nz)], axis=-1)
+            from .intersect import apply_sphere_rotations
             outward = normal * jnp.where(front, 1.0, -1.0)[:, None]
+            outward = apply_sphere_rotations(outward, fl(idx), sphere_rots)
             xz_ok = outward[:, 0] ** 2 + outward[:, 2] ** 2 > 1e-12
             sx = jnp.where(xz_ok, outward[:, 0], 0.0)
             sz = jnp.where(xz_ok, outward[:, 2], 1.0)
@@ -166,7 +172,8 @@ def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,
 
         def g(floats, o, d, time):
             return _winner_outputs(floats, ints, o, d, time, idx,
-                                   has_motion, t_min, has_box=has_box)
+                                   has_motion, t_min, has_box=has_box,
+                                   sphere_rots=sphere_rots)
 
         _, vjp = jax.vjp(g, floats, o, d, time)
         gf, go, gd, gtime = vjp((ct_t, ct_normal, ct_uv))

@@ -389,6 +389,28 @@ def nearest_hit_t(scene_prims: Primitives, bvh: BVH | None, o, d, time,
     return dense_nearest(scene_prims, o, d, time, tmin, tmax)
 
 
+def apply_sphere_rotations(outward, idx, sphere_rots):
+    """Rotate world-space sphere outward normals into OBJECT space for the
+    rows listed in ``sphere_rots`` (static ``((row, 9-float world->object
+    rotation), ...)``; scene/compile.py bakes instancing rotations there).
+
+    The reference evaluates ``sphereUV`` on the inverse-transformed ray
+    (Geometry.hs:382-391 + 100-104), i.e. in object space, so a rotated
+    image-textured sphere shows a rotated texture.  Rotated spheres are
+    rare (demo2 has exactly one), so this is an unrolled compare+select
+    per listed row — pure VPU work, no gathers.  Only UV evaluation uses
+    the result; shading normals stay world-space.
+    """
+    if not sphere_rots:
+        return outward
+    out = outward
+    for row, r9 in sphere_rots:
+        rot = jnp.asarray(r9, DTYPE).reshape(3, 3)
+        sel = (idx == row)[:, None]
+        out = jnp.where(sel, outward @ rot.T, out)
+    return out
+
+
 def make_hit_record(prims: Primitives, idx, o, d, time, t) -> HitRecord:
     """Reconstruct the full hit record for winning primitive ``idx[R]``
     (gather + recompute — cheaper than carrying records through the
@@ -401,11 +423,13 @@ def make_hit_record(prims: Primitives, idx, o, d, time, t) -> HitRecord:
             prims.mv1[pi] if prims.has_motion else None,
             prims.uvs[pi])
     return make_hit_record_rows(rows, prims.has_motion, prims.mat[pi],
-                                idx, o, d, time, t, has_box=prims.has_box)
+                                idx, o, d, time, t, has_box=prims.has_box,
+                                sphere_rots=prims.sphere_rots)
 
 
 def make_hit_record_rows(rows, has_motion, mat, idx, o, d, time,
-                         t, has_box: bool = False) -> HitRecord:
+                         t, has_box: bool = False,
+                         sphere_rots: tuple = ()) -> HitRecord:
     """:func:`make_hit_record` from pre-gathered per-ray rows
     ``(kind, p0, e1, e2, mv0, mv1, uvs)`` (see ``_single_prim_t_rows``
     for why: one-hot gathers keep the backward scatter-free)."""
@@ -425,13 +449,17 @@ def make_hit_record_rows(rows, has_motion, mat, idx, o, d, time,
     outward = (point - p0) / radius[:, None]
     s_front = vdot0(d, outward) <= 0.0
     s_normal = jnp.where(s_front[:, None], outward, -outward)
-    # sphereUV (Geometry.hs:100-104); atan2 grads blow up when x=z=0 (the
-    # poles / padded rows), so feed it safe coordinates there
-    xz_ok = outward[:, 0] ** 2 + outward[:, 2] ** 2 > 1e-12
-    ox = jnp.where(xz_ok, outward[:, 0], 0.0)
-    oz = jnp.where(xz_ok, outward[:, 2], 1.0)
+    # sphereUV (Geometry.hs:100-104) in OBJECT space: rotated instances
+    # un-rotate the outward normal first (shading normal stays world)
+    outward_uv = apply_sphere_rotations(outward, idx, sphere_rots)
+    # atan2 grads blow up when x=z=0 (the poles / padded rows), so feed it
+    # safe coordinates there
+    xz_ok = outward_uv[:, 0] ** 2 + outward_uv[:, 2] ** 2 > 1e-12
+    ox = jnp.where(xz_ok, outward_uv[:, 0], 0.0)
+    oz = jnp.where(xz_ok, outward_uv[:, 2], 1.0)
     s_u = jnp.arctan2(ox, oz) / (2.0 * jnp.pi) + 0.5
-    s_v = jnp.arccos(jnp.clip(-outward[:, 1], -1.0 + 1e-6, 1.0 - 1e-6)) / jnp.pi
+    s_v = jnp.arccos(
+        jnp.clip(-outward_uv[:, 1], -1.0 + 1e-6, 1.0 - 1e-6)) / jnp.pi
     s_uv = jnp.stack([s_u, s_v], axis=-1)
 
     # plane record (Geometry.hs:131-141)

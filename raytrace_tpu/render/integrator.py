@@ -146,7 +146,8 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
                                        use_pallas, clustered=clustered,
                                        has_box=p.has_box,
                                        kind_segments=p.kind_segments,
-                                       kinds=p.kinds_present)
+                                       kinds=p.kinds_present,
+                                       sphere_rots=p.sphere_rots)
         ints_f = (p.kind.astype(DTYPE), p.mat.astype(DTYPE))
         return hit_fn((p.p0, p.e1, p.e2, p.uvs, p.mv0, p.mv1), ints_f,
                       o, d, time)
@@ -189,8 +190,12 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
         front = (flags & 1).astype(bool)
         is_sphere = (flags & 2).astype(bool)
         # sphere uv (Geometry.hs:100-104) from the outward normal — done
-        # here because atan2/arccos have no Pallas TPU lowering
+        # here because atan2/arccos have no Pallas TPU lowering.  Rotated
+        # sphere instances evaluate UV in object space (Geometry.hs:382-391)
+        from ..ops.intersect import apply_sphere_rotations
         outward = normal * jnp.where(front, 1.0, -1.0)[:, None]
+        outward = apply_sphere_rotations(outward, flat(idx).astype(jnp.int32),
+                                         scene.prims.sphere_rots)
         xz_ok = outward[:, 0] ** 2 + outward[:, 2] ** 2 > 1e-12
         sx = jnp.where(xz_ok, outward[:, 0], 0.0)
         sz = jnp.where(xz_ok, outward[:, 2], 1.0)
@@ -446,7 +451,11 @@ def bounce_kernel_eligible(scene: Scene, s: CameraSettings,
             and set(scene.textures.kinds_present) <= {TEX_CONSTANT,
                                                       TEX_CHECKER}
             and s.n_redirect <= 8
-            and n_rows <= 16)
+            and n_rows <= 16
+            # rotated sphere instances need object-space UV, which the
+            # in-kernel checker eval doesn't apply (constant ignores uv)
+            and not (scene.prims.sphere_rots
+                     and TEX_CHECKER in scene.textures.kinds_present))
 
 
 def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,

@@ -38,6 +38,9 @@ from .types import (
 _DEFAULT_TRI_UVS = np.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
 
 
+_EYE9 = np.eye(3).ravel()
+
+
 @dataclasses.dataclass
 class _Rows:
     kind: list
@@ -48,10 +51,11 @@ class _Rows:
     mat: list
     mv0: list
     mv1: list
+    rot: list  # [n, 9] world->object rotation (sphere UV; identity else)
 
     @classmethod
     def empty(cls):
-        return cls([], [], [], [], [], [], [], [])
+        return cls([], [], [], [], [], [], [], [], [])
 
     def n(self):
         return sum(k.shape[0] for k in self.kind)
@@ -94,10 +98,12 @@ def _bake_block(block: B.PrimBlock, matrix: np.ndarray, mv0, mv1, mat_id: int,
             rows.mat.append(np.full(n, mat_id, np.int32))
             rows.mv0.append(np.broadcast_to(mv0, (n, 3)).copy())
             rows.mv1.append(np.broadcast_to(mv1, (n, 3)).copy())
+            rows.rot.append(np.broadcast_to(_EYE9, (n, 9)).copy())
             return
         _bake_block(B.box_faces(block.p0, block.e1), matrix, mv0, mv1,
                     mat_id, rows)
         return
+    rot = _EYE9
     if block.kind == PRIM_SPHERE:
         ata = a.T @ a
         s2 = np.trace(ata) / 3.0
@@ -110,6 +116,11 @@ def _bake_block(block: B.PrimBlock, matrix: np.ndarray, mv0, mv1, mat_id: int,
         e1 = np.zeros((n, 3))
         e1[:, 0] = block.e1[:, 0] * np.sqrt(s2)
         e2 = np.zeros((n, 3))
+        # world->object rotation R^T (R = a / sqrt(s2) is orthogonal):
+        # sphere UV is evaluated in object space (the reference
+        # inverse-transforms the ray, Geometry.hs:382-391, so sphereUV at
+        # Geometry.hs:100-104 sees object coordinates)
+        rot = (a.T / np.sqrt(s2)).ravel()
     else:
         p0 = block.p0 @ a.T + b
         e1 = block.e1 @ a.T
@@ -126,6 +137,7 @@ def _bake_block(block: B.PrimBlock, matrix: np.ndarray, mv0, mv1, mat_id: int,
     rows.mat.append(np.full(n, mat_id, np.int32))
     rows.mv0.append(np.broadcast_to(mv0, (n, 3)).copy())
     rows.mv1.append(np.broadcast_to(mv1, (n, 3)).copy())
+    rows.rot.append(np.broadcast_to(rot, (n, 9)).copy())
 
 
 def _walk(node: B.Geom, matrix, mv0, mv1, material, interner, rows: _Rows,
@@ -180,7 +192,8 @@ _SEGMENT_MIN_PRIMS = 65
 
 
 def _rows_to_primitives(rows: _Rows, perm=None, pad_to: int = 1,
-                        segment: bool = False) -> Primitives:
+                        segment: bool = False,
+                        uv_mats: frozenset | None = None) -> Primitives:
     kind = np.concatenate(rows.kind)
     p0 = np.concatenate(rows.p0)
     e1 = np.concatenate(rows.e1)
@@ -189,14 +202,15 @@ def _rows_to_primitives(rows: _Rows, perm=None, pad_to: int = 1,
     mat = np.concatenate(rows.mat)
     mv0 = np.concatenate(rows.mv0)
     mv1 = np.concatenate(rows.mv1)
+    rot = np.concatenate(rows.rot)
     if perm is not None:
-        kind, p0, e1, e2, uvs, mat, mv0, mv1 = (
-            x[perm] for x in (kind, p0, e1, e2, uvs, mat, mv0, mv1)
+        kind, p0, e1, e2, uvs, mat, mv0, mv1, rot = (
+            x[perm] for x in (kind, p0, e1, e2, uvs, mat, mv0, mv1, rot)
         )
     n = kind.shape[0]
 
     def _pad(arrs, n_pad):
-        kind, p0, e1, e2, uvs, mat, mv0, mv1 = arrs
+        kind, p0, e1, e2, uvs, mat, mv0, mv1, rot = arrs
         z3 = np.zeros((n_pad, 3))
         # pad rows get non-degenerate dummy geometry (unit edges) so the
         # vectorized intersection math stays NaN-free under backward AD;
@@ -212,9 +226,10 @@ def _rows_to_primitives(rows: _Rows, perm=None, pad_to: int = 1,
             np.concatenate([mat, np.zeros(n_pad, np.int32)]),
             np.concatenate([mv0, z3]),
             np.concatenate([mv1, z3]),
+            np.concatenate([rot, np.broadcast_to(_EYE9, (n_pad, 9))]),
         )
 
-    arrs = (kind, p0, e1, e2, uvs, mat, mv0, mv1)
+    arrs = (kind, p0, e1, e2, uvs, mat, mv0, mv1, rot)
     kind_segments = None
     if segment and n >= _SEGMENT_MIN_PRIMS:
         # Re-order rows kind-major for the segmented clustered Pallas
@@ -250,9 +265,23 @@ def _rows_to_primitives(rows: _Rows, perm=None, pad_to: int = 1,
         if n_pad:
             arrs = _pad(arrs, n_pad)
 
-    kind, p0, e1, e2, uvs, mat, mv0, mv1 = arrs
+    kind, p0, e1, e2, uvs, mat, mv0, mv1, rot = arrs
     has_motion = bool(np.any(mv0 != 0.0) or np.any(mv1 != 0.0))
     has_box = bool(np.any(kind == PRIM_BOX))
+    # static (row, world->object rotation) list for rotated spheres; the
+    # rotation itself is NOT a device buffer — it is applied as an
+    # unrolled compare+select at UV evaluation (ops/intersect.py).  Only
+    # rows whose material's texture actually CONSUMES uv are kept
+    # (``uv_mats``): demo2's 1000-sphere constant-color cloud is rotated
+    # but uv-blind, and a 1000-entry unrolled chain would dwarf the
+    # intersection itself.  None = keep all (unknown materials).
+    rotated = (kind == PRIM_SPHERE) & (np.abs(rot - _EYE9).max(axis=1) > 1e-9)
+    if uv_mats is not None:
+        rotated &= np.isin(mat, np.asarray(sorted(uv_mats), np.int32))
+    rot_rows = np.nonzero(rotated)[0]
+    sphere_rots = tuple(
+        (int(r), tuple(np.asarray(rot[r], np.float32).tolist()))
+        for r in rot_rows)
     f32 = lambda x: jnp.asarray(x, jnp.float32)
     return Primitives(
         kind=jnp.asarray(kind), p0=f32(p0), e1=f32(e1), e2=f32(e2),
@@ -260,6 +289,7 @@ def _rows_to_primitives(rows: _Rows, perm=None, pad_to: int = 1,
         n=int(n), has_motion=has_motion, has_box=has_box,
         kind_segments=kind_segments,
         kinds_present=tuple(sorted(set(int(k) for k in kind if k >= 0))),
+        sphere_rots=sphere_rots,
     )
 
 
@@ -307,8 +337,15 @@ def compile_scene(root: B.Geom, *, accel: str = "auto", leaf_size: int = 4,
                 n_nodes=int(nodes["lo"].shape[0]),
             )
 
+    # material ids whose texture consumes uv (checker/image/custom):
+    # only their rotated spheres need the object-space UV correction
+    from ..textures.textures import TEX_CHECKER, TEX_CUSTOM, TEX_IMAGE
+    uv_mats = frozenset(
+        mid for m, mid in interner.materials.items()
+        if m.texture.kind in (TEX_CHECKER, TEX_IMAGE, TEX_CUSTOM))
     prims = _rows_to_primitivies_or_empty(rows, perm, pad_to,
-                                          segment=not use_bvh)
+                                          segment=not use_bvh,
+                                          uv_mats=uv_mats)
 
     vol = None
     if volumes:
@@ -318,9 +355,12 @@ def compile_scene(root: B.Geom, *, accel: str = "auto", leaf_size: int = 4,
         for density, mat_id, vrows in volumes:
             starts.append(merged.n())
             counts.append(vrows.n())
-            for field in ("kind", "p0", "e1", "e2", "uvs", "mat", "mv0", "mv1"):
+            for field in ("kind", "p0", "e1", "e2", "uvs", "mat", "mv0",
+                          "mv1", "rot"):
                 getattr(merged, field).extend(getattr(vrows, field))
-        vol_prims = _rows_to_primitives(merged, None, 1)
+        # volume boundaries never evaluate uv (the medium overrides it)
+        vol_prims = _rows_to_primitives(merged, None, 1,
+                                        uv_mats=frozenset())
         vol = Volumes(
             prims=vol_prims,
             density=jnp.asarray([v[0] for v in volumes], jnp.float32),
@@ -335,7 +375,9 @@ def compile_scene(root: B.Geom, *, accel: str = "auto", leaf_size: int = 4,
 
 
 def _rows_to_primitivies_or_empty(rows: _Rows, perm, pad_to,
-                                  segment: bool = False) -> Primitives:
+                                  segment: bool = False,
+                                  uv_mats: frozenset | None = None
+                                  ) -> Primitives:
     if rows.n() == 0:
         z3 = jnp.zeros((1, 3), jnp.float32)
         return Primitives(
@@ -344,4 +386,5 @@ def _rows_to_primitivies_or_empty(rows: _Rows, perm, pad_to,
             mat=jnp.zeros((1,), jnp.int32), mv0=z3, mv1=z3, n=0,
             has_motion=False,
         )
-    return _rows_to_primitives(rows, perm, pad_to, segment=segment)
+    return _rows_to_primitives(rows, perm, pad_to, segment=segment,
+                               uv_mats=uv_mats)

@@ -65,6 +65,14 @@ class Primitives(struct.PyTreeNode):
     # halves the per-prim VPU work).  None = unknown (compile all).
     kinds_present: tuple | None = struct.field(pytree_node=False,
                                                default=None)
+    # static ``((row, (r00..r22)), ...)`` world->object rotations for the
+    # (few) sphere rows baked with a non-identity rotation: sphere UV must
+    # be evaluated in OBJECT space (the reference inverse-transforms the
+    # ray, Geometry.hs:382-391, so sphereUV at Geometry.hs:100-104 sees
+    # object coordinates — a rotated textured sphere shows a rotated
+    # texture).  Applied as an unrolled compare+select over winner
+    # indices (ops/intersect.py:apply_sphere_rotations) — no gathers.
+    sphere_rots: tuple = struct.field(pytree_node=False, default=())
 
     def __len__(self):
         return self.n

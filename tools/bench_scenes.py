@@ -42,7 +42,10 @@ mod = __import__({mod!r})
 args = argparse.Namespace(width={width}, spp={spp}, depth={depth}, seed=1)
 scene, settings, seed = mod.build(args)
 n_pix = settings.image_width * settings.image_height
-acc, _ = render_accumulate(scene, settings, seed=0, spp=4, spp_chunk=4)
+# Warm up with the SAME program shape as the timed run (an spp-4 warmup
+# compiles a different rotate_k/chunk program, so the timed first full-spp
+# call would pay compile-cache deserialization — measured +7 s on demo2).
+acc, _ = render_accumulate(scene, settings, seed=0, spp={spp})
 acc.block_until_ready()
 t0 = time.time()
 acc, _ = render_accumulate(scene, settings, seed=1, spp={spp})
