@@ -54,6 +54,10 @@ WIDE_LANES = int(os.environ.get("RT_AP_W", "512"))
                      # 256 -> 3.96, 512 -> 3.50, 1024 -> 3.37 (plateau;
                      # 512 keeps [CHUNK, W] tiles at 1 MB)
 MIN_PRIMS = 192      # below this the per-prim loops win (small tables)
+MAX_PRIMS = int(os.environ.get("RT_AP_MAX", "65536"))
+                     # with chunk-AABB row skipping the broadcast sweep
+                     # holds up to the dense-table cap (measured: see
+                     # tools/bench_bigmesh.py); env-tunable for A/B runs
 _SKIP_ATTRS = bool(os.environ.get("RT_AP_SKIP_ATTRS"))   # profiling only
 
 
@@ -78,10 +82,26 @@ def _row(ref, g):
     return ref[pl.ds(g, 1), :]
 
 
-def _kernel(tbl_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-            tm_ref, t_out, i_out, nx_out, ny_out, nz_out, fr_out, u_out,
-            v_out, m_out, bt_s, bi_s, *, plan, n_prims: int, t_min: float,
-            has_motion: bool, rg: int, w: int):
+def chunk_boxes(ctbl, plan):
+    """[n_chunks, 8] chunk AABBs from the pack_clusters table (chunks are
+    CLUSTER-aligned by construction, so a chunk box is a reduce over its
+    cluster rows)."""
+    boxes = []
+    for _, p0, ln in plan:
+        k0 = p0 // CLUSTER
+        k1 = (p0 + ln) // CLUSTER
+        rows = ctbl[k0:k1]
+        boxes.append(jnp.concatenate(
+            [rows[:, 0:3].min(axis=0), rows[:, 3:6].max(axis=0),
+             jnp.zeros((2,), jnp.float32)]))
+    return jnp.stack(boxes)
+
+
+def _kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+            dz_ref, tm_ref, t_out, i_out, nx_out, ny_out, nz_out, fr_out,
+            u_out, v_out, m_out, bt_s, bi_s, *, plan, n_prims: int,
+            t_min: float, has_motion: bool, rg: int, w: int,
+            skip: bool):
     inf = jnp.float32(jnp.inf)
     tmn = jnp.float32(t_min)
     bt_s[...] = jnp.full((rg, w), inf, jnp.float32)
@@ -90,7 +110,7 @@ def _kernel(tbl_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     col = lambda p0, ln, c: tbl_ref[pl.ds(p0, ln), pl.ds(c, 1)]  # [L, 1]
 
     # ---- phase 1: per-chunk candidate sweep, running best per row ----
-    for gkind, p0, ln in plan:
+    for chunk_i, (gkind, p0, ln) in enumerate(plan):
         kindc = col(p0, ln, 16)
         piota = (jnp.float32(p0) + jax.lax.broadcasted_iota(
             jnp.int32, (ln, 1), 0).astype(jnp.float32))
@@ -198,20 +218,49 @@ def _kernel(tbl_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 t = jnp.where(tn > tmn, tn, jnp.where(tf > tmn, tf, inf))
                 return jnp.where((tn <= tf) & okb, t, inf)
 
-        def row_body(g, _, cand=cand, piota=piota):
+        def row_body(g, _, cand=cand, piota=piota, ci=chunk_i):
             ox, oy, oz = _row(ox_ref, g), _row(oy_ref, g), _row(oz_ref, g)
             dx, dy, dz = _row(dx_ref, g), _row(dy_ref, g), _row(dz_ref, g)
             tm = _row(tm_ref, g) if has_motion else None
-            t_c = cand(ox, oy, oz, dx, dy, dz, tm)         # [L, 128]
-            tmin = jnp.min(t_c, axis=0, keepdims=True)     # [1, 128]
-            pi = jnp.min(jnp.where(t_c == tmin, piota, inf), axis=0,
-                         keepdims=True)
-            bt = bt_s[pl.ds(g, 1), :]
-            better = tmin < bt                      # strict: earlier chunk
-            bt_s[pl.ds(g, 1), :] = jnp.where(better, tmin, bt)
-            bi = bi_s[pl.ds(g, 1), :]
-            bi_s[pl.ds(g, 1), :] = jnp.where(
-                better, jnp.where(tmin < inf, pi, -1.0), bi)
+
+            def eval_chunk():
+                t_c = cand(ox, oy, oz, dx, dy, dz, tm)     # [L, W]
+                tmin = jnp.min(t_c, axis=0, keepdims=True)  # [1, W]
+                pi = jnp.min(jnp.where(t_c == tmin, piota, inf), axis=0,
+                             keepdims=True)
+                bt = bt_s[pl.ds(g, 1), :]
+                better = tmin < bt                  # strict: earlier chunk
+                bt_s[pl.ds(g, 1), :] = jnp.where(better, tmin, bt)
+                bi = bi_s[pl.ds(g, 1), :]
+                bi_s[pl.ds(g, 1), :] = jnp.where(
+                    better, jnp.where(tmin < inf, pi, -1.0), bi)
+
+            if not skip:
+                eval_chunk()
+                return 0
+            # chunk-AABB row consensus: slab-test this chunk's box against
+            # the row's W rays (t clamped by each lane's current best) and
+            # skip the whole [L, W] candidate sweep when no lane can hit —
+            # the hierarchy level that keeps mesh-scale tables from paying
+            # O(n_prims) per ray (cluster consensus at row granularity)
+            safe = lambda dd: jnp.where(jnp.abs(dd) < 1e-20,
+                                        jnp.where(dd < 0, -1e-20, 1e-20),
+                                        dd)
+            ivx, ivy, ivz = 1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz)
+            t0x = (cbox_ref[ci, 0] - ox) * ivx
+            t1x = (cbox_ref[ci, 3] - ox) * ivx
+            t0y = (cbox_ref[ci, 1] - oy) * ivy
+            t1y = (cbox_ref[ci, 4] - oy) * ivy
+            t0z = (cbox_ref[ci, 2] - oz) * ivz
+            t1z = (cbox_ref[ci, 5] - oz) * ivz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), tmn))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.minimum(jnp.maximum(t0z, t1z),
+                                         bt_s[pl.ds(g, 1), :]))
+            pl.when(jnp.any(tn <= tf))(eval_chunk)
             return 0
 
         jax.lax.fori_loop(0, rg, row_body, 0)
@@ -237,9 +286,11 @@ def _kernel(tbl_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             return 0
         # one-hot gather of the winner's table row, accumulated over
         # CHUNK-row pieces so the [chunk, W] one-hot stays VMEM-small
-        # even for mesh-scale tables (bunny @ W=512: 1 MB vs 10 MB)
-        gt = None
-        for _, p0, ln in plan:
+        # even for mesh-scale tables (bunny @ W=512: 1 MB vs 10 MB).
+        # With ``skip``, chunks owning none of this row's winners skip
+        # their matmul entirely (winners cluster spatially, so most of a
+        # mesh-scale table never enters phase 2).
+        def add_chunk(gt, p0=None, ln=None):
             piota = (jnp.float32(p0) + jax.lax.broadcasted_iota(
                 jnp.int32, (ln, 1), 0).astype(jnp.float32))
             oh = (piota == bi).astype(jnp.float32)         # [L, W]
@@ -247,7 +298,16 @@ def _kernel(tbl_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 tbl_ref[pl.ds(p0, ln), :], oh, (((0,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)        # [36, W]
-            gt = g_c if gt is None else gt + g_c
+            return gt + g_c
+
+        gt = jnp.zeros((tbl_ref.shape[1], bi.shape[1]), jnp.float32)
+        for _, p0, ln in plan:
+            add = functools.partial(add_chunk, p0=p0, ln=ln)
+            if skip:
+                in_c = (bi >= jnp.float32(p0)) & (bi < jnp.float32(p0 + ln))
+                gt = jax.lax.cond(jnp.any(in_c), add, lambda x: x, gt)
+            else:
+                gt = add(gt)
         c = lambda j: gt[j:j + 1, :]                       # [1, W]
 
         ox, oy, oz = _row(ox_ref, g), _row(oy_ref, g), _row(oz_ref, g)
@@ -352,14 +412,20 @@ def _kernel(tbl_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                      "interpret"))
 def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
                             n_prims: int, t_min: float, has_motion: bool,
-                            segments, interpret: bool = False):
+                            segments, ctbl=None, interpret: bool = False):
     """All-pairs nearest hit.  Same contract as
     intersect_kernel.pallas_nearest_record: [G, 128] ray components in,
     (t, idx, nx, ny, nz, front|sphere<<1, u, v, mat) out.  Requires a
     kind-segmented table (compile_scene pads each segment to CLUSTER
-    rows, so chunk lengths stay sublane-aligned)."""
+    rows, so chunk lengths stay sublane-aligned).
+
+    ``ctbl`` (pack_clusters AABBs) enables per-(chunk, row) AABB skipping
+    — the consensus hierarchy that makes mesh-scale tables affordable."""
     g = ox.shape[0]
     plan = chunk_plan(segments, n_prims)
+    skip = ctbl is not None and len(plan) >= 2
+    cbox = chunk_boxes(ctbl, plan) if skip \
+        else jnp.zeros((1, 8), jnp.float32)
     # Row width: regroup the [G, 128] components into [G', W] rows so one
     # row iteration intersects W rays (fewer iterations + reductions for
     # the same arithmetic).  Pure relabeling — every lane is independent.
@@ -391,16 +457,17 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
     ]
     kernel = functools.partial(_kernel, plan=plan, n_prims=n_prims,
                                t_min=t_min, has_motion=has_motion, rg=rg,
-                               w=w)
+                               w=w, skip=skip)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        + [ray_spec] * 7,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((rg, w), f32),
                         pltpu.VMEM((rg, w), f32)],
         interpret=interpret,
-    )(tbl, ox, oy, oz, dx, dy, dz, tm)
+    )(tbl, cbox, ox, oy, oz, dx, dy, dz, tm)
     g0 = ox.size // LANES
     return tuple(o.reshape(g0, LANES) for o in outs)

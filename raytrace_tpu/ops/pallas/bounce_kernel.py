@@ -143,13 +143,14 @@ def _unit_from_uniforms(u, v):
     return r * jnp.cos(phi), r * jnp.sin(phi), z
 
 
-def _kernel(ptbl, ctbl, mtbl, ttbl,
+def _kernel(ptbl, ctbl, gtbl, mtbl, ttbl,
             ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, al, un,
             ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tr_o, tg_o, tb_o,
             rr_o, rg_o, rb_o, al_o, ms_o, pi_o,
             *, n_prims: int, n_mats: int, n_targets: int, t_min: float,
             has_motion: bool, use_prim_albedo: bool = False,
-            has_box: bool = False, segments=None, kinds=None):
+            has_box: bool = False, segments=None, kinds=None,
+            two_level: bool = False):
     oxv, oyv, ozv = ox[...], oy[...], oz[...]
     dxv, dyv, dzv = dx[...], dy[...], dz[...]
     trv, tgv, tbv = tr[...], tg[...], tb[...]
@@ -162,7 +163,8 @@ def _kernel(ptbl, ctbl, mtbl, ttbl,
         tm[...] if has_motion else None,
         n_prims=n_prims, t_min=t_min, has_motion=has_motion,
         ctbl_ref=ctbl, with_albedo=use_prim_albedo, has_box=has_box,
-        segments=segments, kinds=kinds)
+        segments=segments, kinds=kinds,
+        gtbl_ref=gtbl if two_level else None)
     (t, bi, nx, ny, nz, fr_f, uu, vv, mat_f, sph_f) = hit_res[:10]
 
     hit = t < jnp.float32(jnp.inf)
@@ -431,12 +433,19 @@ def bounce_megakernel(ptbl, ctbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
                       n_targets: int, t_min: float, has_motion: bool,
                       use_prim_albedo: bool = False, has_box: bool = False,
                       segments=None, kinds=None, interpret: bool = False):
+    from .intersect_kernel import (
+        CLUSTER, GROUP_MIN_CLUSTERS, pack_cluster_groups,
+    )
     """Ray components / throughput / alive are [G, 128]; ``uniforms`` is
     [N_U, G, 128]; ``ctbl`` the pack_clusters AABB table.  Returns 15
     [G, 128] outputs (see _kernel; the last is the winner prim index as
     f32, -1 on miss)."""
     from .intersect_kernel import BLOCK_G_CLUSTERED, CLUSTER_MIN_PRIMS
     g = ox.shape[0]
+    two_level = (n_prims >= CLUSTER_MIN_PRIMS
+                 and -(-n_prims // CLUSTER) >= GROUP_MIN_CLUSTERS)
+    gtbl = pack_cluster_groups(ctbl) if two_level \
+        else jnp.zeros((1, 8), jnp.float32)
     bg = min(BLOCK_G_CLUSTERED if n_prims >= CLUSTER_MIN_PRIMS else BLOCK_G,
              g)
     grid = (pl.cdiv(g, bg),)
@@ -451,11 +460,11 @@ def bounce_megakernel(ptbl, ctbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
         _kernel, n_prims=n_prims, n_mats=n_mats, n_targets=n_targets,
         t_min=t_min, has_motion=has_motion,
         use_prim_albedo=use_prim_albedo, has_box=has_box,
-        segments=segments, kinds=kinds)
+        segments=segments, kinds=kinds, two_level=two_level)
     from .intersect_kernel import MAX_SMEM_PRIMS
     if n_prims <= MAX_SMEM_PRIMS:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=grid,
             in_specs=[ray_spec] * 11 + [uni_spec],
             out_specs=out_specs,
@@ -465,17 +474,18 @@ def bounce_megakernel(ptbl, ctbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(ptbl, ctbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm, tr, tg, tb,
-          al, uniforms)
+        )(ptbl, ctbl, gtbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm, tr,
+          tg, tb, al, uniforms)
 
     # mesh-scale scenes: the primitive table lives whole in VMEM while the
     # small cluster/material/target tables stay scalar-prefetched in SMEM
-    def kernel_vmem(ctbl_ref, mtbl_ref, ttbl_ref, ptbl_ref, *rest):
-        kernel(ptbl_ref, ctbl_ref, mtbl_ref, ttbl_ref, *rest)
+    def kernel_vmem(ctbl_ref, gtbl_ref, mtbl_ref, ttbl_ref, ptbl_ref,
+                    *rest):
+        kernel(ptbl_ref, ctbl_ref, gtbl_ref, mtbl_ref, ttbl_ref, *rest)
 
     tbl_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[tbl_spec] + [ray_spec] * 11 + [uni_spec],
         out_specs=out_specs,
@@ -485,5 +495,5 @@ def bounce_megakernel(ptbl, ctbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(ctbl, mtbl, ttbl, ptbl, ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, al,
-      uniforms)
+    )(ctbl, gtbl, mtbl, ttbl, ptbl, ox, oy, oz, dx, dy, dz, tm, tr, tg,
+      tb, al, uniforms)

@@ -57,6 +57,8 @@ MAX_SMEM_PRIMS = 512       # parameter table in SMEM (scalar prefetch)
 MAX_DENSE_PRIMS = 65536    # above MAX_SMEM_PRIMS the table lives in VMEM
 CLUSTER = 64               # prims per cluster (clustered consensus loop)
 CLUSTER_MIN_PRIMS = 65     # below this, the flat single-pass loop wins
+GROUP = 16                 # clusters per group (two-level consensus)
+GROUP_MIN_CLUSTERS = 96    # below this, one level of conds is cheaper
 FORCE_LOOP = None          # None adaptive; "flat"/"clustered" pin the
                            # block-level choice (tests + A/B tools)
 
@@ -160,10 +162,26 @@ def pack_clusters(prims: Primitives) -> jnp.ndarray:
     return tbl
 
 
+def pack_cluster_groups(ctbl):
+    """[K, 8] cluster AABBs -> [ceil(K/GROUP), 8] group AABBs (the second
+    consensus level: a group is GROUP consecutive clusters, spatially
+    tight because clusters follow the BVH median-split row order)."""
+    k = ctbl.shape[0]
+    ng = -(-k // GROUP)
+    lo = jnp.full((ng * GROUP, 3), jnp.inf, jnp.float32).at[:k].set(
+        ctbl[:, 0:3])
+    hi = jnp.full((ng * GROUP, 3), -jnp.inf, jnp.float32).at[:k].set(
+        ctbl[:, 3:6])
+    gtbl = jnp.zeros((ng, 8), jnp.float32)
+    gtbl = gtbl.at[:, 0:3].set(lo.reshape(ng, GROUP, 3).min(axis=1))
+    gtbl = gtbl.at[:, 3:6].set(hi.reshape(ng, GROUP, 3).max(axis=1))
+    return gtbl
+
+
 def prim_loop(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *, n_prims: int,
               t_min: float, has_motion: bool, ctbl_ref=None,
               with_albedo: bool = False, has_box: bool = False,
-              segments=None, kinds=None):
+              segments=None, kinds=None, gtbl_ref=None):
     """Shared fused nearest-hit loop over the packed primitive table.
 
     Operates on value tiles (any shape); returns
@@ -207,7 +225,7 @@ def prim_loop(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *, n_prims: int,
                 tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
                 n_prims=n_prims, t_min=t_min, has_motion=has_motion,
                 with_albedo=with_albedo, has_box=has_box,
-                segments=segments)
+                segments=segments, gtbl_ref=gtbl_ref)
 
         if FORCE_LOOP == "flat":
             return flat(0)
@@ -571,7 +589,8 @@ def _prim_loop_flat_segmented(tbl_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv,
 def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
                          tmv, *, n_prims: int, t_min: float,
                          has_motion: bool, with_albedo: bool = False,
-                         has_box: bool = False, segments=None):
+                         has_box: bool = False, segments=None,
+                         gtbl_ref=None):
     """Two-phase clustered nearest hit (mesh-scale scenes).
 
     Phase 1 finds the winning (t, prim) with a candidate-t-only inner
@@ -602,9 +621,10 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
     inv_dy = 1.0 / safe(dyv)
     inv_dz = 1.0 / safe(dzv)
 
-    def slab_hit(k, bt):
-        lox, loy, loz = ctbl_ref[k, 0], ctbl_ref[k, 1], ctbl_ref[k, 2]
-        hix, hiy, hiz = ctbl_ref[k, 3], ctbl_ref[k, 4], ctbl_ref[k, 5]
+    def slab_hit(k, bt, box_ref=None):
+        box_ref = ctbl_ref if box_ref is None else box_ref
+        lox, loy, loz = box_ref[k, 0], box_ref[k, 1], box_ref[k, 2]
+        hix, hiy, hiz = box_ref[k, 3], box_ref[k, 4], box_ref[k, 5]
         tx0 = (lox - oxv) * inv_dx
         tx1 = (hix - oxv) * inv_dx
         ty0 = (loy - oyv) * inv_dy
@@ -739,10 +759,35 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
             return jax.lax.cond(jnp.any(hit), visit, lambda c: c, carry)
         return cluster1
 
+    # Two-level consensus for mesh-scale tables: a group-AABB slab test
+    # skips GROUP clusters (their slab tests AND conds) at once.  Grid
+    # programs run sequentially, so per-cluster cond overhead (~0.4 us) is
+    # paid per (cluster, program); at 50 k prims that is ~780 conds per
+    # program in one level vs ~49 group conds + visited-group clusters.
+    two_level = gtbl_ref is not None
+
+    def group1_for(mode, k0, k1):
+        cl1 = cluster1_for(mode)
+
+        def group1(g, carry):
+            ghit = slab_hit(g, carry[0], box_ref=gtbl_ref)
+
+            def visit(c):
+                ks = jnp.maximum(g * GROUP, k0)
+                ke = jnp.minimum((g + 1) * GROUP, k1)
+                return jax.lax.fori_loop(ks, ke, cl1, c)
+
+            return jax.lax.cond(jnp.any(ghit), visit, lambda c: c, carry)
+        return group1
+
     carry = (jnp.full(shp, inf, jnp.float32),
              jnp.full(shp, -1.0, jnp.float32))
     for mode, k0, k1 in segments:
-        carry = jax.lax.fori_loop(k0, k1, cluster1_for(mode), carry)
+        if two_level:
+            carry = jax.lax.fori_loop(k0 // GROUP, -(-k1 // GROUP),
+                                      group1_for(mode, k0, k1), carry)
+        else:
+            carry = jax.lax.fori_loop(k0, k1, cluster1_for(mode), carry)
     bt, bi = carry
 
     # ---- phase 2: hit record of the winner (winner clusters only) ----
@@ -887,9 +932,29 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
             return jax.lax.cond(jnp.any(in_cl), visit, lambda a: a, attrs)
         return cluster2
 
+    def group2_for(mode, k0, k1):
+        cl2 = cluster2_for(mode)
+
+        def group2(g, attrs):
+            base_f = (g * (GROUP * CLUSTER)).astype(jnp.float32)
+            in_g = (bi >= base_f) & (
+                bi < base_f + jnp.float32(GROUP * CLUSTER))
+
+            def visit(a):
+                ks = jnp.maximum(g * GROUP, k0)
+                ke = jnp.minimum((g + 1) * GROUP, k1)
+                return jax.lax.fori_loop(ks, ke, cl2, a)
+
+            return jax.lax.cond(jnp.any(in_g), visit, lambda a: a, attrs)
+        return group2
+
     attrs = attrs0
     for mode, k0, k1 in segments:
-        attrs = jax.lax.fori_loop(k0, k1, cluster2_for(mode), attrs)
+        if two_level:
+            attrs = jax.lax.fori_loop(k0 // GROUP, -(-k1 // GROUP),
+                                      group2_for(mode, k0, k1), attrs)
+        else:
+            attrs = jax.lax.fori_loop(k0, k1, cluster2_for(mode), attrs)
     (cnx, cny, cnz, cfr, cu, cv, cm, csp) = attrs[:8]
 
     flip = jnp.where(cfr > 0.5, 1.0, -1.0)
@@ -897,16 +962,17 @@ def _prim_loop_clustered(tbl_ref, ctbl_ref, oxv, oyv, ozv, dxv, dyv, dzv,
             csp) + attrs[8:]
 
 
-def _kernel(tbl_ref, ctbl_ref, ox, oy, oz, dx, dy, dz, tm,
+def _kernel(tbl_ref, ctbl_ref, gtbl_ref, ox, oy, oz, dx, dy, dz, tm,
             t_out, i_out, nx_out, ny_out, nz_out, fr_out, u_out, v_out,
             m_out, *, n_prims: int, t_min: float, has_motion: bool,
             clustered: bool = True, has_box: bool = False, segments=None,
-            kinds=None):
+            kinds=None, two_level: bool = False):
     (bt, bi, nx, ny, nz, cfr, cu, cv, cm, csp) = prim_loop(
         tbl_ref, ox[...], oy[...], oz[...], dx[...], dy[...], dz[...],
         tm[...] if has_motion else None, n_prims=n_prims, t_min=t_min,
         has_motion=has_motion, ctbl_ref=ctbl_ref if clustered else None,
-        has_box=has_box, segments=segments, kinds=kinds)
+        has_box=has_box, segments=segments, kinds=kinds,
+        gtbl_ref=gtbl_ref if two_level else None)
     t_out[...] = bt
     # sphere uv is computed by the caller (atan2/arccos have no cheap
     # Pallas lowering here) from the outward normal = normal * (+-1 front).
@@ -940,6 +1006,11 @@ def pallas_nearest_record(tbl, ctbl, ox, oy, oz, dx, dy, dz, tm, *,
     clustered = ctbl is not None and n_prims >= CLUSTER_MIN_PRIMS
     if ctbl is None:
         ctbl = jnp.zeros((1, 8), jnp.float32)
+    # two-level consensus above GROUP_MIN_CLUSTERS clusters: group AABBs
+    # skip GROUP clusters' slab tests + conds at once (mesh-scale scenes)
+    two_level = clustered and -(-n_prims // CLUSTER) >= GROUP_MIN_CLUSTERS
+    gtbl = pack_cluster_groups(ctbl) if two_level \
+        else jnp.zeros((1, 8), jnp.float32)
     bg = min(BLOCK_G_CLUSTERED if clustered else BLOCK_G, g)
     grid = (pl.cdiv(g, bg),)
     # with num_scalar_prefetch=2, index maps receive (grid_idx, *scalar_refs)
@@ -964,11 +1035,11 @@ def pallas_nearest_record(tbl, ctbl, ox, oy, oz, dx, dy, dz, tm, *,
                                has_motion=has_motion, clustered=clustered,
                                has_box=has_box,
                                segments=segments if clustered else None,
-                               kinds=kinds)
+                               kinds=kinds, two_level=two_level)
     if n_prims <= MAX_SMEM_PRIMS:
         # small scene: per-primitive scalars prefetched to SMEM
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[ray_spec] * 7,
             out_specs=out_specs,
@@ -978,16 +1049,16 @@ def pallas_nearest_record(tbl, ctbl, ox, oy, oz, dx, dy, dz, tm, *,
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(tbl, ctbl, ox, oy, oz, dx, dy, dz, tm)
+        )(tbl, ctbl, gtbl, ox, oy, oz, dx, dy, dz, tm)
 
     # large scene (meshes): prim table lives whole in VMEM; the (much
-    # smaller) cluster table stays scalar-prefetched in SMEM
-    def kernel_vmem(ctbl_ref, tbl_ref, *rest):
-        kernel(tbl_ref, ctbl_ref, *rest)
+    # smaller) cluster/group tables stay scalar-prefetched in SMEM
+    def kernel_vmem(ctbl_ref, gtbl_ref, tbl_ref, *rest):
+        kernel(tbl_ref, ctbl_ref, gtbl_ref, *rest)
 
     tbl_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[tbl_spec] + [ray_spec] * 7,
         out_specs=out_specs,
@@ -997,4 +1068,4 @@ def pallas_nearest_record(tbl, ctbl, ox, oy, oz, dx, dy, dz, tm, *,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(ctbl, tbl, ox, oy, oz, dx, dy, dz, tm)
+    )(ctbl, gtbl, tbl, ox, oy, oz, dx, dy, dz, tm)

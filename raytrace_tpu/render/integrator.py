@@ -153,7 +153,7 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
                       o, d, time)
     if use_pallas:
         from ..ops.pallas.allpairs_kernel import (
-            MIN_PRIMS, allpairs_nearest_record,
+            MAX_PRIMS, MIN_PRIMS, allpairs_nearest_record,
         )
         from ..ops.pallas.intersect_kernel import (
             pack_clusters, pack_prims, pallas_nearest_record,
@@ -164,16 +164,20 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
         # The all-pairs broadcast kernel is coherence-independent; the
         # production wavefronts are regenerating (lanes sit at mixed
         # path depths), where it beats the clustered consensus loop
-        # (demo2 table: 5.4 vs 8.1 ms/90k semi-coherent lanes).
+        # (demo2 table: 5.4 vs 8.1 ms/90k semi-coherent lanes).  Its
+        # per-ray cost is O(n_prims), so past MAX_PRIMS the two-level
+        # clustered loop (which skips whole cluster groups) takes over.
         use_allpairs = (scene.prims.kind_segments is not None
-                        and _n_scan_prims(scene.prims) >= MIN_PRIMS)
+                        and MIN_PRIMS <= _n_scan_prims(scene.prims)
+                        <= MAX_PRIMS)
         if use_allpairs:
             t, idx, nx, ny, nz, fr, uu, vv, mat = allpairs_nearest_record(
                 tbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
                 resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
                 n_prims=_n_scan_prims(scene.prims), t_min=float(s.t_min),
                 has_motion=scene.prims.has_motion,
-                segments=scene.prims.kind_segments)
+                segments=scene.prims.kind_segments,
+                ctbl=pack_clusters(scene.prims))
         else:
             ctbl = pack_clusters(scene.prims) if clustered else None
             t, idx, nx, ny, nz, fr, uu, vv, mat = pallas_nearest_record(
@@ -908,13 +912,16 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
             acc_g = acc_g + rad[1] * died_f
             acc_b = acc_b + rad[2] * died_f
         else:
-            # lane l's contribution lands at slot (l + c*stride) % lanes —
-            # a fixed shift per chunk c: k masked rolls, still no scatter
+            # lane l's chunk-c contribution belongs to slot
+            # (l + c*stride) % lanes.  Accumulate per-chunk (masked
+            # selects only) and roll each chunk accumulator ONCE after
+            # the loop — k rolls total instead of k rolls per iteration
+            # (a roll moves the whole array through HBM; a select fuses).
             for cc in range(k_rot):
                 m = died_f * jnp.where(rot_c == cc, 1.0, 0.0)
-                acc_r = acc_r + jnp.roll(rad[0] * m, cc * stride)
-                acc_g = acc_g + jnp.roll(rad[1] * m, cc * stride)
-                acc_b = acc_b + jnp.roll(rad[2] * m, cc * stride)
+                acc_r = acc_r.at[cc].add(rad[0] * m)
+                acc_g = acc_g.at[cc].add(rad[1] * m)
+                acc_b = acc_b.at[cc].add(rad[2] * m)
 
         segments = segments + jnp.sum((alive | died).astype(jnp.int32))
         return (acc_r, acc_g, acc_b, comps, rad, thr, alive, sample, depth,
@@ -927,10 +934,11 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
 
     z1 = jnp.zeros((lanes,), DTYPE)
     o1 = jnp.ones((lanes,), DTYPE)
+    za = z1 if k_rot == 1 else jnp.zeros((k_rot, lanes), DTYPE)
     init_keys = rng.ray_keys_fast(base_key, jnp.zeros(lanes, jnp.int32),
                                   jnp.zeros(lanes, jnp.int32))
     state = (
-        z1, z1, z1,
+        za, za, za,
         (z1, z1, z1, z1, z1, o1, z1),
         (z1, z1, z1), (o1, o1, o1),
         jnp.zeros((lanes,), bool), init_sample.astype(jnp.int32),
@@ -938,11 +946,18 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
     )
     state = jax.lax.while_loop(cond, body, state)
+    if k_rot == 1:
+        accs = state[0:3]
+    else:
+        # chunk accumulators -> lane slots: one roll per chunk, post-loop
+        accs = tuple(
+            sum(jnp.roll(a[cc], cc * stride) for cc in range(k_rot))
+            for a in state[0:3])
     if use_tiles:
         # lane order -> pixel order: one gather per launch
-        contrib = jnp.stack(state[0:3], axis=-1)[tile_p2l]
+        contrib = jnp.stack(accs, axis=-1)[tile_p2l]
     else:
-        contrib = jnp.stack(state[0:3], axis=-1)[:n_pix]
+        contrib = jnp.stack(accs, axis=-1)[:n_pix]
     acc_out = acc + contrib
     if with_stats:
         return acc_out, dict(iterations=state[-2], segments=state[-1],
@@ -1064,22 +1079,25 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
             done = done + died.astype(jnp.int32)
         else:
             # contribution of lane l belongs to pixel slot
-            # (l + c*stride) % lanes: fixed shift per chunk -> masked
-            # rolls (linear; AD-transparent)
+            # (l + c*stride) % lanes: accumulate per-chunk with masked
+            # selects; the fixed-shift rolls happen ONCE after the scan
+            # (linear, AD-transparent, k rolls total instead of k/iter)
             for cc in range(k_rot):
                 m = (died_f * jnp.where(rot_c == cc, 1.0, 0.0))
-                acc = tuple(a + jnp.roll(r * m, cc * stride)
+                acc = tuple(a.at[cc].add(r * m)
                             for a, r in zip(acc, rad))
-                done = done + jnp.roll(m.astype(jnp.int32), cc * stride)
+                done = done.at[cc].add(m.astype(jnp.int32))
         return (acc, done, comps, rad, thr, alive, sample, depth,
                 keys), None
 
     z1 = jnp.zeros((lanes,), DTYPE)
     o1 = jnp.ones((lanes,), DTYPE)
+    za = z1 if k_rot == 1 else jnp.zeros((k_rot, lanes), DTYPE)
+    zd = jnp.zeros((lanes,) if k_rot == 1 else (k_rot, lanes), jnp.int32)
     init_keys = rng.ray_keys_fast(base_key, jnp.zeros(lanes, jnp.int32),
                                   jnp.zeros(lanes, jnp.int32))
     state = (
-        (z1, z1, z1), jnp.zeros((lanes,), jnp.int32),
+        (za, za, za), zd,
         (z1, z1, z1, z1, z1, o1, z1),       # o, d (dummy unit z), time
         (z1, z1, z1), (o1, o1, o1),         # radiance, throughput
         jnp.zeros((lanes,), bool),
@@ -1089,5 +1107,10 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
     scan_body = jax.checkpoint(body) if remat else body
     state, _ = jax.lax.scan(scan_body, state, None, length=n_iters)
     acc, done = state[0], state[1]
+    if k_rot > 1:
+        acc = tuple(
+            sum(jnp.roll(a[cc], cc * stride) for cc in range(k_rot))
+            for a in acc)
+        done = sum(jnp.roll(done[cc], cc * stride) for cc in range(k_rot))
     mean = jnp.stack(acc, axis=-1) / jnp.maximum(done, 1)[:, None]
     return mean, done

@@ -294,14 +294,21 @@ def _rows_to_primitives(rows: _Rows, perm=None, pad_to: int = 1,
 
 
 def compile_scene(root: B.Geom, *, accel: str = "auto", leaf_size: int = 4,
-                  dense_threshold: int = 8192, pad_to: int = 8) -> Scene:
+                  dense_threshold: int | None = None,
+                  pad_to: int = 8) -> Scene:
     """Compile a scene graph into a :class:`Scene` of device buffers.
 
     ``accel``: "auto" (BVH above ``dense_threshold`` primitives), "dense",
-    or "bvh".  The default threshold favors dense mode: on TPU the fused
-    dense megakernel beats divergent per-lane BVH traversal up to
-    mesh-scale scenes (ops/pallas/intersect_kernel.py).
+    or "bvh".  The default threshold is the dense Pallas engines' table
+    cap (``MAX_DENSE_PRIMS`` = 65 536 rows, ~9 MB of the ~16 MB VMEM):
+    on TPU the fused dense megakernel with two-level cluster consensus
+    beats divergent per-lane BVH traversal at every scale it can hold
+    (ops/pallas/intersect_kernel.py), and the per-lane XLA BVH path is
+    ~1000x slower there — selecting it on TPU warns loudly.
     """
+    if dense_threshold is None:
+        from ..ops.pallas.intersect_kernel import MAX_DENSE_PRIMS
+        dense_threshold = MAX_DENSE_PRIMS
     interner = _Interner()
     rows = _Rows.empty()
     volumes: list = []
@@ -312,6 +319,16 @@ def compile_scene(root: B.Geom, *, accel: str = "auto", leaf_size: int = 4,
 
     n_surface = rows.n()
     use_bvh = accel == "bvh" or (accel == "auto" and n_surface > dense_threshold)
+    if use_bvh:
+        import jax
+        if jax.default_backend() in ("tpu", "axon"):
+            import warnings
+            warnings.warn(
+                f"compile_scene: {n_surface} primitives selected the "
+                "per-lane XLA BVH path, which is ~1000x slower than the "
+                "dense Pallas engines on TPU (~0.01 M rays/s). Prefer "
+                "accel='dense' up to 65536 rows, or split the scene.",
+                stacklevel=2)
 
     bvh = None
     perm = None

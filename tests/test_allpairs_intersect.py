@@ -12,7 +12,7 @@ M = rt.lambertian(rt.constant_texture(0.5))
 M2 = rt.metal(0.1, rt.constant_texture(0.9))
 
 
-def _run_both(scene, n=1024, seed=0, t_min=1e-3):
+def _run_both(scene, n=1024, seed=0, t_min=1e-3, with_skip=False):
     rng_ = np.random.default_rng(seed)
     o = jnp.asarray(rng_.uniform(-6, 6, (n, 3)), jnp.float32)
     d = jnp.asarray(rng_.normal(size=(n, 3)), jnp.float32)
@@ -28,12 +28,17 @@ def _run_both(scene, n=1024, seed=0, t_min=1e-3):
     g = n // 128
     resh = lambda x: x.reshape(g, 128)
     tbl = pack_prims(scene.prims)
+    if with_skip:
+        from raytrace_tpu.ops.pallas.intersect_kernel import pack_clusters
+        ctbl = pack_clusters(scene.prims)
+    else:
+        ctbl = None
     t, idx, nx, ny, nz, fr, uu, vv, mat = allpairs_nearest_record(
         tbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
         resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
         n_prims=scene.prims.kind.shape[0], t_min=t_min,
         has_motion=scene.prims.has_motion,
-        segments=scene.prims.kind_segments, interpret=True)
+        segments=scene.prims.kind_segments, ctbl=ctbl, interpret=True)
     flat = lambda x: np.asarray(x).reshape(n)
     flags = flat(fr)
     front = (flags & 1).astype(bool)
@@ -117,4 +122,24 @@ def test_allpairs_sphere_only_large():
     assert np.isfinite(ref["t"]).sum() > 200
     # t_atol: grazing hits (disc ~ 0) carry f32 association noise in the
     # direct oc form; winner indices still match exactly
+    _compare(ref, pal, t_rtol=2e-4, t_atol=3e-5)
+
+
+def test_allpairs_chunk_skip_matches():
+    """Chunk-AABB row skipping (phase 1 cond + phase 2 matmul skip) must
+    be invisible: identical winners/attrs to the unskipped sweep."""
+    scene = _mixed_scene(motion=True)
+    ref, pal = _run_both(scene, seed=9, with_skip=True)
+    assert np.isfinite(ref["t"]).sum() > 100
+    _compare(ref, pal, t_rtol=2e-4)
+
+
+def test_allpairs_chunk_skip_multi_chunk():
+    rng_ = np.random.default_rng(4)
+    items = [rt.with_material(M, rt.sphere(rng_.uniform(-10, 10, 3),
+                                           rng_.uniform(0.2, 0.8)))
+             for _ in range(700)]
+    scene = rt.compile_scene(rt.group(items), accel="dense")
+    ref, pal = _run_both(scene, seed=8, with_skip=True)
+    assert np.isfinite(ref["t"]).sum() > 200
     _compare(ref, pal, t_rtol=2e-4, t_atol=3e-5)
