@@ -111,13 +111,22 @@ def sharded_wavefront_render_fn(mesh: Mesh, n_pix: int, spp: int):
 
 
 def sharded_train_step_fn(mesh: Mesh, settings: CameraSettings,
-                          lr: float = 1e-2, optimizer=None):
-    """Jitted sharded inverse-rendering training step.
+                          lr: float = 1e-2, optimizer=None,
+                          spp: int | None = None,
+                          n_iters: int | None = None):
+    """Jitted sharded inverse-rendering training step on the PRODUCTION
+    estimator: the differentiable regenerative wavefront
+    (diff/gradients.py:render_loss_wavefront), not the bounded
+    scan-over-max-depth ``trace`` — each lane regenerates fresh samples
+    as paths die, so deep ``max_depth`` settings waste no iterations.
 
     ``step(scene, key, pixel_ids, sample_ids, target) -> (loss, scene')``:
-    renders the (dp x sp)-sharded tile differentiably, MSE vs target,
-    grads w.r.t. every float scene leaf (psum'd across the mesh by XLA),
-    parameter update on the replicated scene.
+    pixels shard over the flattened (dp, sp) mesh (the wavefront is
+    pixel-stationary, so the lane axis is the only parallel axis; the
+    legacy ``sample_ids`` argument only fixes ``spp = len(sample_ids)``
+    unless ``spp`` is given), MSE vs target, grads w.r.t. every float
+    scene leaf (psum'd across the mesh by XLA), parameter update on the
+    replicated scene.
 
     ``optimizer``: any optax ``GradientTransformation``; default is plain
     SGD at ``lr``.  Scene parameters span wildly different scales (albedo
@@ -132,26 +141,30 @@ def sharded_train_step_fn(mesh: Mesh, settings: CameraSettings,
     if optimizer is None:
         import optax
         optimizer = optax.sgd(lr)
+    from ..diff.gradients import render_loss_wavefront
+
+    lane_spec = NamedSharding(mesh, P(("dp", "sp")))
 
     def step_opt(scene: Scene, opt_state, key, pixel_ids, sample_ids,
                  target):
+        # accept any incoming layout (e.g. a P("dp")-sharded target from
+        # sharded_render_fn) and re-shard to the wavefront's lane axis
+        pixel_ids = jax.lax.with_sharding_constraint(pixel_ids, lane_spec)
+        target = jax.lax.with_sharding_constraint(target, lane_spec)
         params, statics = partition(scene)
-        loss, grads = jax.value_and_grad(render_loss)(
-            params, statics, settings, key, pixel_ids, sample_ids, target)
+        n_s = spp if spp is not None else sample_ids.shape[0]
+        (loss, _frac), grads = jax.value_and_grad(
+            render_loss_wavefront, has_aux=True)(
+            params, statics, settings, key, pixel_ids, target,
+            spp=n_s, n_iters=n_iters)
         # None leaves are empty pytree nodes — optax and tree_map skip them
         updates, opt_state = optimizer.update(grads, opt_state, params)
         new_params = jax.tree_util.tree_map(lambda p, u: p + u,
                                             params, updates)
         return loss, combine(new_params, statics), opt_state
 
-    shard_in = (
-        replicated(mesh), replicated(mesh), replicated(mesh),
-        NamedSharding(mesh, P("dp")), NamedSharding(mesh, P("sp")),
-        NamedSharding(mesh, P("dp")),
-    )
     step_opt_jit = jax.jit(
-        step_opt, in_shardings=shard_in,
-        out_shardings=(replicated(mesh),) * 3)
+        step_opt, out_shardings=(replicated(mesh),) * 3)
 
     def init(scene: Scene):
         params, _ = partition(scene)

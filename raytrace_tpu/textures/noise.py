@@ -37,18 +37,24 @@ import jax.numpy as jnp
 from ..core.vecmath import DTYPE, vdot0
 from ._perlin_tables import PERMX, PERMY, PERMZ
 
-_PERMX = jnp.asarray(PERMX, dtype=jnp.int32)
-_PERMY = jnp.asarray(PERMY, dtype=jnp.int32)
-_PERMZ = jnp.asarray(PERMZ, dtype=jnp.int32)
 # [256, 2] f32 per axis: column 0 = perm, column 1 = perm shifted by one —
 # one one-hot matmul yields both lattice-corner lookups (values <= 255 are
 # exact in f32).  An XLA TPU gather of 90k lanes from a 256-table costs
 # ~1 ms; the one-hot matmul runs on the MXU at ~0.1 ms.
-_PERM2 = {
-    ax: jnp.stack([t.astype(jnp.float32),
-                   jnp.roll(t, -1).astype(jnp.float32)], axis=1)
-    for ax, t in (("x", _PERMX), ("y", _PERMY), ("z", _PERMZ))
-}
+# Built lazily: creating device arrays at import time would initialize
+# the XLA backend, which must not happen before
+# ``jax.distributed.initialize`` in multi-process jobs (multihost.py).
+_PERM2_CACHE: dict = {}
+
+
+def _perm2(ax: str):
+    if not _PERM2_CACHE:
+        for a, t in (("x", PERMX), ("y", PERMY), ("z", PERMZ)):
+            ti = jnp.asarray(t, dtype=jnp.int32)
+            _PERM2_CACHE[a] = jnp.stack(
+                [ti.astype(jnp.float32),
+                 jnp.roll(ti, -1).astype(jnp.float32)], axis=1)
+    return _PERM2_CACHE[ax]
 
 
 def _perm_pair(axis: str, idx):
@@ -56,7 +62,7 @@ def _perm_pair(axis: str, idx):
     import jax.nn
     flat = (idx & 255).reshape(-1)
     oh = jax.nn.one_hot(flat, 256, dtype=jnp.float32)
-    both = oh @ _PERM2[axis]                      # [R, 2]
+    both = oh @ _perm2(axis)                      # [R, 2]
     both = both.astype(jnp.int32).reshape(idx.shape + (2,))
     return both[..., 0], both[..., 1]
 
