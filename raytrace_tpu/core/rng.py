@@ -16,10 +16,17 @@ which XLA cannot vectorize):
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from .vecmath import DTYPE, normalize
+
+# Fallback switch: RT_RNG_THREEFRY=1 routes every uniform_block through a
+# full threefry pass (reference-quality stream, ~2.5x the cost) instead
+# of the fast counter-hash — for auditing statistical-quality concerns.
+USE_THREEFRY = bool(os.environ.get("RT_RNG_THREEFRY"))
 
 
 def base_key(seed: int):
@@ -90,7 +97,12 @@ def uniform_block(keys, n: int, dtype=DTYPE):
     wavefront iteration on v5e.  Each (pixel, sample, depth, column)
     still maps injectively into the hash input, so streams stay
     deterministic and shard-invariant; statistical quality is validated
-    by tests/test_rng.py and the golden-parity renders."""
+    by tests/test_rng.py (collision-freedom over the full bench key
+    domain, column serial correlation, pairwise uniformity) and the
+    golden-parity renders.  ``RT_RNG_THREEFRY=1`` swaps in the threefry
+    stream as an auditing fallback."""
+    if USE_THREEFRY:
+        return uniform_block_threefry(keys, n, dtype)
     kd = jax.random.key_data(keys).astype(jnp.uint32)
     k0 = kd[..., 0:1]
     k1 = kd[..., 1:2]

@@ -97,6 +97,92 @@ def chunk_boxes(ctbl, plan):
     return jnp.stack(boxes)
 
 
+
+
+def _winner_attrs(c, bt, hit, ox, oy, oz, dx, dy, dz, tm, *, kinds,
+                  has_motion: bool):
+    """Shared winner-attribute math from a gathered table row accessor
+    ``c(j) -> [1, W]`` (both the static and dynamic kernels end phase 2
+    here).  Returns (n_x, n_y, n_z, fr, uu, vv, sphf) pre-flip."""
+    want_sphere = PRIM_SPHERE in kinds
+    want_plane = PRIM_PARALLELOGRAM in kinds
+    want_box = PRIM_BOX in kinds
+    t_safe = jnp.where(hit, bt, 1.0)
+    hx = ox + t_safe * dx
+    hy = oy + t_safe * dy
+    hz = oz + t_safe * dz
+    if has_motion:
+        sx = c(24) + tm * c(27)
+        sy = c(25) + tm * c(28)
+        sz = c(26) + tm * c(29)
+    else:
+        sx = sy = sz = jnp.zeros_like(bt)
+
+    kind = c(16)
+    zero = jnp.zeros_like(bt)
+    n_x = zero
+    n_y = zero
+    n_z = jnp.ones_like(bt)
+    fr = zero
+    uu = zero
+    vv = zero
+    sphf = zero
+
+    if want_sphere:
+        inv_r = jax.lax.rsqrt(jnp.maximum(c(3), 1e-30)) * jnp.sign(c(30))
+        cex = c(0) + sx
+        cey = c(1) + sy
+        cez = c(2) + sz
+        snx = (hx - cex) * inv_r
+        sny = (hy - cey) * inv_r
+        snz = (hz - cez) * inv_r
+        s_fr = jnp.where(dx * snx + dy * sny + dz * snz <= 0.0, 1.0, 0.0)
+        is_s = kind == 0.0
+        n_x = jnp.where(is_s, snx, n_x)
+        n_y = jnp.where(is_s, sny, n_y)
+        n_z = jnp.where(is_s, snz, n_z)
+        fr = jnp.where(is_s, s_fr, fr)
+        sphf = jnp.where(is_s, 1.0, sphf)
+        # sphere uv reconstructed by the caller (atan2/acos)
+
+    if want_plane:
+        pnx, pny, pnz = c(4), c(5), c(6)
+        den = dx * pnx + dy * pny + dz * pnz
+        p_fr = jnp.where(den < 0.0, 1.0, 0.0)
+        wax, way, waz = c(7), c(8), c(9)
+        wbx, wby, wbz = c(10), c(11), c(12)
+        a = (hx * wax + hy * way + hz * waz) - c(14) \
+            - (sx * wax + sy * way + sz * waz)
+        b = (hx * wbx + hy * wby + hz * wbz) - c(15) \
+            - (sx * wbx + sy * wby + sz * wbz)
+        is_tri = kind == 2.0
+        w0 = 1.0 - a - b
+        puu = jnp.where(is_tri, w0 * c(18) + a * c(20) + b * c(22), a)
+        pvv = jnp.where(is_tri, w0 * c(19) + a * c(21) + b * c(23), b)
+        is_p = (kind > 0.5) & (kind < 2.5)
+        n_x = jnp.where(is_p, pnx, n_x)
+        n_y = jnp.where(is_p, pny, n_y)
+        n_z = jnp.where(is_p, pnz, n_z)
+        fr = jnp.where(is_p, p_fr, fr)
+        uu = jnp.where(is_p, puu, uu)
+        vv = jnp.where(is_p, pvv, vv)
+
+    if want_box:
+        from .intersect_kernel import _box_attrs
+        b_nx, b_ny, b_nz, b_fr, b_uu, b_vv = _box_attrs(
+            c(0) + sx, c(1) + sy, c(2) + sz,
+            c(7) + sx, c(8) + sy, c(9) + sz,
+            hx, hy, hz, dx, dy, dz)
+        is_b = kind == 3.0
+        n_x = jnp.where(is_b, b_nx, n_x)
+        n_y = jnp.where(is_b, b_ny, n_y)
+        n_z = jnp.where(is_b, b_nz, n_z)
+        fr = jnp.where(is_b, b_fr, fr)
+        uu = jnp.where(is_b, b_uu, uu)
+        vv = jnp.where(is_b, b_vv, vv)
+    return n_x, n_y, n_z, fr, uu, vv, sphf
+
+
 def _kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
             dz_ref, tm_ref, t_out, i_out, nx_out, ny_out, nz_out, fr_out,
             u_out, v_out, m_out, bt_s, bi_s, *, plan, n_prims: int,
@@ -267,9 +353,6 @@ def _kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
 
     # ---- phase 2: winner attributes via MXU one-hot gather ----
     kinds = tuple(sorted({k for k, _, _ in plan}))
-    want_sphere = PRIM_SPHERE in kinds
-    want_plane = PRIM_PARALLELOGRAM in kinds
-    want_box = PRIM_BOX in kinds
 
     def attr_body(g, _):
         bt = bt_s[pl.ds(g, 1), :]
@@ -312,82 +395,10 @@ def _kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
 
         ox, oy, oz = _row(ox_ref, g), _row(oy_ref, g), _row(oz_ref, g)
         dx, dy, dz = _row(dx_ref, g), _row(dy_ref, g), _row(dz_ref, g)
-        t_safe = jnp.where(hit, bt, 1.0)
-        hx = ox + t_safe * dx
-        hy = oy + t_safe * dy
-        hz = oz + t_safe * dz
-        if has_motion:
-            tm = _row(tm_ref, g)
-            sx = c(24) + tm * c(27)
-            sy = c(25) + tm * c(28)
-            sz = c(26) + tm * c(29)
-        else:
-            sx = sy = sz = jnp.zeros_like(bt)
-
-        kind = c(16)
-        zero = jnp.zeros_like(bt)
-        n_x = zero
-        n_y = zero
-        n_z = jnp.ones_like(bt)
-        fr = zero
-        uu = zero
-        vv = zero
-        sphf = zero
-
-        if want_sphere:
-            inv_r = jax.lax.rsqrt(jnp.maximum(c(3), 1e-30)) * jnp.sign(
-                c(30))
-            cex = c(0) + sx
-            cey = c(1) + sy
-            cez = c(2) + sz
-            snx = (hx - cex) * inv_r
-            sny = (hy - cey) * inv_r
-            snz = (hz - cez) * inv_r
-            s_fr = jnp.where(dx * snx + dy * sny + dz * snz <= 0.0, 1.0,
-                             0.0)
-            is_s = kind == 0.0
-            n_x = jnp.where(is_s, snx, n_x)
-            n_y = jnp.where(is_s, sny, n_y)
-            n_z = jnp.where(is_s, snz, n_z)
-            fr = jnp.where(is_s, s_fr, fr)
-            sphf = jnp.where(is_s, 1.0, sphf)
-            # sphere uv reconstructed by the caller (atan2/acos)
-
-        if want_plane:
-            pnx, pny, pnz = c(4), c(5), c(6)
-            den = dx * pnx + dy * pny + dz * pnz
-            p_fr = jnp.where(den < 0.0, 1.0, 0.0)
-            wax, way, waz = c(7), c(8), c(9)
-            wbx, wby, wbz = c(10), c(11), c(12)
-            a = (hx * wax + hy * way + hz * waz) - c(14) \
-                - (sx * wax + sy * way + sz * waz)
-            b = (hx * wbx + hy * wby + hz * wbz) - c(15) \
-                - (sx * wbx + sy * wby + sz * wbz)
-            is_tri = kind == 2.0
-            w0 = 1.0 - a - b
-            puu = jnp.where(is_tri, w0 * c(18) + a * c(20) + b * c(22), a)
-            pvv = jnp.where(is_tri, w0 * c(19) + a * c(21) + b * c(23), b)
-            is_p = (kind > 0.5) & (kind < 2.5)
-            n_x = jnp.where(is_p, pnx, n_x)
-            n_y = jnp.where(is_p, pny, n_y)
-            n_z = jnp.where(is_p, pnz, n_z)
-            fr = jnp.where(is_p, p_fr, fr)
-            uu = jnp.where(is_p, puu, uu)
-            vv = jnp.where(is_p, pvv, vv)
-
-        if want_box:
-            from .intersect_kernel import _box_attrs
-            b_nx, b_ny, b_nz, b_fr, b_uu, b_vv = _box_attrs(
-                c(0) + sx, c(1) + sy, c(2) + sz,
-                c(7) + sx, c(8) + sy, c(9) + sz,
-                hx, hy, hz, dx, dy, dz)
-            is_b = kind == 3.0
-            n_x = jnp.where(is_b, b_nx, n_x)
-            n_y = jnp.where(is_b, b_ny, n_y)
-            n_z = jnp.where(is_b, b_nz, n_z)
-            fr = jnp.where(is_b, b_fr, fr)
-            uu = jnp.where(is_b, b_uu, uu)
-            vv = jnp.where(is_b, b_vv, vv)
+        tm = _row(tm_ref, g) if has_motion else None
+        n_x, n_y, n_z, fr, uu, vv, sphf = _winner_attrs(
+            c, bt, hit, ox, oy, oz, dx, dy, dz, tm, kinds=kinds,
+            has_motion=has_motion)
 
         flip = jnp.where(fr > 0.5, 1.0, -1.0)
         gsl = (pl.ds(g, 1), slice(None))
@@ -404,6 +415,211 @@ def _kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
         return 0
 
     jax.lax.fori_loop(0, rg, attr_body, 0)
+
+
+def _dyn_kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+                dz_ref, tm_ref, t_out, i_out, nx_out, ny_out, nz_out,
+                fr_out, u_out, v_out, m_out, *, seg_plan, n_prims: int,
+                t_min: float, has_motion: bool, rg: int, w: int):
+    """Dynamic-chunk variant for mesh-scale tables.
+
+    The static kernel unrolls one code section per chunk — at 100 chunks
+    (a 50k-row table) Mosaic compile time explodes (>25 min observed).
+    Here the chunk loop is a ``fori_loop`` with DYNAMIC table slices, so
+    compile size is O(#kinds), and each (chunk, row) pair is guarded by
+    a chunk-AABB slab cond at row granularity: mesh-scale scenes skip
+    most of the table per 512-ray row.
+
+    ``seg_plan`` is a static tuple of ``(kind, row0, row1, n_chunks,
+    cbox_base)`` — one entry per kind segment.  The table is padded to a
+    CHUNK multiple (pad rows kind = -1); chunk overruns into the next
+    segment are masked by each kind's own kind-column test, and phase
+    2's one-hot is clamped to the segment (``piota < row1``) so rows in
+    an overrun region are never double-gathered.
+    """
+    inf = jnp.float32(jnp.inf)
+    tmn = jnp.float32(t_min)
+
+    def row_body(g, _):
+        ox, oy, oz = _row(ox_ref, g), _row(oy_ref, g), _row(oz_ref, g)
+        dx, dy, dz = _row(dx_ref, g), _row(dy_ref, g), _row(dz_ref, g)
+        tm = _row(tm_ref, g) if has_motion else None
+        safe = lambda dd: jnp.where(jnp.abs(dd) < 1e-20,
+                                    jnp.where(dd < 0, -1e-20, 1e-20), dd)
+        ivx, ivy, ivz = 1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz)
+
+        bt0 = jnp.full((1, w), inf, jnp.float32)
+        bi0 = jnp.full((1, w), -1.0, jnp.float32)
+
+        def cols(p0):
+            return lambda c: tbl_ref[pl.ds(p0, CHUNK), pl.ds(c, 1)]
+
+        def cand_for(gkind, p0):
+            col = cols(p0)
+            kindc = col(16)
+            if has_motion:
+                mvx, mvy, mvz = col(27), col(28), col(29)
+            if gkind == PRIM_SPHERE:
+                cx, cy, cz = col(0), col(1), col(2)
+                if has_motion:
+                    cx = cx + col(24) + tm * mvx
+                    cy = cy + col(25) + tm * mvy
+                    cz = cz + col(26) + tm * mvz
+                ocx = cx - ox
+                ocy = cy - oy
+                ocz = cz - oz
+                h = ocx * dx + ocy * dy + ocz * dz
+                disc = h * h - (ocx * ocx + ocy * ocy + ocz * ocz - col(3))
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                r1 = h - sq
+                r2_ = h + sq
+                t = jnp.where(r1 > tmn, r1,
+                              jnp.where(r2_ > tmn, r2_, inf))
+                return jnp.where((disc >= 0.0) & (kindc == 0.0), t, inf)
+            if gkind == PRIM_PARALLELOGRAM:
+                nx, ny, nz = col(4), col(5), col(6)
+                wax, way, waz = col(7), col(8), col(9)
+                wbx, wby, wbz = col(10), col(11), col(12)
+                qn, qwa, qwb = col(13), col(14), col(15)
+                if has_motion:
+                    m0x = col(24) + tm * mvx
+                    m0y = col(25) + tm * mvy
+                    m0z = col(26) + tm * mvz
+                    qn = qn + m0x * nx + m0y * ny + m0z * nz
+                    qwa = qwa + m0x * wax + m0y * way + m0z * waz
+                    qwb = qwb + m0x * wbx + m0y * wby + m0z * wbz
+                is_tri = kindc == 2.0
+                den = nx * dx + ny * dy + nz * dz
+                den_ok = jnp.abs(den) > 1e-8
+                t = (qn - (nx * ox + ny * oy + nz * oz)) / jnp.where(
+                    den_ok, den, 1.0)
+                a = (wax * ox + way * oy + waz * oz) - qwa \
+                    + t * (wax * dx + way * dy + waz * dz)
+                b = (wbx * ox + wby * oy + wbz * oz) - qwb \
+                    + t * (wbx * dx + wby * dy + wbz * dz)
+                bound = jnp.where(is_tri, a + b, jnp.maximum(a, b))
+                ok = (den_ok & (a >= 0.0) & (b >= 0.0) & (bound <= 1.0)
+                      & (t > tmn) & (kindc > 0.5) & (kindc < 2.5))
+                return jnp.where(ok, t, inf)
+            # PRIM_BOX
+            lox, loy, loz = col(0), col(1), col(2)
+            hix, hiy, hiz = col(7), col(8), col(9)
+            if has_motion:
+                sx = col(24) + tm * mvx
+                sy = col(25) + tm * mvy
+                sz = col(26) + tm * mvz
+                lox, loy, loz = lox + sx, loy + sy, loz + sz
+                hix, hiy, hiz = hix + sx, hiy + sy, hiz + sz
+            t0x = (lox - ox) * ivx
+            t1x = (hix - ox) * ivx
+            t0y = (loy - oy) * ivy
+            t1y = (hiy - oy) * ivy
+            t0z = (loz - oz) * ivz
+            t1z = (hiz - oz) * ivz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            t = jnp.where(tn > tmn, tn, jnp.where(tf > tmn, tf, inf))
+            return jnp.where((tn <= tf) & (kindc == 3.0), t, inf)
+
+        # ---- phase 1 ----
+        carry = (bt0, bi0)
+        for gkind, row0, row1, n_chunks, cbase in seg_plan:
+            def chunk_body(k, c2, gkind=gkind, row0=row0, cbase=cbase):
+                bt, bi = c2
+                p0 = row0 + k * CHUNK
+                cb = cbase + k
+                t0x = (cbox_ref[cb, 0] - ox) * ivx
+                t1x = (cbox_ref[cb, 3] - ox) * ivx
+                t0y = (cbox_ref[cb, 1] - oy) * ivy
+                t1y = (cbox_ref[cb, 4] - oy) * ivy
+                t0z = (cbox_ref[cb, 2] - oz) * ivz
+                t1z = (cbox_ref[cb, 5] - oz) * ivz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.maximum(jnp.minimum(t0z, t1z), tmn))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.minimum(jnp.maximum(t0z, t1z), bt))
+
+                def eval_chunk(c3):
+                    bt, bi = c3
+                    t_c = cand_for(gkind, p0)              # [CHUNK, W]
+                    piota = (p0.astype(jnp.float32)
+                             + jax.lax.broadcasted_iota(
+                                 jnp.int32, (CHUNK, 1), 0)
+                             .astype(jnp.float32))
+                    tmin = jnp.min(t_c, axis=0, keepdims=True)
+                    pi = jnp.min(jnp.where(t_c == tmin, piota, inf),
+                                 axis=0, keepdims=True)
+                    better = tmin < bt
+                    return (jnp.where(better, tmin, bt),
+                            jnp.where(better,
+                                      jnp.where(tmin < inf, pi, -1.0), bi))
+
+                return jax.lax.cond(jnp.any(tn <= tf), eval_chunk,
+                                    lambda c3: c3, c2)
+            carry = jax.lax.fori_loop(0, n_chunks, chunk_body, carry)
+        bt, bi = carry
+        hit = bt < inf
+
+        # ---- phase 2: winner one-hot gather, winner chunks only ----
+        gt0 = jnp.zeros((N_COLS, w), jnp.float32)
+        gt = gt0
+        for gkind, row0, row1, n_chunks, cbase in seg_plan:
+            row1f = jnp.float32(row1)
+
+            def chunk2(k, gt, row0=row0, row1f=row1f):
+                p0 = row0 + k * CHUNK
+                p0f = p0.astype(jnp.float32)
+                in_c = (bi >= p0f) & (bi < jnp.minimum(p0f + CHUNK, row1f))
+
+                def add(gt):
+                    piota = (p0f + jax.lax.broadcasted_iota(
+                        jnp.int32, (CHUNK, 1), 0).astype(jnp.float32))
+                    # clamp to the segment: overrun rows belong to the
+                    # NEXT segment's chunks (no double gather)
+                    oh = ((piota == bi)
+                          & (piota < row1f)).astype(jnp.float32)
+                    g_c = jax.lax.dot_general(
+                        tbl_ref[pl.ds(p0, CHUNK), :], oh,
+                        (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+                    return gt + g_c
+
+                return jax.lax.cond(jnp.any(in_c), add, lambda x: x, gt)
+            gt = jax.lax.fori_loop(0, n_chunks, chunk2, gt)
+
+        c = lambda j: gt[j:j + 1, :]
+        kinds = tuple(sorted({sp[0] for sp in seg_plan}))
+        n_x, n_y, n_z, fr, uu, vv, sphf = _winner_attrs(
+            c, bt, hit, ox, oy, oz, dx, dy, dz, tm, kinds=kinds,
+            has_motion=has_motion)
+        flip = jnp.where(fr > 0.5, 1.0, -1.0)
+        gsl = (pl.ds(g, 1), slice(None))
+        t_out[gsl] = bt
+        i_out[gsl] = bi.astype(jnp.int32)
+        nx_out[gsl] = n_x * flip
+        ny_out[gsl] = n_y * flip
+        nz_out[gsl] = n_z * flip
+        fr_out[gsl] = ((fr > 0.5).astype(jnp.int32)
+                       + 2 * (sphf > 0.5).astype(jnp.int32))
+        u_out[gsl] = uu
+        v_out[gsl] = vv
+        m_out[gsl] = c(17).astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, rg, row_body, 0)
+
+
+# static-unroll compile cost explodes past this many chunks; the dynamic
+# kernel takes over (it also brings per-row chunk skipping, which small
+# mostly-visited tables don't want)
+DYN_MIN_CHUNKS = int(os.environ.get("RT_AP_DYN_CHUNKS", "8"))
 
 
 @functools.partial(
@@ -423,14 +639,44 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
     — the consensus hierarchy that makes mesh-scale tables affordable."""
     g = ox.shape[0]
     plan = chunk_plan(segments, n_prims)
-    skip = ctbl is not None and len(plan) >= 2
-    cbox = chunk_boxes(ctbl, plan) if skip \
-        else jnp.zeros((1, 8), jnp.float32)
+    # dynamic-chunk kernel past DYN_MIN_CHUNKS: O(#kinds) compile size
+    # (the static unroll took >25 min of Mosaic compile at 100 chunks)
+    # and per-(chunk, row) AABB skipping.  Small mostly-visited tables
+    # (demo2: 4 chunks, +1.5 ms/iter of pure cond overhead measured)
+    # keep the static unrolled kernel.
+    dyn = ctbl is not None and len(plan) >= DYN_MIN_CHUNKS
+    if dyn:
+        cbox = chunk_boxes(ctbl, plan)
+        # pad the table to a CHUNK multiple: dynamic chunk slices may
+        # overrun the true rows; pad rows are kind -1 (never match)
+        n_pad = -tbl.shape[0] % CHUNK
+        if n_pad:
+            pad = jnp.zeros((n_pad, tbl.shape[1]),
+                            jnp.float32).at[:, 16].set(-1.0)
+            tbl = jnp.concatenate([tbl, pad])
+        seg_plan = []
+        cbase = 0
+        for gkind, k0, k1 in segments:
+            row0 = k0 * CLUSTER
+            row1 = min(k1 * CLUSTER, n_prims)
+            n_chunks = -(-(row1 - row0) // CHUNK)
+            seg_plan.append((int(gkind), row0, row1, n_chunks, cbase))
+            cbase += n_chunks
+        seg_plan = tuple(seg_plan)
+    else:
+        cbox = jnp.zeros((1, 8), jnp.float32)
     # Row width: regroup the [G, 128] components into [G', W] rows so one
     # row iteration intersects W rays (fewer iterations + reductions for
     # the same arithmetic).  Pure relabeling — every lane is independent.
+    # Mesh-scale tables shrink W so the whole-table VMEM residency plus
+    # ~12 live [CHUNK, W] phase-1 intermediates stay under the ~16 MB
+    # scoped-vmem limit (50944 rows at W=512 measured 25.5 MB: OOM).
+    w_cap = WIDE_LANES
+    while w_cap > LANES and (tbl.shape[0] * N_COLS * 4
+                             + CHUNK * w_cap * 4 * 12) > 14_000_000:
+        w_cap //= 2
     w = LANES
-    while w < WIDE_LANES and g % 2 == 0 and g >= 2:
+    while w < w_cap and g % 2 == 0 and g >= 2:
         w *= 2
         g //= 2
     resh = lambda x: x.reshape(g, w)
@@ -455,9 +701,16 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
         jax.ShapeDtypeStruct((g, w), f32),   # v
         jax.ShapeDtypeStruct((g, w), i32),   # mat
     ]
-    kernel = functools.partial(_kernel, plan=plan, n_prims=n_prims,
-                               t_min=t_min, has_motion=has_motion, rg=rg,
-                               w=w, skip=skip)
+    if dyn:
+        kernel = functools.partial(_dyn_kernel, seg_plan=seg_plan,
+                                   n_prims=n_prims, t_min=t_min,
+                                   has_motion=has_motion, rg=rg, w=w)
+        scratch = []
+    else:
+        kernel = functools.partial(_kernel, plan=plan, n_prims=n_prims,
+                                   t_min=t_min, has_motion=has_motion,
+                                   rg=rg, w=w, skip=False)
+        scratch = [pltpu.VMEM((rg, w), f32), pltpu.VMEM((rg, w), f32)]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -465,8 +718,7 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
         + [ray_spec] * 7,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((rg, w), f32),
-                        pltpu.VMEM((rg, w), f32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(tbl, cbox, ox, oy, oz, dx, dy, dz, tm)
     g0 = ox.size // LANES

@@ -98,6 +98,9 @@ def marble_stripe_pallas(table, tex_ids, points, interpret: bool = False):
             table.v1[r].astype(jnp.float32),
         ]) for r in rows
     ])                                                # [M, 8]
+    # the kernel reads columns 0-7 by hard-coded index; keep the builder
+    # and kernel layouts from drifting apart silently
+    assert mtbl.shape[1] == _COLS, (mtbl.shape, _COLS)
     r0 = points.shape[0]
     g = r0 // LANES
     resh = lambda x: x.reshape(g, LANES)

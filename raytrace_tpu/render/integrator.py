@@ -139,6 +139,17 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
     # bounce()) the XLA scan is gone and clustering is safe — and it is
     # the big lever for volume scenes with many prims (demo2: 3400).
     clustered = scene.volumes is None or (use_pallas and not diff)
+
+    def _maybe_merge(res):
+        # spheres under arbitrary affines live in their own tiny buffer,
+        # intersected in XLA and merged here (all paths incl. diff —
+        # plain differentiable ops, so ellipsoid params get gradients)
+        if scene.ellipsoids is None:
+            return res
+        from ..ops.ellipsoid import merge_ellipsoid_hits
+        return merge_ellipsoid_hits(scene.ellipsoids, o, d, time,
+                                    float(s.t_min), *res)
+
     if diff:
         from ..ops.diff_intersect import make_diff_surface_hit
         p = scene.prims
@@ -149,8 +160,8 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
                                        kinds=p.kinds_present,
                                        sphere_rots=p.sphere_rots)
         ints_f = (p.kind.astype(DTYPE), p.mat.astype(DTYPE))
-        return hit_fn((p.p0, p.e1, p.e2, p.uvs, p.mv0, p.mv1), ints_f,
-                      o, d, time)
+        return _maybe_merge(hit_fn(
+            (p.p0, p.e1, p.e2, p.uvs, p.mv0, p.mv1), ints_f, o, d, time))
     if use_pallas:
         from ..ops.pallas.allpairs_kernel import (
             MAX_PRIMS, MIN_PRIMS, allpairs_nearest_record,
@@ -210,13 +221,15 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
             jnp.where(is_sphere, su, flat(uu)),
             jnp.where(is_sphere, sv, flat(vv)),
         ], axis=-1)
-        return flat(t), flat(idx), normal, front, uv, flat(mat)
+        return _maybe_merge(
+            (flat(t), flat(idx), normal, front, uv, flat(mat)))
     tmin = jnp.full((r,), s.t_min, DTYPE)
     tmax = jnp.full((r,), INF, DTYPE)
     t_srf, idx = nearest_hit_t(scene.prims, scene.bvh, o, d, time, tmin, tmax)
     rec = make_hit_record(scene.prims, idx, o, d, time,
                           jnp.where(jnp.isfinite(t_srf), t_srf, 1.0))
-    return t_srf, idx, rec.normal, rec.front, rec.uv, rec.mat
+    return _maybe_merge(
+        (t_srf, idx, rec.normal, rec.front, rec.uv, rec.mat))
 
 
 def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
@@ -456,6 +469,7 @@ def bounce_kernel_eligible(scene: Scene, s: CameraSettings,
                                                       TEX_CHECKER}
             and s.n_redirect <= 8
             and n_rows <= 16
+            and scene.ellipsoids is None
             # rotated sphere instances need object-space UV, which the
             # in-kernel checker eval doesn't apply (constant ignores uv)
             and not (scene.prims.sphere_rots
@@ -1079,25 +1093,27 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
             done = done + died.astype(jnp.int32)
         else:
             # contribution of lane l belongs to pixel slot
-            # (l + c*stride) % lanes: accumulate per-chunk with masked
-            # selects; the fixed-shift rolls happen ONCE after the scan
-            # (linear, AD-transparent, k rolls total instead of k/iter)
+            # (l + c*stride) % lanes: fixed shift per chunk -> masked
+            # rolls (linear; AD-transparent).  NOTE: per-chunk [k, R]
+            # accumulators with a single post-scan roll are FASTER in
+            # the forward-only while_loop (trace_wavefront_stationary)
+            # but 25% SLOWER here - .at[cc].add under scan-AD copies
+            # the whole [k, R] buffer per update (measured 71.9 -> 54.9
+            # M rays/s at rotate_k=8).
             for cc in range(k_rot):
                 m = (died_f * jnp.where(rot_c == cc, 1.0, 0.0))
-                acc = tuple(a.at[cc].add(r * m)
+                acc = tuple(a + jnp.roll(r * m, cc * stride)
                             for a, r in zip(acc, rad))
-                done = done.at[cc].add(m.astype(jnp.int32))
+                done = done + jnp.roll(m.astype(jnp.int32), cc * stride)
         return (acc, done, comps, rad, thr, alive, sample, depth,
                 keys), None
 
     z1 = jnp.zeros((lanes,), DTYPE)
     o1 = jnp.ones((lanes,), DTYPE)
-    za = z1 if k_rot == 1 else jnp.zeros((k_rot, lanes), DTYPE)
-    zd = jnp.zeros((lanes,) if k_rot == 1 else (k_rot, lanes), jnp.int32)
     init_keys = rng.ray_keys_fast(base_key, jnp.zeros(lanes, jnp.int32),
                                   jnp.zeros(lanes, jnp.int32))
     state = (
-        (za, za, za), zd,
+        (z1, z1, z1), jnp.zeros((lanes,), jnp.int32),
         (z1, z1, z1, z1, z1, o1, z1),       # o, d (dummy unit z), time
         (z1, z1, z1), (o1, o1, o1),         # radiance, throughput
         jnp.zeros((lanes,), bool),
@@ -1107,10 +1123,5 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
     scan_body = jax.checkpoint(body) if remat else body
     state, _ = jax.lax.scan(scan_body, state, None, length=n_iters)
     acc, done = state[0], state[1]
-    if k_rot > 1:
-        acc = tuple(
-            sum(jnp.roll(a[cc], cc * stride) for cc in range(k_rot))
-            for a in acc)
-        done = sum(jnp.roll(done[cc], cc * stride) for cc in range(k_rot))
     mean = jnp.stack(acc, axis=-1) / jnp.maximum(done, 1)[:, None]
     return mean, done

@@ -75,7 +75,7 @@ class _Interner:
 
 
 def _bake_block(block: B.PrimBlock, matrix: np.ndarray, mv0, mv1, mat_id: int,
-                rows: _Rows):
+                rows: _Rows, ellipsoids: list | None = None):
     a = matrix[:3, :3]
     b = matrix[:3, 3]
     n = block.p0.shape[0]
@@ -108,10 +108,18 @@ def _bake_block(block: B.PrimBlock, matrix: np.ndarray, mv0, mv1, mat_id: int,
         ata = a.T @ a
         s2 = np.trace(ata) / 3.0
         if not np.allclose(ata, s2 * np.eye(3), atol=1e-9 * max(s2, 1.0)):
-            raise ValueError(
-                "transform: spheres only support rotation+translation+"
-                "uniform scale (non-uniform scale would make an ellipsoid)"
-            )
+            # non-uniform linear part: an ellipsoid.  The reference
+            # accepts any M44 here (with its Euclidean-only normal
+            # caveat, Geometry.hs:382-391); these rows go to the
+            # dedicated object-space ellipsoid buffer (ops/ellipsoid.py)
+            if ellipsoids is None:
+                raise ValueError(
+                    "transform: non-uniform-scaled spheres (ellipsoids) "
+                    "are not supported as constant_medium boundaries")
+            for i in range(n):
+                ellipsoids.append((block.p0[i], float(block.e1[i, 0]),
+                                   a, b, mat_id, mv0.copy(), mv1.copy()))
+            return
         p0 = block.p0 @ a.T + b
         e1 = np.zeros((n, 3))
         e1[:, 0] = block.e1[:, 0] * np.sqrt(s2)
@@ -141,24 +149,24 @@ def _bake_block(block: B.PrimBlock, matrix: np.ndarray, mv0, mv1, mat_id: int,
 
 
 def _walk(node: B.Geom, matrix, mv0, mv1, material, interner, rows: _Rows,
-          volumes: list, allow_media: bool):
+          volumes: list, allow_media: bool, ellipsoids: list | None = None):
     if isinstance(node, B.WithMaterial):
         # Outermost attachment wins (the reference's `<$` functor replaces
         # every value below it, Geometry.hs:44-47).
         eff = material if material is not None else node.material
         _walk(node.child, matrix, mv0, mv1, eff, interner, rows, volumes,
-              allow_media)
+              allow_media, ellipsoids)
     elif isinstance(node, B.Transform):
         _walk(node.child, matrix @ node.matrix, mv0, mv1, material, interner,
-              rows, volumes, allow_media)
+              rows, volumes, allow_media, ellipsoids)
     elif isinstance(node, B.Moving):
         lin = matrix[:3, :3]
         _walk(node.child, matrix, mv0 + lin @ node.v0, mv1 + lin @ node.v1,
-              material, interner, rows, volumes, allow_media)
+              material, interner, rows, volumes, allow_media, ellipsoids)
     elif isinstance(node, B.Group):
         for c in node.children:
             _walk(c, matrix, mv0, mv1, material, interner, rows, volumes,
-                  allow_media)
+                  allow_media, ellipsoids)
     elif isinstance(node, B.Medium):
         if not allow_media:
             raise ValueError("constant_medium cannot be nested inside another")
@@ -168,7 +176,7 @@ def _walk(node: B.Geom, matrix, mv0, mv1, material, interner, rows: _Rows,
             )
         vol_rows = _Rows.empty()
         _walk(node.child, matrix, mv0, mv1, None, interner, vol_rows, [],
-              allow_media=False)
+              allow_media=False, ellipsoids=None)
         if vol_rows.n() == 0:
             raise ValueError("constant_medium: empty boundary geometry")
         volumes.append((node.density, interner.material_id(material), vol_rows))
@@ -179,7 +187,8 @@ def _walk(node: B.Geom, matrix, mv0, mv1, material, interner, rows: _Rows,
             raise ValueError("primitive reached compile without a material; "
                              "wrap it in with_material(...)")
         mat_id = interner.material_id(material) if material is not None else 0
-        _bake_block(node, matrix, mv0, mv1, mat_id, rows)
+        _bake_block(node, matrix, mv0, mv1, mat_id, rows,
+                    ellipsoids=ellipsoids)
     else:
         raise TypeError(f"unknown scene node {type(node)!r}")
 
@@ -312,9 +321,10 @@ def compile_scene(root: B.Geom, *, accel: str = "auto", leaf_size: int = 4,
     interner = _Interner()
     rows = _Rows.empty()
     volumes: list = []
+    ellipsoids: list = []
     _walk(root, np.eye(4), np.zeros(3), np.zeros(3), None, interner, rows,
-          volumes, allow_media=True)
-    if rows.n() == 0 and not volumes:
+          volumes, allow_media=True, ellipsoids=ellipsoids)
+    if rows.n() == 0 and not volumes and not ellipsoids:
         raise ValueError("compile_scene: empty scene")
 
     n_surface = rows.n()
@@ -385,10 +395,31 @@ def compile_scene(root: B.Geom, *, accel: str = "auto", leaf_size: int = 4,
             starts=tuple(starts), counts=tuple(counts),
         )
 
+    ell = None
+    if ellipsoids:
+        from .types import Ellipsoids
+        centers = np.stack([e[0] for e in ellipsoids])
+        fwd = np.stack([e[2] for e in ellipsoids])
+        emv0 = np.stack([e[5] for e in ellipsoids])
+        emv1 = np.stack([e[6] for e in ellipsoids])
+        ell = Ellipsoids(
+            center=jnp.asarray(centers, jnp.float32),
+            radius=jnp.asarray([e[1] for e in ellipsoids], jnp.float32),
+            fwd=jnp.asarray(fwd, jnp.float32),
+            inv=jnp.asarray(np.linalg.inv(fwd), jnp.float32),
+            shift=jnp.asarray(np.stack([e[3] for e in ellipsoids]),
+                              jnp.float32),
+            mat=jnp.asarray([e[4] for e in ellipsoids], jnp.int32),
+            mv0=jnp.asarray(emv0, jnp.float32),
+            mv1=jnp.asarray(emv1, jnp.float32),
+            n=len(ellipsoids),
+            has_motion=bool(np.any(emv0 != 0.0) or np.any(emv1 != 0.0)),
+        )
+
     textures = compile_textures(list(interner.textures))
     materials = compile_materials(list(interner.materials), interner.textures)
     return Scene(prims=prims, materials=materials, textures=textures,
-                 bvh=bvh, volumes=vol)
+                 bvh=bvh, volumes=vol, ellipsoids=ell)
 
 
 def _rows_to_primitivies_or_empty(rows: _Rows, perm, pad_to,

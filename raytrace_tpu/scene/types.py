@@ -110,9 +110,33 @@ class Volumes(struct.PyTreeNode):
         return len(self.starts)
 
 
+class Ellipsoids(struct.PyTreeNode):
+    """Spheres under arbitrary affines (the reference accepts any ``M44``
+    with its Euclidean-only normal caveat, Geometry.hs:382-391).  Kept in
+    their own small buffer, intersected in object space and merged after
+    the main primitive scan (render/integrator.py:_surface_hit) — scenes
+    without them pay nothing, and the Pallas engines stay untouched.
+
+    ``center``/``radius`` are object-space; ``fwd``/``inv`` the linear
+    part A / A^-1; ``shift`` the translation; normals are transformed by
+    A (matching the reference's behavior, then normalized) and UV is
+    evaluated in object space."""
+    center: jnp.ndarray   # f32[E,3]
+    radius: jnp.ndarray   # f32[E]
+    fwd: jnp.ndarray      # f32[E,3,3]
+    inv: jnp.ndarray      # f32[E,3,3]
+    shift: jnp.ndarray    # f32[E,3]
+    mat: jnp.ndarray      # i32[E]
+    mv0: jnp.ndarray      # f32[E,3] world-space motion displacement @ t=0
+    mv1: jnp.ndarray      # f32[E,3]
+    n: int = struct.field(pytree_node=False, default=0)
+    has_motion: bool = struct.field(pytree_node=False, default=False)
+
+
 class Scene(struct.PyTreeNode):
     prims: Primitives
     materials: MaterialTable
     textures: TextureTable
     bvh: BVH | None = None
     volumes: Volumes | None = None
+    ellipsoids: Ellipsoids | None = None

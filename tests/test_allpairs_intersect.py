@@ -143,3 +143,40 @@ def test_allpairs_chunk_skip_multi_chunk():
     ref, pal = _run_both(scene, seed=8, with_skip=True)
     assert np.isfinite(ref["t"]).sum() > 200
     _compare(ref, pal, t_rtol=2e-4, t_atol=3e-5)
+
+
+def test_allpairs_dynamic_chunk_kernel(monkeypatch):
+    """Dynamic-chunk kernel (mesh-scale path: fori over chunks with
+    AABB conds and dynamic table slices) must match the XLA oracle.
+    CHUNK shrunk so a 700-sphere scene spans many chunks; DYN_MIN_CHUNKS
+    lowered so the dynamic path engages in interpret mode."""
+    import raytrace_tpu.ops.pallas.allpairs_kernel as ak
+    monkeypatch.setattr(ak, "CHUNK", 64)
+    monkeypatch.setattr(ak, "DYN_MIN_CHUNKS", 2)
+    rng_ = np.random.default_rng(21)
+    items = [rt.with_material(M, rt.sphere(rng_.uniform(-10, 10, 3),
+                                           rng_.uniform(0.2, 0.8)))
+             for _ in range(700)]
+    # mixed kinds so seg_plan has several segments + boundary overruns
+    for _ in range(80):
+        q = rng_.uniform(-10, 10, 3)
+        items.append(rt.with_material(M2, rt.parallelogram(
+            q, rng_.uniform(-1.5, 1.5, 3), rng_.uniform(-1.5, 1.5, 3))))
+    for _ in range(30):
+        lo = rng_.uniform(-10, 10, 3)
+        items.append(rt.with_material(M, rt.cuboid(
+            lo, lo + rng_.uniform(0.5, 2.0, 3))))
+    scene = rt.compile_scene(rt.group(items), accel="dense")
+    ref, pal = _run_both(scene, seed=17, with_skip=True)
+    assert np.isfinite(ref["t"]).sum() > 200
+    _compare(ref, pal, t_rtol=2e-4, t_atol=3e-5)
+
+
+def test_allpairs_dynamic_chunk_motion(monkeypatch):
+    import raytrace_tpu.ops.pallas.allpairs_kernel as ak
+    monkeypatch.setattr(ak, "CHUNK", 64)
+    monkeypatch.setattr(ak, "DYN_MIN_CHUNKS", 2)
+    scene = _mixed_scene(motion=True)
+    ref, pal = _run_both(scene, seed=19, with_skip=True)
+    assert np.isfinite(ref["t"]).sum() > 100
+    _compare(ref, pal, t_rtol=2e-4)

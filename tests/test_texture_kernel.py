@@ -28,6 +28,11 @@ def test_marble_rows_static():
 
 
 def test_marble_kernel_matches_xla():
+    """NOTE: interpret=True only — the Mosaic-specific lowering choices
+    (uint32->int32 casts in _hash_gradient, f32 SMEM scalar reads, the
+    any()+cond block skip) are exercised on real hardware by
+    tools/profile_demo2.py and every TPU demo2/noise_test render; CI is
+    CPU-only by design."""
     table = _table()
     r = 256
     rng = np.random.default_rng(0)

@@ -132,11 +132,17 @@ def body_textures(i, st, marble_pallas=False, sparse=False):
     if sparse:
         # realistic pattern: marble appears only in a small lane range
         # (the marble sphere covers a small screen fraction) — measures
-        # the per-block cond skip
-        mrow = scene.textures.marble_rows[0] if scene.textures.marble_rows \
-            else 0
-        tex_id = jnp.where(lane_pixel < 4096, mrow,
-                           lane_pixel % 2).astype(jnp.int32)
+        # the per-block cond skip.  Fallback ids must come from rows that
+        # are NOT marble, or the A/B would silently measure nothing.
+        assert scene.textures.marble_rows, "sparse mode needs a marble row"
+        mrow = scene.textures.marble_rows[0]
+        non_marble = [i for i in range(nt)
+                      if i not in scene.textures.marble_rows][:2]
+        assert len(non_marble) == 2
+        tex_id = jnp.where(
+            lane_pixel < 4096, mrow,
+            jnp.where(lane_pixel % 2 == 0, non_marble[0],
+                      non_marble[1])).astype(jnp.int32)
     else:
         tex_id = (lane_pixel % nt).astype(jnp.int32)
     alb = eval_texture(scene.textures, tex_id, o, uniforms[:, 0:2],
