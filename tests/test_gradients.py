@@ -236,3 +236,35 @@ def test_wavefront_diff_rotation_matches_unrotated():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_wavefront_diff_skip_done_matches_and_completes():
+    """The lax.cond skip-when-done wrapper must be a pure no-op
+    semantically: identical loss AND gradients to skip_done=False at the
+    same n_iters, and a generous n_iters bound must complete every
+    sample (this is how bench.py guarantees samples_completed == 1.0
+    without paying worst-case iterations)."""
+    from raytrace_tpu.diff.gradients import partition, render_loss_wavefront
+    scene = _simple_scene()
+    s = rt.CameraSettings(image_width=16, samples_per_pixel=16, max_depth=6,
+                          rr_depth=3, background=rt.const_background(0.5))
+    params, statics = partition(scene)
+    key = rng.base_key(5)
+    pix = jnp.arange(256, dtype=jnp.int32)
+    target = jnp.full((256, 3), 0.25, jnp.float32)
+    vg = jax.value_and_grad(render_loss_wavefront, has_aux=True)
+    (l0, f0), g0 = vg(params, statics, s, key, pix, target, spp=16,
+                      n_iters=60, skip_done=False)
+    (l1, f1), g1 = vg(params, statics, s, key, pix, target, spp=16,
+                      n_iters=60, skip_done=True)
+    assert float(f0) == float(f1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+    # generous bound (spp * max_depth is the hard worst case) completes
+    # everything; cond-skip makes the unused tail ~free on TPU
+    (l2, f2), g2 = vg(params, statics, s, key, pix, target, spp=16,
+                      n_iters=16 * 6 + 2, skip_done=True)
+    assert float(f2) == 1.0
