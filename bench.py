@@ -99,8 +99,11 @@ def main():
                  static_argnames=("spp", "n_iters", "remat"))
     bwd_pix = 1 << 18
     bwd_spp = 64
-    # RR mean path ~2.2 + slack: completes >=99% of samples (reported)
-    n_iters = int(2.2 * bwd_spp) + 55
+    # Generous iteration bound (RR mean path ~2.2; 5x spp covers the
+    # worst lane) + the lax.cond skip-when-done wrapper: every sample
+    # completes (samples_completed == 1.0) while iterations past actual
+    # completion cost only a state passthrough.
+    n_iters = 5 * bwd_spp
 
     def run_bwd(i):
         start = (i * 131) % max(n_pix - bwd_pix, 1)

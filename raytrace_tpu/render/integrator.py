@@ -1103,27 +1103,36 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
             done = done + died.astype(jnp.int32)
         else:
             # contribution of lane l belongs to pixel slot
-            # (l + c*stride) % lanes: fixed shift per chunk -> masked
-            # rolls (linear; AD-transparent).  NOTE: per-chunk [k, R]
-            # accumulators with a single post-scan roll are FASTER in
-            # the forward-only while_loop (trace_wavefront_stationary)
-            # but 25% SLOWER here - .at[cc].add under scan-AD copies
-            # the whole [k, R] buffer per update (measured 71.9 -> 54.9
-            # M rays/s at rotate_k=8).
+            # (l + c*stride) % lanes: fixed shift per chunk.  Accumulate
+            # into per-chunk SEPARATE carries (a tuple, not a [k, R]
+            # buffer: .at[cc].add under scan-AD copies the whole buffer
+            # per update — measured 25% slower; and per-iteration
+            # jnp.roll moves the array through HBM every iteration —
+            # measured 71.8M vs 101M rays/s at rotate_k=8).  The k rolls
+            # happen ONCE after the scan.
+            acc = list(acc)
+            done = list(done)
             for cc in range(k_rot):
                 m = (died_f * jnp.where(rot_c == cc, 1.0, 0.0))
-                acc = tuple(a + jnp.roll(r * m, cc * stride)
-                            for a, r in zip(acc, rad))
-                done = done + jnp.roll(m.astype(jnp.int32), cc * stride)
+                acc[cc] = tuple(a + r * m for a, r in zip(acc[cc], rad))
+                done[cc] = done[cc] + m.astype(jnp.int32)
+            acc = tuple(acc)
+            done = tuple(done)
         return (acc, done, comps, rad, thr, alive, sample, depth,
                 keys)
 
     z1 = jnp.zeros((lanes,), DTYPE)
     o1 = jnp.ones((lanes,), DTYPE)
+    zi = jnp.zeros((lanes,), jnp.int32)
     init_keys = rng.ray_keys_fast(base_key, jnp.zeros(lanes, jnp.int32),
                                   jnp.zeros(lanes, jnp.int32))
+    if k_rot == 1:
+        acc0, done0 = (z1, z1, z1), zi
+    else:
+        acc0 = tuple((z1, z1, z1) for _ in range(k_rot))
+        done0 = tuple(zi for _ in range(k_rot))
     state = (
-        (z1, z1, z1), jnp.zeros((lanes,), jnp.int32),
+        acc0, done0,
         (z1, z1, z1, z1, z1, o1, z1),       # o, d (dummy unit z), time
         (z1, z1, z1), (o1, o1, o1),         # radiance, throughput
         jnp.zeros((lanes,), bool),
@@ -1144,5 +1153,11 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
     state, _ = jax.lax.scan(lambda st, _: (stepped(st), None), state,
                             None, length=n_iters)
     acc, done = state[0], state[1]
+    if k_rot > 1:
+        # chunk carries -> lane slots: one roll per chunk, post-scan
+        acc = tuple(
+            sum(jnp.roll(acc[cc][ch], cc * stride) for cc in range(k_rot))
+            for ch in range(3))
+        done = sum(jnp.roll(done[cc], cc * stride) for cc in range(k_rot))
     mean = jnp.stack(acc, axis=-1) / jnp.maximum(done, 1)[:, None]
     return mean, done
