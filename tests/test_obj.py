@@ -86,3 +86,71 @@ def test_transform_vertices_and_bbox():
     lo, hi = m2.bounding_box()
     assert lo.tolist() == [1, 0, 0]
     assert hi.tolist() == [3, 2, 0]
+
+
+# ---- native (C++) parser parity -------------------------------------------
+# parse_obj() prefers native/objparse.cpp when g++ is available; the
+# grammar must match the Python implementation exactly.
+
+def _both(text):
+    return parse_obj(text, native=True), parse_obj(text, native=False)
+
+
+def _native_available():
+    from raytrace_tpu.native import obj_lib
+    return obj_lib() is not None
+
+
+pytestmark_native = pytest.mark.skipif(
+    not _native_available(), reason="no C++ toolchain")
+
+
+@pytestmark_native
+@pytest.mark.parametrize("text", [
+    "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n",
+    "v 0 0 0\r\nv 1 0 0\rv 0 1 0\nf -3 -2 -1",          # mixed newlines
+    "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n",  # fan
+    "v 1e-3 +2.5 -3E2 9\nv 4 5 6\nv 7 8 9\nvt .5\nf 1/1 2//9 3\n",
+    "v 1_0 2_5.5 0\nv 4 5 6\nv 7 8 9\nf 1 2 3\n",   # PEP 515 separators
+    "  v 9 9 9\nv 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n",  # leading ws ignored
+    "v 0 0 0 # c\nv 1 0 0\nv 0 1 0\nvt 0 1 5\nf\t1/1  2/1\t3/1\n",
+    "f 1 2 3\nv 0 0 0\nv 1 0 0\nv 0 1 0\n",             # forward refs
+])
+def test_native_matches_python(text):
+    mn, mp = _both(text)
+    np.testing.assert_array_equal(mn.vertices, mp.vertices)
+    np.testing.assert_array_equal(mn.uv, mp.uv)
+    np.testing.assert_array_equal(mn.faces, mp.faces)
+    np.testing.assert_array_equal(mn.uv_faces, mp.uv_faces)
+
+
+@pytestmark_native
+@pytest.mark.parametrize("text", [
+    "v 1 2\nf 1 1 1\n",
+    "v 0x1 0 0\nf 1 1 1\n",                   # hex floats rejected
+    "v _1 0 0\nf 1 1 1\n",                    # bad separator position
+    "v 1_ 0 0\nf 1 1 1\n",
+    "v 0 0 0\nv 1 0 0\nv 0 1 0\nvt x\nf 1 2 3\n",
+    "v 0 0 0\nf 1 2 3\n",
+    "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2\n",
+    "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 x\n",
+    "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3/9\n",  # uv out of bounds
+])
+def test_native_errors_match_python(text):
+    with pytest.raises(ObjParseError) as en:
+        parse_obj(text, native=True)
+    with pytest.raises(ObjParseError) as ep:
+        parse_obj(text, native=False)
+    assert str(en.value) == str(ep.value)
+
+
+@pytestmark_native
+@pytest.mark.parametrize("path", ["/root/reference/images/pawn.obj",
+                                  "/root/reference/images/bunny.obj"])
+def test_native_matches_python_on_reference_assets(path):
+    with open(path) as f:
+        text = f.read()
+    mn, mp = _both(text)
+    np.testing.assert_array_equal(mn.vertices, mp.vertices)
+    np.testing.assert_array_equal(mn.faces, mp.faces)
+    np.testing.assert_array_equal(mn.uv_faces, mp.uv_faces)
