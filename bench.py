@@ -99,11 +99,11 @@ def main():
                  static_argnames=("spp", "n_iters", "remat"))
     bwd_pix = 1 << 18
     bwd_spp = 64
-    # Generous iteration bound (RR mean path ~2.2; 5x spp covers the
-    # worst lane) + the lax.cond skip-when-done wrapper: every sample
-    # completes (samples_completed == 1.0) while iterations past actual
-    # completion cost only a state passthrough.
-    n_iters = 5 * bwd_spp
+    # Iteration bound measured to complete EVERY sample (tools/
+    # prof_completion.py: frac=1.00000 at 275 for spp=64 under RR;
+    # 0.99997 at 235).  The cond-skip wrapper measured slower than just
+    # running the bound (see trace_wavefront_diff docstring).
+    n_iters = 275
 
     def run_bwd(i):
         start = (i * 131) % max(n_pix - bwd_pix, 1)

@@ -985,7 +985,8 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
                          use_mega: bool | None = None,
                          mega_interpret: bool = False,
                          rotate_k: int = 1,
-                         skip_done: bool = True):
+                         skip_done: bool = False,
+                         skip_chunk: int = 16):
     """Differentiable pixel-stationary wavefront.
 
     Reverse-mode AD cannot cross ``while_loop``, and a fixed
@@ -1006,14 +1007,16 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
     ``samples_done`` (choose ``n_iters`` with slack — default
     ``6 * spp + max_depth`` — and monitor ``samples_done == spp``).
 
-    ``skip_done=True`` wraps each scan iteration in a ``lax.cond`` that
-    bypasses the whole bounce once every lane has finished its ``spp``
-    samples, so a *generous* ``n_iters`` bound costs only ~the actual
-    completion time plus a per-iteration no-op (state passthrough +
-    cotangent passthrough in the backward).  This is how
-    ``samples_done == spp`` is guaranteed without paying for worst-case
-    iterations: pick ``n_iters`` with large slack and let the cond skip
-    the tail.
+    ``skip_done=True`` wraps each run of ``skip_chunk`` scan iterations
+    in a ``lax.cond`` that bypasses the whole bounce once every lane has
+    finished its ``spp`` samples.  Measured OFF by default: on the
+    current TPU toolchain a cond inside the differentiated scan forces
+    state copies/blocks fusion costing ~+22% per LIVE iteration even at
+    skip_chunk=16 (tools/prof_completion.py: 0.337s vs 0.277s at
+    n_iters=320), which exceeds what the skipped tail saves at any
+    realistic bound.  Guaranteed completion instead comes from a plain
+    generous ``n_iters`` (Cornell bench: 275 iters for spp=64 under RR,
+    frac=1.0).
 
     ``rotate_k`` (must divide ``spp``): as in
     :func:`trace_wavefront_stationary`, rotate each lane through k
@@ -1023,6 +1026,10 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
     gradients flow through unchanged.
     """
     lanes = pixel_ids.shape[0]
+    # keep ONLY raw uint32 key data inside the scan (wrap at use): the
+    # extended key dtype as a cond carry/closure breaks JAX's
+    # residual-union typing under the skip-done lax.cond's VJP
+    base_raw = jax.random.key_data(base_key)
     k_rot = rotate_k if (rotate_k > 1 and spp % rotate_k == 0) else 1
     spp_k = spp // k_rot
     _BLK = 32 * LANE_ALIGN
@@ -1055,16 +1062,17 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
             for cc in range(1, k_rot):
                 lane_pixel = jnp.where(rot_c == cc, pixel_maps[cc],
                                        lane_pixel)
-        nk = rng.ray_keys_fast(base_key, lane_pixel, sample)
-        keys = jax.random.wrap_key_data(jnp.where(
-            can[:, None], jax.random.key_data(nk),
-            jax.random.key_data(keys)))
+        # keys ride the carry as RAW uint32 (extended key dtypes crossing
+        # the skip-done lax.cond break JAX's residual-union typing)
+        nk = jax.random.key_data(
+            rng.ray_keys_fast(jax.random.wrap_key_data(base_raw), lane_pixel, sample))
+        keys = jnp.where(can[:, None], nk, keys)
         rad = tuple(x * (1.0 - can_f) for x in rad)
         thr = tuple(jnp.where(can, 1.0, x) for x in thr)
         depth = jnp.where(can, 0, depth)
         alive = alive | can
 
-        dkeys = rng.mix_depth(keys, depth)
+        dkeys = rng.mix_depth(jax.random.wrap_key_data(keys), depth)
         uniforms = rng.uniform_block(dkeys, n_u + 6)
         new_comps = generate_ray_components(s, frame, lane_pixel,
                                             uniforms[:, n_u:n_u + 5])
@@ -1124,8 +1132,9 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
     z1 = jnp.zeros((lanes,), DTYPE)
     o1 = jnp.ones((lanes,), DTYPE)
     zi = jnp.zeros((lanes,), jnp.int32)
-    init_keys = rng.ray_keys_fast(base_key, jnp.zeros(lanes, jnp.int32),
-                                  jnp.zeros(lanes, jnp.int32))
+    init_keys = jax.random.key_data(
+        rng.ray_keys_fast(base_key, jnp.zeros(lanes, jnp.int32),
+                          jnp.zeros(lanes, jnp.int32)))
     if k_rot == 1:
         acc0, done0 = (z1, z1, z1), zi
     else:
@@ -1139,19 +1148,28 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
         jnp.full((lanes,), sample_offset - 1, jnp.int32),
         jnp.zeros((lanes,), jnp.int32), init_keys,
     )
+    body_r = jax.checkpoint(body) if remat else body
     if skip_done:
-        # Skip the whole bounce once all lanes are done: the untaken cond
-        # branch is genuinely not executed (forward OR backward), so
-        # iterations past actual completion cost only a state/cotangent
-        # passthrough (~tens of us vs ~1 ms for a live iteration).
-        def stepped(st):
+        k_skip = max(1, min(skip_chunk, n_iters))
+        n_outer = -(-n_iters // k_skip)
+
+        # Skip k_skip iterations at once when every lane is done: the
+        # untaken cond branch is genuinely not executed (forward OR
+        # backward), and the per-cond state-copy overhead amortizes
+        # over the chunk.
+        def chunk(st):
+            st, _ = jax.lax.scan(lambda s2, _: (body_r(s2), None), st,
+                                 None, length=k_skip)
+            return st
+
+        def stepped(st, _):
             go = jnp.any(st[5]) | jnp.any(st[6] < last_sample)
-            return jax.lax.cond(go, body, lambda s_: s_, st)
+            return jax.lax.cond(go, chunk, lambda s_: s_, st), None
+
+        state, _ = jax.lax.scan(stepped, state, None, length=n_outer)
     else:
-        stepped = body
-    stepped = jax.checkpoint(stepped) if remat else stepped
-    state, _ = jax.lax.scan(lambda st, _: (stepped(st), None), state,
-                            None, length=n_iters)
+        state, _ = jax.lax.scan(lambda st, _: (body_r(st), None), state,
+                                None, length=n_iters)
     acc, done = state[0], state[1]
     if k_rot > 1:
         # chunk carries -> lane slots: one roll per chunk, post-scan

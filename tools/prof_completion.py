@@ -27,33 +27,36 @@ params, statics = partition(scene)
 bwd_spp = 64
 n_pix = settings.image_width * settings.image_height
 vg = jax.jit(jax.value_and_grad(render_loss_wavefront, has_aux=True),
-             static_argnames=("spp", "n_iters", "remat", "skip_done"))
+             static_argnames=("spp", "n_iters", "remat", "skip_done",
+                              "rotate_k"))
 
 
-def run(n_lanes, iters, skip, reps=2):
+def run(n_lanes, iters, skip, rot=1, reps=2):
     pix = jnp.arange(n_lanes, dtype=jnp.int32) % n_pix
     target = jnp.zeros((n_lanes, 3), jnp.float32)
     (l, f), g = vg(params, statics, settings, rng.base_key(0), pix, target,
-                   spp=bwd_spp, n_iters=iters, remat=False, skip_done=skip)
+                   spp=bwd_spp, n_iters=iters, remat=False, skip_done=skip,
+                   rotate_k=rot)
     jax.block_until_ready((l, g))
     best = float("inf")
     for r in range(reps):
         t0 = time.time()
         (l, f), g = vg(params, statics, settings, rng.base_key(r + 1), pix,
                        target, spp=bwd_spp, n_iters=iters, remat=False,
-                       skip_done=skip)
+                       skip_done=skip, rotate_k=rot)
         jax.block_until_ready((l, g))
         best = min(best, time.time() - t0)
-    print(f"lanes=2^{n_lanes.bit_length()-1} iters={iters} skip={int(skip)}: "
-          f"{best:.3f}s frac={float(f):.5f} "
+    print(f"lanes=2^{n_lanes.bit_length()-1} iters={iters} skip={int(skip)} "
+          f"rot={rot}: {best:.3f}s frac={float(f):.5f} "
           f"rays/s={n_lanes*bwd_spp/best/1e6:.1f}M", flush=True)
 
 
-# 1) completion curve without skip (what does frac=1.0 actually need?)
-for it in (195, 235, 275):
+# isolate rotation cost from cond cost (round-2 session 2: per-iter
+# cond measured +25%, rot4+cond 0.300s vs rot1 nocond 0.178s at 195)
+run(1 << 18, 195, False, rot=4)
+# completion curve + cost of a plain generous bound, no cond
+for it in (235, 275, 320):
     run(1 << 18, it, False)
-# 2) cond-skip: generous bound should cost ~actual completion time
-for it in (235, 320):
-    run(1 << 18, it, True)
-# 3) lane scaling at fixed iters (per-iteration fixed overhead check)
-run(1 << 19, 320, True)
+# chunked cond-skip (K=16): amortized overhead + free tail
+run(1 << 18, 320, True)
+run(1 << 18, 224, True, rot=4)
