@@ -979,6 +979,254 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
     return acc_out
 
 
+# Below this many primitive rows the per-iteration intersect is too
+# cheap for ray binning to amortize its sort+gather (~5-10 ms at 2^18
+# lanes); above it, incoherent wavefronts cost 3.4-7x coherent ones
+# (tools/prof_bigmesh_engines.py: 366 vs 107 ms per 2^18 rays at 50k
+# rows) and re-sorting wins outright.
+SORT_MIN_PRIMS = 8192
+
+
+def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
+                           n_pix: int, spp: int, acc=None,
+                           sample_offset: int = 0,
+                           with_stats: bool = False,
+                           pixel_offset=0):
+    """Ray-binned persistent wavefront for mesh-scale scenes.
+
+    Pixel-stationary SEMANTICS (absolute (pixel, sample) RNG keys -> the
+    image is bit-identical to :func:`trace_wavefront_stationary`), but
+    the lane ORDER is re-sorted every iteration by (direction octant,
+    quantized origin cell): after one bounce a wavefront is incoherent,
+    and the dense kernels' per-row AABB consensus only fires when the
+    ~hundred rays of a kernel row agree spatially.  Sorting restores
+    that agreement for ~5-10 ms/iteration of sort+gather — noise next
+    to the 3.4-7x incoherence penalty at >=SORT_MIN_PRIMS rows.
+
+    Each lane carries its pixel binding; finished paths scatter-add into
+    the pixel-indexed accumulator (the ~0.8 ms varying-index scatter that
+    rules this design OUT for small scenes is also noise here).
+    """
+    lanes = -(-n_pix // LANE_ALIGN) * LANE_ALIGN
+    n_u = n_bounce_uniforms(scene)
+    frame = camera_frame(s)
+    if acc is None:
+        acc = jnp.zeros((n_pix, 3), DTYPE)
+    use_pallas = pallas_eligible(scene, lanes)
+    use_mega = bounce_kernel_eligible(scene, s, lanes)
+    last_sample = sample_offset + spp - 1
+
+    # loose scene bbox for origin quantization (traced once per compile)
+    p = scene.prims
+    nn = _n_scan_prims(p)
+    ext = jnp.abs(p.e1[:nn]) + jnp.abs(p.e2[:nn])
+    blo = jnp.min(p.p0[:nn] - ext, axis=0)
+    bhi = jnp.max(p.p0[:nn] + ext, axis=0)
+    binv = 1.0 / jnp.maximum(bhi - blo, 1e-6)
+
+    lane_ids = jnp.arange(lanes, dtype=jnp.int32)
+    init_pixel = pixel_offset + jnp.minimum(lane_ids, n_pix - 1)
+    # padding lanes (>= n_pix) start exhausted
+    init_sample = jnp.where(lane_ids < n_pix,
+                            sample_offset - 1, last_sample + 1)
+
+    _CELL = 8  # origin-quantization cells per axis
+
+    def sort_perm(comps, alive, lane_pixel):
+        ox, oy, oz, dx, dy, dz, _ = comps
+        oct_ = ((dx < 0).astype(jnp.int32) * 4
+                + (dy < 0).astype(jnp.int32) * 2
+                + (dz < 0).astype(jnp.int32))
+        q = lambda o, k: jnp.clip(((o - blo[k]) * binv[k]
+                                   * _CELL).astype(jnp.int32),
+                                  0, _CELL - 1)
+        cell = (q(ox, 0) * _CELL + q(oy, 1)) * _CELL + q(oz, 2)
+        live_key = oct_ * (_CELL ** 3) + cell
+        # dead lanes group by pixel neighborhood: their NEXT ray is the
+        # camera ray of their pixel, so image-adjacent is ray-adjacent
+        dead_key = (1 << 14) + (lane_pixel >> 4)
+        return jnp.argsort(jnp.where(alive, live_key, dead_key))
+
+    def body(state):
+        (acc_r, acc_g, acc_b, comps, rad, thr, alive, sample, lane_pixel,
+         depth, iters, segments) = state
+
+        # --- re-bin lanes (permutation travels with ALL lane state) ---
+        perm = sort_perm(comps, alive, lane_pixel)
+        g = lambda x: x[perm]
+        comps = tuple(g(c) for c in comps)
+        rad = tuple(g(x) for x in rad)
+        thr = tuple(g(x) for x in thr)
+        alive = g(alive)
+        sample = g(sample)
+        lane_pixel = g(lane_pixel)
+        depth = g(depth)
+
+        # --- start this lane's next sample if idle ---
+        can = ~alive & (sample < last_sample)
+        can_f = jnp.where(can, 1.0, 0.0)
+        sample = jnp.where(can, sample + 1, sample)
+        depth = jnp.where(can, 0, depth)
+        alive = alive | can
+        keys = rng.ray_keys_fast(base_key, lane_pixel, sample)
+        dkeys = rng.mix_depth(keys, depth)
+        uniforms = rng.uniform_block(dkeys, n_u + 6)
+        new_comps = generate_ray_components(s, frame, lane_pixel,
+                                            uniforms[:, n_u:n_u + 5])
+        comps = tuple(jnp.where(can, nc, c)
+                      for nc, c in zip(new_comps, comps))
+        rad = tuple(r * (1.0 - can_f) for r in rad)
+        thr = tuple(jnp.where(can, 1.0, t) for t in thr)
+
+        if use_mega:
+            comps, rad, thr, alive, died = bounce_mega_soa(
+                scene, s, comps, uniforms, rad, thr, alive)
+        else:
+            o = jnp.stack(comps[0:3], axis=-1)
+            d = jnp.stack(comps[3:6], axis=-1)
+            o, d, radiance, throughput, alive, died = bounce(
+                scene, s, o, d, comps[6], uniforms,
+                jnp.stack(rad, axis=-1), jnp.stack(thr, axis=-1), alive,
+                use_pallas=use_pallas)
+            comps = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                     comps[6])
+            rad = (radiance[:, 0], radiance[:, 1], radiance[:, 2])
+            thr = (throughput[:, 0], throughput[:, 1], throughput[:, 2])
+        depth = depth + 1
+        capped = alive & (depth >= s.max_depth)
+        died = died | capped
+        alive = alive & ~capped
+        if s.rr_depth is not None:
+            thr, alive, died = _russian_roulette(
+                s, uniforms[:, n_u + 5], depth, thr, alive, died)
+
+        # --- flush: pixel-indexed scatter-add at death ---
+        died_f = jnp.where(died, 1.0, 0.0)
+        tgt = lane_pixel - pixel_offset
+        acc_r = acc_r.at[tgt].add(rad[0] * died_f, mode="drop")
+        acc_g = acc_g.at[tgt].add(rad[1] * died_f, mode="drop")
+        acc_b = acc_b.at[tgt].add(rad[2] * died_f, mode="drop")
+
+        segments = segments + jnp.sum((alive | died).astype(jnp.int32))
+        return (acc_r, acc_g, acc_b, comps, rad, thr, alive, sample,
+                lane_pixel, depth, iters + 1, segments)
+
+    def cond(state):
+        return jnp.any(state[6] | (state[7] < last_sample))
+
+    z1 = jnp.zeros((lanes,), DTYPE)
+    o1 = jnp.ones((lanes,), DTYPE)
+    zp = jnp.zeros((n_pix,), DTYPE)
+    state = (
+        zp, zp, zp,
+        (z1, z1, z1, z1, z1, o1, z1),
+        (z1, z1, z1), (o1, o1, o1),
+        jnp.zeros((lanes,), bool), init_sample.astype(jnp.int32),
+        init_pixel.astype(jnp.int32),
+        jnp.zeros((lanes,), jnp.int32),
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    acc_out = acc + jnp.stack(state[0:3], axis=-1)
+    if with_stats:
+        return acc_out, dict(iterations=state[-2], segments=state[-1],
+                             lanes=lanes)
+    return acc_out
+
+
+def _antithetic_maps(cost, k: int):
+    """k lane->slot permutations with ~equal per-lane total cost.
+
+    Rank slots by ``cost`` ascending; lane ``l`` serves ranks
+    ``l, N-1-l, l+S, N-1-l-S, ...`` (S = N//k shifts keep the k maps
+    distinct) — every antithetic rank pair sums to ~2x the mean, so the
+    slowest lane's total collapses toward k*mean instead of k*worst.
+    Each map is a permutation (every slot served exactly once per
+    chunk), so the estimator is exactly the unbalanced one re-ordered.
+    Requires even ``k``.
+    """
+    lanes = cost.shape[0]
+    srt = jnp.argsort(cost)
+    l = jnp.arange(lanes, dtype=jnp.int32)
+    maps = []
+    for cc in range(k):
+        shift = (cc // 2) * (lanes // k)
+        if cc % 2 == 0:
+            r = (l + shift) % lanes
+        else:
+            r = (lanes - 1 - l - shift) % lanes
+        maps.append(srt[r])
+    return maps
+
+
+def lane_cost_estimate(scene: Scene, s: CameraSettings, base_key,
+                       pixel_ids, spp_est: int = 4,
+                       sample_offset: int = 1 << 20):
+    """Cheap forward per-lane cost signal for antithetic load balancing:
+    total bounce iterations consumed by ``spp_est`` samples of each
+    lane's pixel (~spp_est x mean path length).  Runs the forward-only
+    regenerating wavefront (a while_loop — no AD) on a sample range
+    disjoint from any render, so the balanced render shares no
+    randomness with its own cost estimate."""
+    lanes = pixel_ids.shape[0]
+    n_u = n_bounce_uniforms(scene)
+    frame = camera_frame(s)
+    use_pallas = pallas_eligible(scene, lanes) and scene.bvh is None
+    use_mega = bounce_kernel_eligible(scene, s, lanes)
+    last = sample_offset + spp_est - 1
+
+    def body(st):
+        cnt, comps, rad, thr, alive, sample, depth = st
+        can = ~alive & (sample < last)
+        sample = jnp.where(can, sample + 1, sample)
+        depth = jnp.where(can, 0, depth)
+        alive = alive | can
+        keys = rng.ray_keys_fast(base_key, pixel_ids, sample)
+        dkeys = rng.mix_depth(keys, depth)
+        uniforms = rng.uniform_block(dkeys, n_u + 6)
+        nc = generate_ray_components(s, frame, pixel_ids,
+                                     uniforms[:, n_u:n_u + 5])
+        comps = tuple(jnp.where(can, n, c) for n, c in zip(nc, comps))
+        rad = tuple(jnp.where(can, 0.0, x) for x in rad)
+        thr = tuple(jnp.where(can, 1.0, x) for x in thr)
+        if use_mega:
+            comps, rad, thr, alive, died = bounce_mega_soa(
+                scene, s, comps, uniforms, rad, thr, alive)
+        else:
+            o = jnp.stack(comps[0:3], axis=-1)
+            d = jnp.stack(comps[3:6], axis=-1)
+            o, d, r3, t3, alive, died = bounce(
+                scene, s, o, d, comps[6], uniforms,
+                jnp.stack(rad, axis=-1), jnp.stack(thr, axis=-1), alive,
+                use_pallas=use_pallas)
+            comps = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1],
+                     d[:, 2], comps[6])
+            rad = (r3[:, 0], r3[:, 1], r3[:, 2])
+            thr = (t3[:, 0], t3[:, 1], t3[:, 2])
+        depth = depth + 1
+        capped = alive & (depth >= s.max_depth)
+        died = died | capped
+        alive = alive & ~capped
+        if s.rr_depth is not None:
+            thr, alive, died = _russian_roulette(
+                s, uniforms[:, n_u + 5], depth, thr, alive, died)
+        cnt = cnt + (alive | died).astype(jnp.int32)
+        return cnt, comps, rad, thr, alive, sample, depth
+
+    def cond(st):
+        return jnp.any(st[4] | (st[5] < last))
+
+    z1 = jnp.zeros((lanes,), DTYPE)
+    o1 = jnp.ones((lanes,), DTYPE)
+    st = (jnp.zeros((lanes,), jnp.int32),
+          (z1, z1, z1, z1, z1, o1, z1), (z1, z1, z1), (o1, o1, o1),
+          jnp.zeros((lanes,), bool),
+          jnp.full((lanes,), sample_offset - 1, jnp.int32),
+          jnp.zeros((lanes,), jnp.int32))
+    st = jax.lax.while_loop(cond, body, st)
+    return st[0].astype(DTYPE)
+
+
 def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
                          pixel_ids, spp: int, n_iters: int | None = None,
                          sample_offset: int = 0, remat: bool = True,
@@ -986,7 +1234,8 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
                          mega_interpret: bool = False,
                          rotate_k: int = 1,
                          skip_done: bool = False,
-                         skip_chunk: int = 16):
+                         skip_chunk: int = 16,
+                         pixel_cost=None):
     """Differentiable pixel-stationary wavefront.
 
     Reverse-mode AD cannot cross ``while_loop``, and a fixed
@@ -1036,7 +1285,23 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
     stride = max((lanes // k_rot) // _BLK * _BLK, _BLK)
     if k_rot > 1 and stride % lanes == 0:
         stride = max(lanes // k_rot, 1)
-    pixel_maps = [jnp.roll(pixel_ids, -cc * stride) for cc in range(k_rot)]
+    balanced = (pixel_cost is not None and k_rot > 1 and k_rot % 2 == 0)
+    if balanced:
+        # Cost-balanced antithetic assignment: the scan must run until
+        # the SLOWEST lane finishes, and per-pixel mean path length
+        # varies ~2x across the image (Cornell: frac=1.0 needs ~4.3*spp
+        # iterations vs the 2.2*spp mean).  Rank pixels by a cheap
+        # forward cost estimate (lane_cost_estimate) and give each lane
+        # antithetic rank pairs (rank i with rank N-1-i), so every
+        # lane's k-pixel total is ~exactly k*mean and the completion
+        # bound drops toward the mean.
+        lane_maps = _antithetic_maps(jax.lax.stop_gradient(pixel_cost),
+                                     k_rot)
+        pixel_maps = [pixel_ids[m] for m in lane_maps]
+        inv_maps = [jnp.argsort(m) for m in lane_maps]
+    else:
+        pixel_maps = [jnp.roll(pixel_ids, -cc * stride)
+                      for cc in range(k_rot)]
     n_u = n_bounce_uniforms(scene)
     frame = camera_frame(s)
     use_pallas = pallas_eligible(scene, lanes) and scene.bvh is None
@@ -1171,7 +1436,14 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
         state, _ = jax.lax.scan(lambda st, _: (body_r(st), None), state,
                                 None, length=n_iters)
     acc, done = state[0], state[1]
-    if k_rot > 1:
+    if k_rot > 1 and balanced:
+        # chunk carries -> lane slots: slot s's chunk-cc contribution
+        # came from lane inv_maps[cc][s] — one gather per chunk
+        acc = tuple(
+            sum(acc[cc][ch][inv_maps[cc]] for cc in range(k_rot))
+            for ch in range(3))
+        done = sum(done[cc][inv_maps[cc]] for cc in range(k_rot))
+    elif k_rot > 1:
         # chunk carries -> lane slots: one roll per chunk, post-scan
         acc = tuple(
             sum(jnp.roll(acc[cc][ch], cc * stride) for cc in range(k_rot))

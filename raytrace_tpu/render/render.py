@@ -21,7 +21,10 @@ from ..core import rng
 from ..core.vecmath import DTYPE
 from ..scene.types import Scene
 from .camera import CameraSettings
-from .integrator import trace_wavefront, trace_wavefront_stationary
+from .integrator import (
+    SORT_MIN_PRIMS, trace_wavefront, trace_wavefront_sorted,
+    trace_wavefront_stationary,
+)
 
 # Below this many pixels, the pixel-stationary scheduler can't fill the
 # vector lanes; use the work-queue scheduler instead.
@@ -120,6 +123,13 @@ def _queue_fn(scene, settings, key, acc, s0, n_pix, spp, n_lanes):
 
 def _stationary_fn(scene, settings, key, acc, s0, n_pix, spp, rotate_k=1,
                    pixel_offset=0):
+    if scene.prims.kind.shape[0] >= SORT_MIN_PRIMS and scene.bvh is None:
+        # mesh scale: ray-binned ordering beats pixel rotation (the
+        # incoherence penalty of the dense kernels dwarfs both the sort
+        # and the varying-index accumulation scatter)
+        return trace_wavefront_sorted(scene, settings, key, n_pix, spp,
+                                      acc, sample_offset=s0,
+                                      pixel_offset=pixel_offset)
     return trace_wavefront_stationary(scene, settings, key, n_pix, spp, acc,
                                       sample_offset=s0, rotate_k=rotate_k,
                                       pixel_offset=pixel_offset)

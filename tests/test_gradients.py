@@ -268,3 +268,38 @@ def test_wavefront_diff_skip_done_matches_and_completes():
     (l2, f2), g2 = vg(params, statics, s, key, pix, target, spp=16,
                       n_iters=16 * 6 + 2, skip_done=True)
     assert float(f2) == 1.0
+
+
+def test_wavefront_diff_balanced_matches_unbalanced():
+    """Cost-balanced antithetic pixel assignment (per-chunk permutation
+    maps from a forward cost prepass) must reproduce the unrotated loss
+    AND gradients exactly when every lane completes: RNG keys are
+    absolute (pixel, sample), and each chunk map is a permutation, so
+    the estimator is the same sum re-ordered."""
+    from raytrace_tpu.diff.gradients import partition, render_loss_wavefront
+    from raytrace_tpu.render.integrator import (
+        _antithetic_maps, lane_cost_estimate,
+    )
+    scene = _simple_scene()
+    s = rt.CameraSettings(image_width=16, samples_per_pixel=16, max_depth=6,
+                          background=rt.const_background(0.5))
+    params, statics = partition(scene)
+    key = rng.base_key(3)
+    pix = jnp.arange(256, dtype=jnp.int32)
+    cost = lane_cost_estimate(scene, s, key, pix, spp_est=2)
+    assert cost.shape == (256,) and float(cost.min()) >= 2.0
+    # each antithetic map must be a permutation of all lane slots
+    for m in _antithetic_maps(cost, 4):
+        assert np.array_equal(np.sort(np.asarray(m)), np.arange(256))
+    target = jnp.full((256, 3), 0.25, jnp.float32)
+    vg = jax.value_and_grad(render_loss_wavefront, has_aux=True)
+    (l0, f0), g0 = vg(params, statics, s, key, pix, target, spp=16,
+                      n_iters=140)
+    (l1, f1), g1 = vg(params, statics, s, key, pix, target, spp=16,
+                      n_iters=140, rotate_k=4, pixel_cost=cost)
+    assert float(f0) == 1.0 and float(f1) == 1.0
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)

@@ -132,3 +132,18 @@ def test_tiled_lane_order_invariant():
         integ._tile_maps = orig
     np.testing.assert_allclose(np.asarray(tiled), np.asarray(linear),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_sorted_wavefront_matches_stationary():
+    """trace_wavefront_sorted (ray-binned lane order, scatter flush) must
+    produce the SAME accumulator as the pixel-stationary scheduler: RNG
+    keys are absolute (pixel, sample), so lane ordering is invisible."""
+    from raytrace_tpu.render.integrator import (
+        trace_wavefront_sorted, trace_wavefront_stationary,
+    )
+    scene = _scene()
+    key = rng.base_key(9)
+    a = trace_wavefront_stationary(scene, SETTINGS, key, N_PIX, 8)
+    b = trace_wavefront_sorted(scene, SETTINGS, key, N_PIX, 8)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)

@@ -26,37 +26,42 @@ settings = settings.replace(rr_depth=2)
 params, statics = partition(scene)
 bwd_spp = 64
 n_pix = settings.image_width * settings.image_height
+from raytrace_tpu.render.integrator import lane_cost_estimate
+
 vg = jax.jit(jax.value_and_grad(render_loss_wavefront, has_aux=True),
              static_argnames=("spp", "n_iters", "remat", "skip_done",
                               "rotate_k"))
+cost_jit = jax.jit(lane_cost_estimate, static_argnames=("spp_est",))
 
 
-def run(n_lanes, iters, skip, rot=1, reps=2):
+def run(n_lanes, iters, skip, rot=1, bal=False, reps=2):
     pix = jnp.arange(n_lanes, dtype=jnp.int32) % n_pix
     target = jnp.zeros((n_lanes, 3), jnp.float32)
-    (l, f), g = vg(params, statics, settings, rng.base_key(0), pix, target,
-                   spp=bwd_spp, n_iters=iters, remat=False, skip_done=skip,
-                   rotate_k=rot)
+    cost = (cost_jit(scene, settings, rng.base_key(0), pix, spp_est=4)
+            if bal else None)
+
+    def go(seed):
+        return vg(params, statics, settings, rng.base_key(seed), pix,
+                  target, spp=bwd_spp, n_iters=iters, remat=False,
+                  skip_done=skip, rotate_k=rot, pixel_cost=cost)
+
+    (l, f), g = go(0)
     jax.block_until_ready((l, g))
     best = float("inf")
     for r in range(reps):
         t0 = time.time()
-        (l, f), g = vg(params, statics, settings, rng.base_key(r + 1), pix,
-                       target, spp=bwd_spp, n_iters=iters, remat=False,
-                       skip_done=skip, rotate_k=rot)
+        (l, f), g = go(r + 1)
         jax.block_until_ready((l, g))
         best = min(best, time.time() - t0)
     print(f"lanes=2^{n_lanes.bit_length()-1} iters={iters} skip={int(skip)} "
-          f"rot={rot}: {best:.3f}s frac={float(f):.5f} "
+          f"rot={rot} bal={int(bal)}: {best:.3f}s frac={float(f):.5f} "
           f"rays/s={n_lanes*bwd_spp/best/1e6:.1f}M", flush=True)
 
 
-# isolate rotation cost from cond cost (round-2 session 2: per-iter
-# cond measured +25%, rot4+cond 0.300s vs rot1 nocond 0.178s at 195)
-run(1 << 18, 195, False, rot=4)
-# completion curve + cost of a plain generous bound, no cond
-for it in (235, 275, 320):
-    run(1 << 18, it, False)
-# chunked cond-skip (K=16): amortized overhead + free tail
-run(1 << 18, 320, True)
-run(1 << 18, 224, True, rot=4)
+# cost-balanced antithetic assignment: completion-vs-iters curve
+# (prepass cost is inside the timed region, as in bench.py)
+for it in (152, 168, 184, 208):
+    run(1 << 18, it, False, rot=4, bal=True)
+# reference points: unbalanced full-completion + old default
+run(1 << 18, 275, False)
+run(1 << 18, 195, False)

@@ -38,53 +38,75 @@ def best_time(f, args_fn, reps=5):
     return best
 
 
-# ---- 1. HBM bandwidth: read 1 GB + write 1 GB ----------------------------
+# Every micro-kernel is a data-dependent fori_loop of NON-collapsible
+# ops: a plain repeated x*a+b chain is affine (XLA folds it to one FMA)
+# and jnp.full matmul operands are rank-1 (foldable) -- both measured
+# "impossibly fast" through the tunnel before this was fixed.
+
+# ---- 1. HBM bandwidth: read+write 1 GiB per loop iteration ---------------
 N = 1 << 28  # 268M f32 = 1 GiB
+S_ITERS = 20
 
 
 @jax.jit
 def stream(x):
-    return x * 1.000001 + 0.5
+    def it(i, y):
+        # y depends on i so no two iterations are identical
+        return y + (0.5 + i.astype(jnp.float32) * 1e-9)
+    return jax.lax.fori_loop(0, S_ITERS, it, x)
 
 
 t = best_time(stream, lambda r: jnp.full((N,), float(r), jnp.float32))
-hbm_gbs = 2 * N * 4 / t / 1e9
-print(f"HBM stream: {hbm_gbs:.0f} GB/s  ({t*1e3:.2f} ms for 2 GiB)",
-      flush=True)
+hbm_gbs = 2 * N * 4 * S_ITERS / t / 1e9
+print(f"HBM stream: {hbm_gbs:.0f} GB/s  ({t*1e3:.2f} ms for "
+      f"{2*S_ITERS} GiB)", flush=True)
 
-# ---- 2. VPU f32 peak: chained FMA, small working set ---------------------
-M = 1 << 24  # 64 MB working set (fits nowhere; but traffic amortized 512x)
-K = 512
+# ---- 2. VPU f32 peak: nonlinear chain, VMEM-resident working set ---------
+M = 1 << 20  # 4 MB working set stays in VMEM across the unrolled chain
+K = 256
+V_ITERS = 50
 
 
 @jax.jit
 def fma_chain(x):
-    a = jnp.float32(1.0000001)
-    for _ in range(K):
-        x = x * a + 1e-9
-    return x
+    def it(i, y):
+        y = y + i.astype(jnp.float32) * 1e-12
+        for _ in range(K):
+            y = y * 0.999999 + y * y * 1e-9   # 3 flops, non-affine
+        return y
+    return jax.lax.fori_loop(0, V_ITERS, it, x)
 
 
-t = best_time(fma_chain, lambda r: jnp.full((M,), float(r), jnp.float32))
-vpu_tflops = 2 * K * M / t / 1e12
-print(f"VPU f32 FMA: {vpu_tflops:.2f} TFLOP/s  ({t*1e3:.2f} ms)", flush=True)
+t = best_time(fma_chain,
+              lambda r: jnp.full((M,), 0.1 + r * 1e-3, jnp.float32))
+vpu_tflops = 3 * K * V_ITERS * M / t / 1e12
+print(f"VPU f32 chain: {vpu_tflops:.2f} TFLOP/s  ({t*1e3:.2f} ms)",
+      flush=True)
 
-# ---- 3. MXU bf16 peak ----------------------------------------------------
-D = 8192
+# ---- 3. MXU bf16 peak: chained matmuls on full-rank operands -------------
+D = 4096
+MM_ITERS = 20
 
 
 @jax.jit
 def mm(ab):
     a, b = ab
-    return a @ b
+
+    def it(i, x):
+        return ((x + i.astype(jnp.bfloat16) * 1e-3) @ b) * jnp.bfloat16(
+            1.0 / D)
+    return jax.lax.fori_loop(0, MM_ITERS, it, a)
 
 
-t = best_time(
-    mm,
-    lambda r: (jnp.full((D, D), 1.0 + r * 1e-3, jnp.bfloat16),
-               jnp.full((D, D), 0.5, jnp.bfloat16)),
-    reps=5)
-mxu_tflops = 2 * D**3 / t / 1e12
+def mk(r):
+    k = jax.random.key(r)
+    a = jax.random.normal(k, (D, D), jnp.bfloat16)
+    b = jax.random.normal(jax.random.key(r + 100), (D, D), jnp.bfloat16)
+    return a, b
+
+
+t = best_time(mm, mk, reps=4)
+mxu_tflops = 2 * D**3 * MM_ITERS / t / 1e12
 print(f"MXU bf16 matmul: {mxu_tflops:.1f} TFLOP/s  ({t*1e3:.2f} ms)",
       flush=True)
 
