@@ -94,34 +94,29 @@ def main():
     # ---- forward+backward: differentiable regenerative wavefront ----
     from raytrace_tpu.diff.gradients import render_loss_wavefront
 
-    from raytrace_tpu.render.integrator import lane_cost_estimate
-
     params, statics = partition(scene)
     vg = jax.jit(jax.value_and_grad(render_loss_wavefront, has_aux=True),
-                 static_argnames=("spp", "n_iters", "remat", "rotate_k"))
-    cost_jit = jax.jit(lane_cost_estimate, static_argnames=("spp_est",))
-    bwd_pix = 1 << 18
+                 static_argnames=("spp", "n_iters", "remat"))
+    bwd_pix = 1 << 19   # larger lane pool amortizes per-iteration overheads (+9%)
     bwd_spp = 64
-    # Guaranteed-completion configuration: a cheap forward prepass
-    # (lane_cost_estimate, ~4% of the launch) ranks pixels by measured
-    # path length and the antithetic rotate_k=4 assignment makes every
-    # lane's total ~4x mean, so the completion bound drops from 4.3*spp
-    # (worst pixel, plain assignment: frac=1.0 at 275 iters) toward the
-    # 2.2*spp mean.  The cond-skip wrapper measured slower than just
-    # running the bound (see trace_wavefront_diff docstring).
-    n_iters = 184
+    # Guaranteed-completion bound, measured (tools/prof_completion.py):
+    # frac=1.00000 at 275 iterations for spp=64 under RR.  The tail is
+    # per-SAMPLE path-length variance (the max over 262k lanes of a sum
+    # of 64 random path lengths), so neither pixel rotation nor
+    # cost-balanced antithetic assignment shrinks it (both measured
+    # slower at equal completion), and the cond-skip wrapper costs more
+    # than the tail it skips (see trace_wavefront_diff docstring).
+    n_iters = 285
 
     def run_bwd(i):
         start = (i * 131) % max(n_pix - bwd_pix, 1)
         pix = jnp.arange(start, start + bwd_pix, dtype=jnp.int32) % n_pix
         target = jnp.zeros((bwd_pix, 3), jnp.float32)
-        cost = cost_jit(scene, settings_rr, key, pix, spp_est=4)
         # remat=False: with the megakernel custom-VJP bounce the stored
         # residuals (~3 GB at these shapes) beat recomputing the forward
         # (tools/prof_diff2.py: 46.5M vs 36.9M rays/s)
         return vg(params, statics, settings_rr, key, pix, target,
-                  spp=bwd_spp, n_iters=n_iters, remat=False, rotate_k=4,
-                  pixel_cost=cost)
+                  spp=bwd_spp, n_iters=n_iters, remat=False)
 
     (loss, frac), grads = run_bwd(0)
     jax.block_until_ready((loss, grads))

@@ -27,6 +27,9 @@ from .vecmath import DTYPE, normalize
 # full threefry pass (reference-quality stream, ~2.5x the cost) instead
 # of the fast counter-hash — for auditing statistical-quality concerns.
 USE_THREEFRY = bool(os.environ.get("RT_RNG_THREEFRY"))
+# RT_RNG_PAIR16=0 disables the two-uniforms-per-hash-word fast path
+# (see uniform_block) and restores 24-bit mantissas.
+USE_PAIR16 = os.environ.get("RT_RNG_PAIR16", "1") != "0"
 
 
 def base_key(seed: int):
@@ -106,21 +109,43 @@ def uniform_block(keys, n: int, dtype=DTYPE):
     kd = jax.random.key_data(keys).astype(jnp.uint32)
     k0 = kd[..., 0:1]
     k1 = kd[..., 1:2]
+    if USE_PAIR16:
+        # Two 16-bit uniforms per hash word: integer hashing was ~30% of
+        # a wavefront iteration at 14 columns/lane/bounce, and every
+        # consumer is a Monte-Carlo sampling transform where 2^-16
+        # resolution is far below the estimator noise floor (golden
+        # parity + the test_rng batteries both hold on the half-words of
+        # the full-avalanche mix).  RT_RNG_PAIR16=0 restores 24-bit
+        # mantissas; RT_RNG_THREEFRY=1 the reference-quality stream.
+        m = (n + 1) // 2
+        cols = jnp.arange(m, dtype=jnp.uint32)
+        h = _finalize2(k0 + cols * jnp.uint32(0x9E3779B9), k1)
+        lo = (h & jnp.uint32(0xFFFF)).astype(dtype)
+        hi = (h >> jnp.uint32(16)).astype(dtype)
+        # columns [0, m) take the low half-words, [m, 2m) the high ones
+        # (a concat, NOT an interleave — the interleaved layout measured
+        # slower than the hashes it saved)
+        u = jnp.concatenate([lo, hi], axis=-1)
+        return u[..., :n] * dtype(1.0 / (1 << 16))
     cols = jnp.arange(n, dtype=jnp.uint32)
-    h = k0 + cols * jnp.uint32(0x9E3779B9)
-    # finalizer round 1 (h2 mixer constants by Pelle Evensen / T. Mueller)
+    h = _finalize2(k0 + cols * jnp.uint32(0x9E3779B9), k1)
+    # 24-bit mantissa -> [0, 1)
+    return (h >> jnp.uint32(8)).astype(dtype) * dtype(1.0 / (1 << 24))
+
+
+def _finalize2(h, k1):
+    """Two-round full-avalanche 32-bit mixer (Murmur3-style, improved
+    constants by Pelle Evensen / T. Mueller), keyed by ``k1``."""
     h = h ^ (h >> 16)
     h = h * jnp.uint32(0x21F0AAAD)
     h = h ^ (h >> 15)
     h = h * jnp.uint32(0x735A2D97)
     h = h ^ (h >> 15)
     h = h ^ k1
-    # finalizer round 2
     h = h ^ (h >> 16)
     h = h * jnp.uint32(0xD35A2D97)
     h = h ^ (h >> 15)
-    # 24-bit mantissa -> [0, 1)
-    return (h >> jnp.uint32(8)).astype(dtype) * dtype(1.0 / (1 << 24))
+    return h
 
 
 def unit_vector_from_uniforms(u, v):

@@ -1144,6 +1144,12 @@ def _antithetic_maps(cost, k: int):
     Each map is a permutation (every slot served exactly once per
     chunk), so the estimator is exactly the unbalanced one re-ordered.
     Requires even ``k``.
+
+    Measured caveat (tools/prof_completion.py, Cornell spp=64): the
+    completion tail there is dominated by per-SAMPLE path-length
+    variance (max over 262k lanes of a 64-path sum), which no static
+    assignment shrinks — balancing only pays on scenes whose per-pixel
+    MEAN cost varies strongly (fog vs sky regions).
     """
     lanes = cost.shape[0]
     srt = jnp.argsort(cost)
