@@ -999,13 +999,19 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
     the lane ORDER is re-sorted every iteration by (direction octant,
     quantized origin cell): after one bounce a wavefront is incoherent,
     and the dense kernels' per-row AABB consensus only fires when the
-    ~hundred rays of a kernel row agree spatially.  Sorting restores
-    that agreement for ~5-10 ms/iteration of sort+gather — noise next
-    to the 3.4-7x incoherence penalty at >=SORT_MIN_PRIMS rows.
+    rays of a kernel row agree spatially.  Each lane carries its pixel
+    binding; finished paths scatter-add into the pixel-indexed
+    accumulator.  The permutation applies as ONE packed [C, R] take per
+    dtype (17 separate gathers measured 61 ms/iter vs 4 ms packed).
 
-    Each lane carries its pixel binding; finished paths scatter-add into
-    the pixel-indexed accumulator (the ~0.8 ms varying-index scatter that
-    rules this design OUT for small scenes is also noise here).
+    Status (measured, bigmesh 50k tris): EXPERIMENTAL and off by
+    default.  This binning does not yet pay off — a 512-lane kernel row
+    drawn from one (octant, cell) bin still spans a hemisphere of
+    directions, so its chunk-AABB union reaches every chunk and the
+    consensus skip fires no more than unsorted (net -20% after sort
+    overhead).  It becomes the prerequisite once the kernels cull by
+    per-row direction CONE rather than AABB union (round-3 roadmap);
+    enable via RT_SORTED_WAVEFRONT=1 in render_accumulate.
     """
     lanes = -(-n_pix // LANE_ALIGN) * LANE_ALIGN
     n_u = n_bounce_uniforms(scene)
@@ -1052,15 +1058,23 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
          depth, iters, segments) = state
 
         # --- re-bin lanes (permutation travels with ALL lane state) ---
+        # ONE packed [C, R] take per dtype: 17 separate [R] gathers
+        # measured 61 ms/iteration at 2^18 lanes vs 4 ms packed
+        # (tools/prof_sort_cost.py) — the difference between this
+        # driver winning and losing outright.
         perm = sort_perm(comps, alive, lane_pixel)
-        g = lambda x: x[perm]
-        comps = tuple(g(c) for c in comps)
-        rad = tuple(g(x) for x in rad)
-        thr = tuple(g(x) for x in thr)
-        alive = g(alive)
-        sample = g(sample)
-        lane_pixel = g(lane_pixel)
-        depth = g(depth)
+        fpack = jnp.stack(comps + rad + thr, axis=0)          # [13, R]
+        ipack = jnp.stack(
+            [sample, lane_pixel, depth, alive.astype(jnp.int32)], axis=0)
+        fpack = jnp.take(fpack, perm, axis=1)
+        ipack = jnp.take(ipack, perm, axis=1)
+        comps = tuple(fpack[k] for k in range(7))
+        rad = tuple(fpack[7 + k] for k in range(3))
+        thr = tuple(fpack[10 + k] for k in range(3))
+        sample = ipack[0]
+        lane_pixel = ipack[1]
+        depth = ipack[2]
+        alive = ipack[3].astype(bool)
 
         # --- start this lane's next sample if idle ---
         can = ~alive & (sample < last_sample)

@@ -123,10 +123,17 @@ def _queue_fn(scene, settings, key, acc, s0, n_pix, spp, n_lanes):
 
 def _stationary_fn(scene, settings, key, acc, s0, n_pix, spp, rotate_k=1,
                    pixel_offset=0):
-    if scene.prims.kind.shape[0] >= SORT_MIN_PRIMS and scene.bvh is None:
-        # mesh scale: ray-binned ordering beats pixel rotation (the
-        # incoherence penalty of the dense kernels dwarfs both the sort
-        # and the varying-index accumulation scatter)
+    import os
+    if (os.environ.get("RT_SORTED_WAVEFRONT")
+            and scene.prims.kind.shape[0] >= SORT_MIN_PRIMS
+            and scene.bvh is None):
+        # Experimental, OFF by default: at 50k rows the (direction
+        # octant, origin cell) binning did NOT restore kernel-row
+        # coherence for hemisphere-spread bounce rays (a 512-lane row
+        # from one bin still reaches every chunk), so the measured net
+        # is -20% (tools/bench_bigmesh.py 25.5 s vs 20.2 s) even with
+        # the packed-take permutation.  Kept for the round-3 in-kernel
+        # cone-culling work, where binned rows are the prerequisite.
         return trace_wavefront_sorted(scene, settings, key, n_pix, spp,
                                       acc, sample_offset=s0,
                                       pixel_offset=pixel_offset)

@@ -26,12 +26,14 @@ def timeit(label, step):
     def loop(seed):
         def it(i, carry):
             key, acc = carry
+            # per-lane LCG: keys vary across lanes AND iterations
             key = key * jnp.uint32(1664525) + jnp.uint32(1013904223) + i
-            out = step(key)
+            out = step(key ^ (key >> 13))
             return (key, acc + out)
+        lane0 = jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(2654435761)
         return jax.lax.fori_loop(
             0, ITERS, it,
-            (jnp.full((R,), seed, jnp.uint32), jnp.zeros((R,), jnp.float32)))
+            (lane0 + seed, jnp.zeros((R,), jnp.float32)))
     jl = jax.jit(loop)
     jax.block_until_ready(jl(jnp.uint32(0)))
     best = float("inf")

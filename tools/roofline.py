@@ -26,15 +26,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def best_time(f, args_fn, reps=5):
-    jax.block_until_ready(f(args_fn(0)))
+    """Times f(args) until a VALUE is fetched: the tunnel's
+    block_until_ready can return before execution (measured: a 1 GiB
+    stream "completed" in 0.06 ms, then a 394 s backlog surfaced on the
+    first float() fetch), so every micro-kernel here returns a scalar
+    and the clock stops only when its value arrives."""
+    float(f(args_fn(0)))
     best = float("inf")
     for r in range(reps):
         a = args_fn(r + 1)
         jax.block_until_ready(a)
         t0 = time.time()
-        out = f(a)
-        jax.block_until_ready(out)
+        v = float(f(a))
         best = min(best, time.time() - t0)
+        assert v == v  # NaN guard: the value must be real
     return best
 
 
@@ -51,9 +56,9 @@ S_ITERS = 20
 @jax.jit
 def stream(x):
     def it(i, y):
-        # y depends on i so no two iterations are identical
-        return y + (0.5 + i.astype(jnp.float32) * 1e-9)
-    return jax.lax.fori_loop(0, S_ITERS, it, x)
+        # nonlinear: a repeated affine add would fold to one pass
+        return y * 1.0000001 + y * y * 1e-12
+    return jax.lax.fori_loop(0, S_ITERS, it, x)[::1 << 20].sum()
 
 
 t = best_time(stream, lambda r: jnp.full((N,), float(r), jnp.float32))
@@ -64,7 +69,7 @@ print(f"HBM stream: {hbm_gbs:.0f} GB/s  ({t*1e3:.2f} ms for "
 # ---- 2. VPU f32 peak: nonlinear chain, VMEM-resident working set ---------
 M = 1 << 20  # 4 MB working set stays in VMEM across the unrolled chain
 K = 256
-V_ITERS = 50
+V_ITERS = 400   # long enough that the ~20 ms tunnel fetch latency is noise
 
 
 @jax.jit
@@ -74,7 +79,7 @@ def fma_chain(x):
         for _ in range(K):
             y = y * 0.999999 + y * y * 1e-9   # 3 flops, non-affine
         return y
-    return jax.lax.fori_loop(0, V_ITERS, it, x)
+    return jax.lax.fori_loop(0, V_ITERS, it, x)[::1 << 16].sum()
 
 
 t = best_time(fma_chain,
@@ -85,7 +90,7 @@ print(f"VPU f32 chain: {vpu_tflops:.2f} TFLOP/s  ({t*1e3:.2f} ms)",
 
 # ---- 3. MXU bf16 peak: chained matmuls on full-rank operands -------------
 D = 4096
-MM_ITERS = 20
+MM_ITERS = 40
 
 
 @jax.jit
@@ -95,7 +100,7 @@ def mm(ab):
     def it(i, x):
         return ((x + i.astype(jnp.bfloat16) * 1e-3) @ b) * jnp.bfloat16(
             1.0 / D)
-    return jax.lax.fori_loop(0, MM_ITERS, it, a)
+    return jax.lax.fori_loop(0, MM_ITERS, it, a).astype(jnp.float32)[::64, ::64].sum()
 
 
 def mk(r):
@@ -148,7 +153,8 @@ def mega_loop(seed):
     o = jnp.ones((LANES_N,), jnp.float32)
     st = ((z, z, z, z, z, o, z), (z, z, z), (o, o, o),
           jnp.ones((LANES_N,), bool))
-    return jax.lax.fori_loop(0, ITERS, it, st)
+    st = jax.lax.fori_loop(0, ITERS, it, st)
+    return st[1][0][:: 1 << 12].sum()
 
 
 t = best_time(jax.jit(mega_loop), lambda r: jnp.int32(r), reps=3)
