@@ -1036,7 +1036,18 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
     init_sample = jnp.where(lane_ids < n_pix,
                             sample_offset - 1, last_sample + 1)
 
-    _CELL = 8  # origin-quantization cells per axis
+    _CELL = 64  # origin-quantization cells per axis (fine: the scene
+    #             bbox includes ground planes etc. far larger than the
+    #             mesh, and a coarse grid put every mesh-surface origin
+    #             in one cell, leaving only the octant to separate rays)
+
+    def _spread3(x):
+        # interleave 6 bits to every 3rd position (3-D Morton spread)
+        x = (x | (x << 16)) & jnp.int32(0x030000FF)
+        x = (x | (x << 8)) & jnp.int32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.int32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.int32(0x09249249)
+        return x
 
     def sort_perm(comps, alive, lane_pixel):
         ox, oy, oz, dx, dy, dz, _ = comps
@@ -1046,11 +1057,21 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
         q = lambda o, k: jnp.clip(((o - blo[k]) * binv[k]
                                    * _CELL).astype(jnp.int32),
                                   0, _CELL - 1)
-        cell = (q(ox, 0) * _CELL + q(oy, 1)) * _CELL + q(oz, 2)
+        cell = (_spread3(q(ox, 0)) | (_spread3(q(oy, 1)) << 1)
+                | (_spread3(q(oz, 2)) << 2))
         live_key = oct_ * (_CELL ** 3) + cell
-        # dead lanes group by pixel neighborhood: their NEXT ray is the
-        # camera ray of their pixel, so image-adjacent is ray-adjacent
-        dead_key = (1 << 14) + (lane_pixel >> 4)
+        # dead lanes: their NEXT ray is the camera ray of their pixel,
+        # and camera origins sit OUTSIDE the scene bbox (one origin
+        # cell), so the live key cannot separate them.  Key them by the
+        # 8x128 screen-TILE rank of their pixel (same arithmetic as
+        # _tile_maps): a kernel row then covers a compact screen tile
+        # with a narrow frustum, not a full-width scanline strip.
+        i = lane_pixel % s.image_width
+        j = lane_pixel // s.image_width
+        n_tx = -(-s.image_width // 128)
+        tile_rank = (((j >> 3) * n_tx + (i >> 7)) << 10) \
+            + ((j & 7) << 7) + (i & 127)
+        dead_key = (1 << 25) + tile_rank   # strictly above every live key
         return jnp.argsort(jnp.where(alive, live_key, dead_key))
 
     def body(state):
