@@ -82,8 +82,11 @@ def main():
             acc, _ = render_accumulate(scene, s, seed=r + 1, spp=fwd_spp,
                                        spp_chunk=fwd_spp)
             # fetch a VALUE: the tunnel's block_until_ready can return
-            # before execution (CLAUDE.md benchmarking notes)
-            assert float(acc[0, 0]) >= 0.0
+            # before execution (CLAUDE.md benchmarking notes); must not
+            # be an assert — `python -O` would strip it
+            v = float(acc[0, 0])
+            if v != v:
+                raise RuntimeError("NaN in forward accumulator")
             best = min(best, time.time() - t0)
         return n_pix * fwd_spp / best
 
@@ -131,7 +134,9 @@ def main():
         for i in range(BWD_BATCHES):
             (loss, frac), grads = run_bwd(r * BWD_BATCHES + i)
         jax.block_until_ready(grads)
-        assert float(loss) == float(loss)   # value fetch (CLAUDE.md)
+        lv = float(loss)                    # value fetch (CLAUDE.md)
+        if lv != lv:
+            raise RuntimeError("NaN loss in fwd+bwd bench")
         dt = time.time() - t0
         log(f"fwd+bwd round {r}: {dt:.3f}s")
         best_dt = min(best_dt, dt)

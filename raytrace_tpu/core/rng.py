@@ -117,6 +117,12 @@ def uniform_block(keys, n: int, dtype=DTYPE):
         # parity + the test_rng batteries both hold on the half-words of
         # the full-avalanche mix).  RT_RNG_PAIR16=0 restores 24-bit
         # mantissas; RT_RNG_THREEFRY=1 the reference-quality stream.
+        # NOTE for consumers: with 16-bit resolution a draw is EXACTLY
+        # 0.0 with probability 2^-16 (~60 zero draws per 2^18-lane
+        # bounce) — never divide by a uniform or take log(u) without a
+        # clamp (volumes.py clamps; sqrt/compares are safe).  This fast
+        # path (default since round 2) also changes the default RNG
+        # stream: renders are not bit-identical to pre-pair16 versions.
         m = (n + 1) // 2
         cols = jnp.arange(m, dtype=jnp.uint32)
         h = _finalize2(k0 + cols * jnp.uint32(0x9E3779B9), k1)

@@ -1457,22 +1457,35 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
     body_r = jax.checkpoint(body) if remat else body
     if skip_done:
         k_skip = max(1, min(skip_chunk, n_iters))
-        n_outer = -(-n_iters // k_skip)
+        n_outer = n_iters // k_skip
+        k_rem = n_iters - n_outer * k_skip
 
         # Skip k_skip iterations at once when every lane is done: the
         # untaken cond branch is genuinely not executed (forward OR
         # backward), and the per-cond state-copy overhead amortizes
-        # over the chunk.
-        def chunk(st):
-            st, _ = jax.lax.scan(lambda s2, _: (body_r(s2), None), st,
-                                 None, length=k_skip)
-            return st
+        # over the chunk.  A final short chunk of k_rem iterations keeps
+        # the total EXACTLY n_iters, so skip_done is a pure semantic
+        # no-op vs skip_done=False even when samples don't all complete.
+        def make_chunk(k):
+            def chunk(st):
+                st, _ = jax.lax.scan(lambda s2, _: (body_r(s2), None),
+                                     st, None, length=k)
+                return st
+            return chunk
 
-        def stepped(st, _):
-            go = jnp.any(st[5]) | jnp.any(st[6] < last_sample)
-            return jax.lax.cond(go, chunk, lambda s_: s_, st), None
+        def make_stepped(k):
+            chunk = make_chunk(k)
 
-        state, _ = jax.lax.scan(stepped, state, None, length=n_outer)
+            def stepped(st, _):
+                go = jnp.any(st[5]) | jnp.any(st[6] < last_sample)
+                return jax.lax.cond(go, chunk, lambda s_: s_, st), None
+            return stepped
+
+        if n_outer:
+            state, _ = jax.lax.scan(make_stepped(k_skip), state, None,
+                                    length=n_outer)
+        if k_rem:
+            state, _ = make_stepped(k_rem)(state, None)
     else:
         state, _ = jax.lax.scan(lambda st, _: (body_r(st), None), state,
                                 None, length=n_iters)

@@ -58,12 +58,25 @@ def _parse_face_vertex(tok: str, n_vs: int, n_vts: int, line_no: int):
     return vi, ti
 
 
+_NATIVE_UNSAFE = set("\x00\f\v\x1c\x1d\x1e")
+
+
+def _native_safe(text: str) -> bool:
+    """True when the native parser is guaranteed to agree with the Python
+    one: ASCII without exotic separators.  Outside that set the two can
+    diverge (Python's splitlines/str.split treat \\f, \\v, \\x1c-\\x1e,
+    NBSP, U+2028/9 etc. as separators; C does not, and an embedded NUL
+    truncates a C token) — such inputs take the Python parser."""
+    return text.isascii() and not (_NATIVE_UNSAFE & set(text))
+
+
 def parse_obj(text: str, native: bool | None = None) -> Mesh:
     """Parse .obj text.  ``native=None`` uses the C++ parser
     (native/objparse.cpp — same grammar, ~11x faster on mesh-scale
-    files) when it is available, else the Python implementation below;
-    True/False force the choice (tests assert both agree)."""
-    if native is not False:
+    files) when it is available and the input is plain printable ASCII,
+    else the Python implementation below; True/False force the choice
+    (tests assert both agree)."""
+    if native is not False and (native is True or _native_safe(text)):
         mesh = _parse_obj_native(text, required=native is True)
         if mesh is not None:
             return mesh

@@ -268,6 +268,20 @@ def test_wavefront_diff_skip_done_matches_and_completes():
     (l2, f2), g2 = vg(params, statics, s, key, pix, target, spp=16,
                       n_iters=16 * 6 + 2, skip_done=True)
     assert float(f2) == 1.0
+    # and at an n_iters where samples do NOT all complete and which is
+    # not a multiple of skip_chunk, skip_done must run EXACTLY n_iters
+    # (final short chunk), not round up — loss/grads must still match
+    (l3, f3), g3 = vg(params, statics, s, key, pix, target, spp=16,
+                      n_iters=21, skip_done=False)
+    (l4, f4), g4 = vg(params, statics, s, key, pix, target, spp=16,
+                      n_iters=21, skip_done=True)
+    assert float(f3) < 1.0, "case must exercise the incomplete path"
+    assert float(f3) == float(f4)
+    np.testing.assert_allclose(float(l3), float(l4), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g3),
+                    jax.tree_util.tree_leaves(g4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
 
 
 def test_wavefront_diff_balanced_matches_unbalanced():

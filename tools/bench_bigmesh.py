@@ -97,13 +97,15 @@ def main():
 
     n_pix = settings.image_width * settings.image_height
     acc, _ = render_accumulate(scene, settings, seed=0, spp=args.spp)
-    acc.block_until_ready()
+    _ = float(acc[0, 0])
     best = float("inf")
     for r in range(3):
         t0 = time.time()
         acc, _ = render_accumulate(scene, settings, seed=r + 1,
                                    spp=args.spp)
-        acc.block_until_ready()
+        # end the timed region by FETCHING a value — block_until_ready can
+        # return before execution on the tunnel (CLAUDE.md)
+        _ = float(acc[0, 0])
         best = min(best, time.time() - t0)
     rays_s = n_pix * args.spp / best
     img = np.asarray(acc / args.spp).reshape(settings.image_height,

@@ -68,11 +68,18 @@ for nd in sizes:
     mesh = Mesh(np.asarray(jax.devices()[:nd]).reshape(nd, 1), ("dp", "sp"))
     fn = sharded_wavefront_render_fn(mesh, n_pix, args.spp)
     acc = fn(scene, settings, key)
-    acc.block_until_ready()
-    t0 = time.time()
-    acc = fn(scene, settings, key)
-    acc.block_until_ready()
-    dt = time.time() - t0
+    _ = float(acc[0, 0])
+    best = float("inf")
+    for r in range(3):
+        # vary the key per rep (identical (program, inputs) repeats can
+        # come back implausibly fast on the tunnel) and end the timed
+        # region with a value FETCH, not block_until_ready (CLAUDE.md)
+        k = rng.base_key(r + 1)
+        t0 = time.time()
+        acc = fn(scene, settings, k)
+        _ = float(acc[0, 0])
+        best = min(best, time.time() - t0)
+    dt = best
     rays_s = n_pix * args.spp / dt
     results[nd] = rays_s
     base = results[sizes[0]]

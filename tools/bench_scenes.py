@@ -46,10 +46,12 @@ n_pix = settings.image_width * settings.image_height
 # compiles a different rotate_k/chunk program, so the timed first full-spp
 # call would pay compile-cache deserialization — measured +7 s on demo2).
 acc, _ = render_accumulate(scene, settings, seed=0, spp={spp})
-acc.block_until_ready()
+_ = float(acc[0, 0])
 t0 = time.time()
 acc, _ = render_accumulate(scene, settings, seed=1, spp={spp})
-acc.block_until_ready()
+# end the timed region by FETCHING a value — block_until_ready can return
+# before execution on the tunnel (CLAUDE.md)
+_ = float(acc[0, 0])
 dt = time.time() - t0
 print("RESULT " + json.dumps(dict(wall_s=dt, rays_per_s=n_pix * {spp} / dt)))
 """
