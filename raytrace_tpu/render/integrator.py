@@ -926,16 +926,22 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
             acc_g = acc_g + rad[1] * died_f
             acc_b = acc_b + rad[2] * died_f
         else:
-            # lane l's chunk-c contribution belongs to slot
-            # (l + c*stride) % lanes.  Accumulate per-chunk (masked
-            # selects only) and roll each chunk accumulator ONCE after
-            # the loop — k rolls total instead of k rolls per iteration
-            # (a roll moves the whole array through HBM; a select fuses).
+            # lane l's chunk-c contribution lands at slot
+            # (l + c*stride) % lanes — a fixed shift per chunk c: k
+            # masked ROLLS per iteration.  Round 2 replaced these with
+            # [k, lanes] per-chunk accumulators (.at[cc].add) claiming
+            # rolls pay HBM traffic per iteration; honest value-fetch
+            # timing shows the opposite on the chip — rolls 99.1M
+            # rays/s vs 56.6M roll-free at rotate_k=8 on the Cornell
+            # forward bench (the roll-free "101M" was measured before
+            # the value-fetch discipline and was inflated).  The diff
+            # wavefront keeps per-chunk accumulators: under scan AD
+            # they measured 25% faster there.
             for cc in range(k_rot):
                 m = died_f * jnp.where(rot_c == cc, 1.0, 0.0)
-                acc_r = acc_r.at[cc].add(rad[0] * m)
-                acc_g = acc_g.at[cc].add(rad[1] * m)
-                acc_b = acc_b.at[cc].add(rad[2] * m)
+                acc_r = acc_r + jnp.roll(rad[0] * m, cc * stride)
+                acc_g = acc_g + jnp.roll(rad[1] * m, cc * stride)
+                acc_b = acc_b + jnp.roll(rad[2] * m, cc * stride)
 
         segments = segments + jnp.sum((alive | died).astype(jnp.int32))
         return (acc_r, acc_g, acc_b, comps, rad, thr, alive, sample, depth,
@@ -948,11 +954,10 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
 
     z1 = jnp.zeros((lanes,), DTYPE)
     o1 = jnp.ones((lanes,), DTYPE)
-    za = z1 if k_rot == 1 else jnp.zeros((k_rot, lanes), DTYPE)
     init_keys = rng.ray_keys_fast(base_key, jnp.zeros(lanes, jnp.int32),
                                   jnp.zeros(lanes, jnp.int32))
     state = (
-        za, za, za,
+        z1, z1, z1,
         (z1, z1, z1, z1, z1, o1, z1),
         (z1, z1, z1), (o1, o1, o1),
         jnp.zeros((lanes,), bool), init_sample.astype(jnp.int32),
@@ -960,13 +965,7 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
     )
     state = jax.lax.while_loop(cond, body, state)
-    if k_rot == 1:
-        accs = state[0:3]
-    else:
-        # chunk accumulators -> lane slots: one roll per chunk, post-loop
-        accs = tuple(
-            sum(jnp.roll(a[cc], cc * stride) for cc in range(k_rot))
-            for a in state[0:3])
+    accs = state[0:3]
     if use_tiles:
         # lane order -> pixel order: one gather per launch
         contrib = jnp.stack(accs, axis=-1)[tile_p2l]
