@@ -153,9 +153,6 @@ def _kernel(ptbl, ctbl, gtbl, mtbl, ttbl,
             two_level: bool = False):
     oxv, oyv, ozv = ox[...], oy[...], oz[...]
     dxv, dyv, dzv = dx[...], dy[...], dz[...]
-    trv, tgv, tbv = tr[...], tg[...], tb[...]
-    alive = al[...] > 0.5
-    u_all = un[...]                       # (N_U, BG, 128)
 
     # ---- 1. nearest hit + record (shared prim loop) ----
     hit_res = prim_loop(
@@ -165,6 +162,26 @@ def _kernel(ptbl, ctbl, gtbl, mtbl, ttbl,
         ctbl_ref=ctbl, with_albedo=use_prim_albedo, has_box=has_box,
         segments=segments, kinds=kinds,
         gtbl_ref=gtbl if two_level else None)
+    _shade(hit_res, mtbl, ttbl, oxv, oyv, ozv, dxv, dyv, dzv,
+           tr, tg, tb, al, un,
+           ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tr_o, tg_o, tb_o,
+           rr_o, rg_o, rb_o, al_o, ms_o, pi_o,
+           n_mats=n_mats, n_targets=n_targets,
+           use_prim_albedo=use_prim_albedo)
+
+
+def _shade(hit_res, mtbl, ttbl, oxv, oyv, ozv, dxv, dyv, dzv,
+           tr, tg, tb, al, un,
+           ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tr_o, tg_o, tb_o,
+           rr_o, rg_o, rb_o, al_o, ms_o, pi_o,
+           *, n_mats: int, n_targets: int,
+           use_prim_albedo: bool = False):
+    """Material/texture/emission/scatter/MIS stage of the bounce
+    megakernel, shared by the consensus and visit-list intersect
+    variants (takes the prim_loop result tuple)."""
+    trv, tgv, tbv = tr[...], tg[...], tb[...]
+    alive = al[...] > 0.5
+    u_all = un[...]                       # (N_U, BG, 128)
     (t, bi, nx, ny, nz, fr_f, uu, vv, mat_f, sph_f) = hit_res[:10]
 
     hit = t < jnp.float32(jnp.inf)
@@ -497,3 +514,110 @@ def bounce_megakernel(ptbl, ctbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
         interpret=interpret,
     )(ctbl, gtbl, mtbl, ttbl, ptbl, ox, oy, oz, dx, dy, dz, tm, tr, tg,
       tb, al, uniforms)
+
+
+def _culled_kernel(ids, nvis, tent, mtbl, ttbl, ptbl,
+                   ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, al, un,
+                   ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tr_o, tg_o, tb_o,
+                   rr_o, rg_o, rb_o, al_o, ms_o, pi_o, np_o,
+                   scratch, sems,
+                   *, n_clusters: int, n_mats: int, n_targets: int,
+                   t_min: float, has_motion: bool,
+                   use_prim_albedo: bool = False, has_box: bool = False,
+                   segments=None):
+    from .intersect_kernel import _prim_loop_visited
+    oxv, oyv, ozv = ox[...], oy[...], oz[...]
+    dxv, dyv, dzv = dx[...], dy[...], dz[...]
+    hit_res = _prim_loop_visited(
+        ptbl, ids, nvis, tent, scratch, sems,
+        oxv, oyv, ozv, dxv, dyv, dzv,
+        tm[...] if has_motion else None,
+        n_clusters=n_clusters, t_min=t_min, has_motion=has_motion,
+        with_albedo=use_prim_albedo, has_box=has_box, segments=segments,
+        stream=True)
+    np_o[0, 0, 0] = hit_res[-1]
+    _shade(hit_res[:-1], mtbl, ttbl, oxv, oyv, ozv, dxv, dyv, dzv,
+           tr, tg, tb, al, un,
+           ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tr_o, tg_o, tb_o,
+           rr_o, rg_o, rb_o, al_o, ms_o, pi_o,
+           n_mats=n_mats, n_targets=n_targets,
+           use_prim_albedo=use_prim_albedo)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_prims", "n_mats", "n_targets", "t_min",
+                     "has_motion", "use_prim_albedo", "has_box",
+                     "segments", "block_g", "interpret"))
+def bounce_megakernel_culled(ptbl, ids, nvis, tent, mtbl, ttbl,
+                             ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, al,
+                             uniforms, *, n_prims: int, n_mats: int,
+                             n_targets: int, t_min: float,
+                             has_motion: bool,
+                             use_prim_albedo: bool = False,
+                             has_box: bool = False, segments=None,
+                             block_g: int | None = None,
+                             interpret: bool = False):
+    """Visit-list streamed variant of :func:`bounce_megakernel`: the
+    intersect stage walks the ops/cull.py per-block cluster lists with
+    the primitive table streamed from HBM (see intersect_kernel
+    _prim_loop_visited) — unbounded table size, and bounced mesh-scale
+    wavefronts skip unreachable clusters.  Same 15 outputs plus a
+    16th [B, 1] per-block processed-cluster counter."""
+    from .intersect_kernel import BLOCK_G_CLUSTERED, CLUSTER, N_COLS
+    g = ox.shape[0]
+    bg = BLOCK_G_CLUSTERED if block_g is None else block_g
+    if g % bg:
+        raise ValueError(f"G={g} must be a multiple of {bg}")
+    from .intersect_kernel import _pad_table_for_dma
+    n_clusters = -(-n_prims // CLUSTER)
+    ptbl = _pad_table_for_dma(ptbl, n_clusters)
+    grid = (g // bg,)
+    kw = ids.shape[1]
+    n_seg = nvis.shape[1]
+    ray_spec = pl.BlockSpec((bg, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    uni_spec = pl.BlockSpec((N_U, bg, LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((bg, LANES), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] * 15 + [
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM)]
+    out_shape = [jax.ShapeDtypeStruct((g, LANES), jnp.float32)] * 15 + [
+        jax.ShapeDtypeStruct((g // bg, 1, 1), jnp.int32)]
+    # SMEM tables ride as [B, 1, W] (see intersect_kernel: the TPU
+    # block-shape rule wants the last two dims equal to the array's)
+    ids = ids[:, None, :]
+    nvis = nvis[:, None, :]
+    tent = tent[:, None, :]
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+    mt_spec = pl.BlockSpec(mtbl.shape, lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
+    tt_spec = pl.BlockSpec(ttbl.shape, lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
+    in_specs = [
+        smem((1, 1, kw)),                         # ids
+        smem((1, 1, n_seg)),                      # nvis
+        smem((1, 1, kw)),                         # tent
+        mt_spec, tt_spec,
+        pl.BlockSpec(memory_space=pltpu.HBM),     # prim table stays in HBM
+    ] + [ray_spec] * 11 + [uni_spec]
+    kernel = functools.partial(
+        _culled_kernel, n_clusters=n_clusters, n_mats=n_mats,
+        n_targets=n_targets, t_min=t_min, has_motion=has_motion,
+        use_prim_albedo=use_prim_albedo, has_box=has_box,
+        segments=segments)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2 * CLUSTER, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(ids, nvis, tent, mtbl, ttbl, ptbl, ox, oy, oz, dx, dy, dz, tm,
+      tr, tg, tb, al, uniforms)

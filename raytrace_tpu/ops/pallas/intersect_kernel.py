@@ -1143,18 +1143,51 @@ def _prim_loop_visited(tbl_hbm, ids_ref, nvis_ref, tent_ref, scratch,
             scratch.at[pl.ds(slot * CLUSTER, CLUSTER), :],
             sems.at[slot])
 
-    def seg_sweep(si, k0, visit_cluster, carry, pred):
+    def seg_sweep(si, k0, visit_cluster, carry, pred, chunk: int = 1):
         """Shared phase driver: walk segment ``si``'s list while
         ``pred(j, carry)`` holds, double-buffering cluster DMAs.
         ``visit_cluster(carry, base, slot) -> carry`` does the work for
         the cluster whose rows sit at scratch slot ``slot`` (stream) or
-        at rows [base, base+CLUSTER) of the VMEM table."""
-        nv = nvis_ref[0, si]
+        at rows [base, base+CLUSTER) of the VMEM table.
+
+        ``chunk > 1`` amortizes the (vector-reduction) ``pred`` over
+        ``chunk`` clusters: a bulk while-loop steps ``chunk`` at a time
+        while a full chunk remains, then a per-cluster loop finishes the
+        tail.  The DMA pipeline invariant (the copy for index j has been
+        started iff j < nv) holds across both loops, so the final drain
+        is shared."""
+        nv = nvis_ref[0, 0, si]
 
         if stream:
             @pl.when(nv > 0)
             def _():
-                get_dma(0, ids_ref[0, k0]).start()
+                get_dma(0, ids_ref[0, 0, k0]).start()
+
+        def one(j, carry):
+            if stream:
+                @pl.when(j + 1 < nv)
+                def _():
+                    get_dma((j + 1) % 2, ids_ref[0, 0, k0 + j + 1]).start()
+                get_dma(j % 2, ids_ref[0, 0, k0 + j]).wait()
+                slot = j % 2
+            else:
+                slot = None
+            base = ids_ref[0, 0, k0 + j] * CLUSTER
+            return visit_cluster(carry, base, slot)
+
+        state = (jnp.zeros((), jnp.int32), carry)
+        if chunk > 1:
+            def bulk_cond(c):
+                j = c[0]
+                return (j + chunk <= nv) & pred(j, c[1])
+
+            def bulk_body(c):
+                j, carry = c
+                for i in range(chunk):
+                    carry = one(j + i, carry)
+                return j + chunk, carry
+
+            state = jax.lax.while_loop(bulk_cond, bulk_body, state)
 
         def cond(c):
             j = c[0]
@@ -1162,26 +1195,16 @@ def _prim_loop_visited(tbl_hbm, ids_ref, nvis_ref, tent_ref, scratch,
 
         def body(c):
             j, carry = c
-            if stream:
-                @pl.when(j + 1 < nv)
-                def _():
-                    get_dma((j + 1) % 2, ids_ref[0, k0 + j + 1]).start()
-                get_dma(j % 2, ids_ref[0, k0 + j]).wait()
-                slot = j % 2
-            else:
-                slot = None
-            base = ids_ref[0, k0 + j] * CLUSTER
-            return j + 1, visit_cluster(carry, base, slot)
+            return j + 1, one(j, carry)
 
-        j_end, carry = jax.lax.while_loop(
-            cond, body, (jnp.zeros((), jnp.int32), carry))
+        j_end, carry = jax.lax.while_loop(cond, body, state)
         if stream:
             # drain: an early exit (pred went false) leaves the DMA for
             # j_end in flight — started by the warm-up (j_end == 0) or
             # when j_end-1 was processed.  It was started iff j_end < nv.
             @pl.when(j_end < nv)
             def _():
-                get_dma(j_end % 2, ids_ref[0, k0 + j_end]).wait()
+                get_dma(j_end % 2, ids_ref[0, 0, k0 + j_end]).wait()
         return j_end, carry
 
     # ---- phase 1: winning (t, prim index) ----
@@ -1204,8 +1227,9 @@ def _prim_loop_visited(tbl_hbm, ids_ref, nvis_ref, tent_ref, scratch,
              jnp.full(shp, -1.0, jnp.float32))
     n_processed = jnp.zeros((), jnp.int32)
     for si, (mode, k0, _) in enumerate(segments):
-        pred = lambda j, c, k0=k0: jnp.max(c[0]) >= tent_ref[0, k0 + j]
-        j_end, carry = seg_sweep(si, k0, visit1_for(mode), carry, pred)
+        pred = lambda j, c, k0=k0: jnp.max(c[0]) >= tent_ref[0, 0, k0 + j]
+        j_end, carry = seg_sweep(si, k0, visit1_for(mode), carry, pred,
+                                 chunk=4)
         n_processed = n_processed + j_end
     bt, bi = carry
 
@@ -1229,8 +1253,8 @@ def _prim_loop_visited(tbl_hbm, ids_ref, nvis_ref, tent_ref, scratch,
 
     def visit2_for(mode):
         def visit2(carry, base, slot):
-            attrs, pending = carry
-            base_f = base.astype(jnp.float32)
+            attrs, pending = carry           # pending: f32 mask (Mosaic
+            base_f = base.astype(jnp.float32)  # can't carry i1 vectors)
             in_cl = (bi >= base_f) & (bi < base_f + jnp.float32(CLUSTER))
 
             def work(attrs):
@@ -1261,7 +1285,7 @@ def _prim_loop_visited(tbl_hbm, ids_ref, nvis_ref, tent_ref, scratch,
                 return jax.lax.fori_loop(base, base + CLUSTER, prim, attrs)
 
             attrs = jax.lax.cond(jnp.any(in_cl), work, lambda a: a, attrs)
-            return attrs, pending & ~in_cl
+            return attrs, pending * jnp.where(in_cl, 0.0, 1.0)
         return visit2
 
     # phase-2 early exit: a segment's sweep stops once every lane whose
@@ -1269,11 +1293,12 @@ def _prim_loop_visited(tbl_hbm, ids_ref, nvis_ref, tent_ref, scratch,
     # (lanes with no winner, bi < 0, start cleared)
     attrs = attrs0
     for si, (mode, k0, k1) in enumerate(segments):
-        pending = ((bi >= jnp.float32(k0 * CLUSTER))
-                   & (bi < jnp.float32(k1 * CLUSTER)))
+        pending = jnp.where(
+            (bi >= jnp.float32(k0 * CLUSTER))
+            & (bi < jnp.float32(k1 * CLUSTER)), 1.0, 0.0)
         _, (attrs, _) = seg_sweep(
             si, k0, visit2_for(mode), (attrs, pending),
-            lambda j, c: jnp.any(c[1]))
+            lambda j, c: jnp.any(c[1] > 0.0))
     (cnx, cny, cnz, cfr, cu, cv, cm, csp) = attrs[:8]
 
     flip = jnp.where(cfr > 0.5, 1.0, -1.0)
@@ -1281,18 +1306,29 @@ def _prim_loop_visited(tbl_hbm, ids_ref, nvis_ref, tent_ref, scratch,
             csp) + attrs[8:] + (n_processed,)
 
 
+def _pad_table_for_dma(tbl, n_clusters: int, cols: int = 128):
+    """Pad a pack_prims table to [n_clusters * CLUSTER, cols]: row
+    slices cover whole clusters, and the streamed (DMA) path needs the
+    minor dim 128-aligned (Mosaic HBM slice rule; the VMEM-resident
+    path keeps cols = N_COLS).  Pad rows carry kind = -1 (never hit)."""
+    rows = n_clusters * CLUSTER
+    out = jnp.zeros((rows, cols), jnp.float32)
+    out = out.at[:, 16].set(-1.0)
+    return out.at[:tbl.shape[0], :tbl.shape[1]].set(tbl)
+
+
 def _culled_kernel(ids, nvis, tent, tbl, ox, oy, oz, dx, dy, dz, tm,
                    t_out, i_out, nx_out, ny_out, nz_out, fr_out, u_out,
-                   v_out, m_out, np_out, scratch, sems, *, n_clusters: int,
-                   t_min: float, has_motion: bool, has_box: bool,
-                   segments, stream: bool):
+                   v_out, m_out, np_out, scratch, sems, *,
+                   n_clusters: int, t_min: float, has_motion: bool,
+                   has_box: bool, segments, stream: bool = True):
     (bt, bi, nx, ny, nz, cfr, cu, cv, cm, csp, n_proc) = _prim_loop_visited(
         tbl, ids, nvis, tent, scratch, sems,
         ox[...], oy[...], oz[...], dx[...], dy[...], dz[...],
         tm[...] if has_motion else None,
         n_clusters=n_clusters, t_min=t_min, has_motion=has_motion,
         has_box=has_box, segments=segments, stream=stream)
-    np_out[0, 0] = n_proc
+    np_out[0, 0, 0] = n_proc
     t_out[...] = bt
     fr_out[...] = ((cfr > 0.5).astype(jnp.int32)
                    + 2 * (csp > 0.5).astype(jnp.int32))
@@ -1308,11 +1344,12 @@ def _culled_kernel(ids, nvis, tent, tbl, ox, oy, oz, dx, dy, dz, tm,
 @functools.partial(
     jax.jit,
     static_argnames=("n_prims", "t_min", "has_motion", "has_box",
-                     "segments", "block_g", "interpret"))
+                     "segments", "block_g", "stream", "interpret"))
 def pallas_nearest_record_culled(tbl, ids, nvis, tent, ox, oy, oz, dx, dy,
                                  dz, tm, *, n_prims: int, t_min: float,
                                  has_motion: bool, has_box: bool = False,
                                  segments=None, block_g: int | None = None,
+                                 stream: bool | None = None,
                                  interpret: bool = False):
     """Visit-list streamed nearest hit (see :func:`_prim_loop_visited`).
 
@@ -1330,11 +1367,14 @@ def pallas_nearest_record_culled(tbl, ids, nvis, tent, ox, oy, oz, dx, dy,
     if g % bg:
         raise ValueError(f"G={g} must be a multiple of {bg}")
     n_clusters = -(-n_prims // CLUSTER)
-    pad_rows = n_clusters * CLUSTER - tbl.shape[0]
-    if pad_rows > 0:
-        pad = jnp.zeros((pad_rows, N_COLS), jnp.float32)
-        pad = pad.at[:, 16].set(-1.0)        # kind = -1: never hits
-        tbl = jnp.concatenate([tbl, pad], axis=0)
+    if stream is None:
+        # default: stream always — the whole-table VMEM variant gets
+        # double-buffered by the pallas pipeline (2x table VMEM) and
+        # OOMs scoped VMEM at mesh scale; the DMA path's working set is
+        # 2 clusters regardless of table size
+        stream = True
+    tbl = _pad_table_for_dma(tbl, n_clusters,
+                             cols=128 if stream else N_COLS)
     grid = (g // bg,)
     kw = ids.shape[1]
     n_seg = nvis.shape[1]
@@ -1342,7 +1382,8 @@ def pallas_nearest_record_culled(tbl, ids, nvis, tent, ox, oy, oz, dx, dy,
                             memory_space=pltpu.VMEM)
     out_specs = [pl.BlockSpec((bg, LANES), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)] * 9 + [
-        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)]
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM)]
     f32 = jnp.float32
     i32 = jnp.int32
     out_shape = [
@@ -1355,19 +1396,29 @@ def pallas_nearest_record_culled(tbl, ids, nvis, tent, ox, oy, oz, dx, dy,
         jax.ShapeDtypeStruct((g, LANES), f32),   # u
         jax.ShapeDtypeStruct((g, LANES), f32),   # v
         jax.ShapeDtypeStruct((g, LANES), i32),   # mat
-        jax.ShapeDtypeStruct((g // bg, 1), i32), # clusters processed
+        jax.ShapeDtypeStruct((g // bg, 1, 1), i32),  # clusters processed
     ]
+    # SMEM tables ride as [B, 1, W] so the per-block (1, 1, W) block
+    # satisfies the TPU block-shape rule (last two dims equal the
+    # array's)
+    ids = ids[:, None, :]
+    nvis = nvis[:, None, :]
+    tent = tent[:, None, :]
     in_specs = [
-        pl.BlockSpec((1, kw), lambda i: (i, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, n_seg), lambda i: (i, 0),
+        pl.BlockSpec((1, 1, kw), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, kw), lambda i: (i, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pl.ANY),        # prim table (HBM)
+        pl.BlockSpec((1, 1, n_seg), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, kw), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM),     # prim table stays in HBM
     ] + [ray_spec] * 7
+    if not stream:
+        in_specs[3] = pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _culled_kernel, n_clusters=n_clusters, t_min=t_min,
         has_motion=has_motion, has_box=has_box, segments=segments,
-        stream=True)
+        stream=stream)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -1375,7 +1426,7 @@ def pallas_nearest_record_culled(tbl, ids, nvis, tent, ox, oy, oz, dx, dy,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2 * CLUSTER, N_COLS), jnp.float32),
+            pltpu.VMEM((2 * CLUSTER, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -478,17 +478,24 @@ def bounce_kernel_eligible(scene: Scene, s: CameraSettings,
 
 def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
                     rad, thr, alive, interpret: bool = False,
-                    with_idx: bool = False):
+                    with_idx: bool = False, culled: bool = False,
+                    block_g: int | None = None):
     """Component-level megakernel call.
 
     ``comps`` = (ox, oy, oz, dx, dy, dz, time); ``rad``/``thr`` are
     (r, g, b) tuples — all 1-D [R] arrays (SoA: [R, 3] arrays tile
     catastrophically on TPU).  Returns (comps', rad', thr', alive', died),
     plus the winner prim index (i32, -1 on miss) when ``with_idx``.
+
+    ``culled=True`` runs the visit-list streamed intersect stage
+    (ops/cull.py prepass + HBM cluster DMA): the lane pool must be a
+    multiple of the kernel block (block_g * 128 lanes).  Meant for the
+    ray-binned driver (trace_wavefront_sorted), whose lane order makes
+    the per-block direction cones narrow.
     """
     from ..ops.pallas.bounce_kernel import (
-        N_U, bounce_megakernel, pack_behaviors, pack_materials, pack_prims,
-        pack_targets,
+        N_U, bounce_megakernel, bounce_megakernel_culled, pack_behaviors,
+        pack_materials, pack_prims, pack_targets,
     )
     from ..ops.pallas.intersect_kernel import pack_clusters
     from ..textures.textures import TEX_CONSTANT
@@ -517,17 +524,40 @@ def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
     ttbl = pack_targets(s.redirect_prob, s.redirect_q, s.redirect_u,
                         s.redirect_v)
     uk = uniforms[:, :N_U].T.reshape(N_U, g, 128)
-    outs = bounce_megakernel(
-        ptbl, ctbl, mtbl, ttbl,
-        *(resh(c) for c in comps),
-        resh(thr[0]), resh(thr[1]), resh(thr[2]),
-        resh(alive.astype(DTYPE)), uk,
-        n_prims=_n_scan_prims(scene.prims),
-        n_mats=n_mats, n_targets=s.n_redirect,
-        t_min=float(s.t_min), has_motion=scene.prims.has_motion,
-        use_prim_albedo=use_beh, has_box=scene.prims.has_box,
-        segments=scene.prims.kind_segments,
-        kinds=scene.prims.kinds_present, interpret=interpret)
+    if culled:
+        from ..ops.cull import visit_lists
+        from ..ops.pallas.intersect_kernel import (
+            BLOCK_G_CLUSTERED, CLUSTER, LANES,
+        )
+        bg_rows = BLOCK_G_CLUSTERED if block_g is None else block_g
+        n_prims = _n_scan_prims(scene.prims)
+        ids, nvis, tent = visit_lists(
+            ctbl, comps[0], comps[1], comps[2], comps[3], comps[4],
+            comps[5], block_lanes=bg_rows * LANES,
+            segments=scene.prims.kind_segments, t_min=float(s.t_min),
+            n_clusters=-(-n_prims // CLUSTER))
+        outs = bounce_megakernel_culled(
+            ptbl, ids, nvis, tent, mtbl, ttbl,
+            *(resh(c) for c in comps),
+            resh(thr[0]), resh(thr[1]), resh(thr[2]),
+            resh(alive.astype(DTYPE)), uk,
+            n_prims=n_prims, n_mats=n_mats, n_targets=s.n_redirect,
+            t_min=float(s.t_min), has_motion=scene.prims.has_motion,
+            use_prim_albedo=use_beh, has_box=scene.prims.has_box,
+            segments=scene.prims.kind_segments, block_g=block_g,
+            interpret=interpret)
+    else:
+        outs = bounce_megakernel(
+            ptbl, ctbl, mtbl, ttbl,
+            *(resh(c) for c in comps),
+            resh(thr[0]), resh(thr[1]), resh(thr[2]),
+            resh(alive.astype(DTYPE)), uk,
+            n_prims=_n_scan_prims(scene.prims),
+            n_mats=n_mats, n_targets=s.n_redirect,
+            t_min=float(s.t_min), has_motion=scene.prims.has_motion,
+            use_prim_albedo=use_beh, has_box=scene.prims.has_box,
+            segments=scene.prims.kind_segments,
+            kinds=scene.prims.kinds_present, interpret=interpret)
     fl = lambda x: x.reshape(r)
     new_comps = tuple(fl(outs[k]) for k in range(6)) + (comps[6],)
     thr_new = (fl(outs[6]), fl(outs[7]), fl(outs[8]))

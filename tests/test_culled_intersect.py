@@ -47,7 +47,7 @@ def _rays(n, seed, coherent=False):
             jnp.asarray(time, jnp.float32))
 
 
-def _run_culled(scene, o, d, time, t_min=1e-3):
+def _run_culled(scene, o, d, time, t_min=1e-3, stream=True):
     n = o.shape[0]
     g = n // LANES
     resh = lambda x: x.reshape(g, LANES)
@@ -66,7 +66,7 @@ def _run_culled(scene, o, d, time, t_min=1e-3):
         resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
         n_prims=n_prims, t_min=t_min,
         has_motion=scene.prims.has_motion, has_box=scene.prims.has_box,
-        segments=segs, block_g=BLOCK_G, interpret=True)
+        segments=segs, block_g=BLOCK_G, stream=stream, interpret=True)
     flat = lambda x: np.asarray(x).reshape(n)
     flags = flat(fr)
     front = (flags & 1).astype(bool)
@@ -154,9 +154,10 @@ def test_incoherent_matches_oracle():
     scene = _mesh_scene()
     o, d, time = _rays(1024, 2)
     ref = _run_oracle(scene, o, d, time)
-    pal, _ = _run_culled(scene, o, d, time)
     assert np.isfinite(ref["t"]).sum() > 100
-    _compare(ref, pal)
+    for stream in (True, False):   # HBM-streamed and VMEM-resident table
+        pal, _ = _run_culled(scene, o, d, time, stream=stream)
+        _compare(ref, pal)
 
 
 def test_coherent_culls_and_matches_oracle():

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--lon", type=int, default=160)
     ap.add_argument("--engines", default="culled,clustered")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--bg", type=int, default=None,
+                    help="kernel block rows for the culled engine")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -97,19 +99,23 @@ def main():
     print(f"tris={n_tris} rows={n_prims} clusters={n_clusters} "
           f"segments={segs}", file=sys.stderr, flush=True)
 
+    bg = args.bg or BLOCK_G_CLUSTERED
+
     def run_culled(a):
         ox, oy, oz, dx, dy, dz, tm = a
         ids, nvis, tent = visit_lists(
             ctbl, ox, oy, oz, dx, dy, dz,
-            block_lanes=BLOCK_G_CLUSTERED * LANES, segments=segs,
+            block_lanes=bg * LANES, segments=segs,
             t_min=float(settings.t_min), n_clusters=n_clusters)
         out = pallas_nearest_record_culled(
             tbl, ids, nvis, tent, resh(ox), resh(oy), resh(oz),
             resh(dx), resh(dy), resh(dz), resh(tm),
             n_prims=n_prims, t_min=float(settings.t_min),
-            has_motion=p.has_motion, has_box=p.has_box, segments=segs)
-        return (jnp.sum(jnp.where(jnp.isfinite(out[0]), out[0], 0.0)),
-                jnp.sum(out[9]))
+            has_motion=p.has_motion, has_box=p.has_box, segments=segs,
+            block_g=bg)
+        # return raw outputs: reduction consumers let XLA place the
+        # pallas outputs in VMEM and blow the scoped limit
+        return out[0], jnp.sum(out[9])
 
     def run_clustered(a):
         ox, oy, oz, dx, dy, dz, tm = a
@@ -119,8 +125,7 @@ def main():
             n_prims=n_prims, t_min=float(settings.t_min),
             has_motion=p.has_motion, has_box=p.has_box, segments=segs,
             kinds=p.kinds_present)
-        return (jnp.sum(jnp.where(jnp.isfinite(out[0]), out[0], 0.0)),
-                jnp.zeros((), jnp.int32))
+        return out[0], jnp.zeros((), jnp.int32)
 
     engines = {"culled": run_culled, "clustered": run_clustered}
     for name in args.engines.split(","):
@@ -128,15 +133,15 @@ def main():
         for label, a in (("coherent  ", (ox, oy, oz, dx, dy, dz, tm)),
                          ("incoherent", shuf), ("binned    ", binned)):
             s, nv = fn(a)
-            _ = float(s)
+            _ = float(s[0, 0])
             best = float("inf")
             for r in range(args.reps):
                 a2 = tuple(x + r * 1e-4 for x in a[:3]) + a[3:]
                 t0 = time.time()
                 s, nv = fn(a2)
-                _ = float(s)
+                _ = float(s[0, 0])
                 best = min(best, time.time() - t0)
-            extra = f"  clusters/block={float(nv)/ (g//BLOCK_G_CLUSTERED):.1f}" \
+            extra = f"  clusters/block={float(nv)/ (g//bg):.1f}" \
                 if name == "culled" else ""
             print(f"{name:10s} {label}: {best*1e3:7.2f} ms / 2^18 rays -> "
                   f"{R/best/1e6:6.2f}M rays/s{extra}", flush=True)
