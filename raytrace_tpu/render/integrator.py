@@ -125,7 +125,8 @@ def _henyey_greenstein(g, mu):
 
 
 def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
-                 use_pallas: bool, diff: bool = False):
+                 use_pallas: bool, diff: bool = False,
+                 culled: bool = False):
     """Nearest surface hit + record fields, via the Pallas megakernel when
     enabled (TPU, dense scene) or the XLA path otherwise.
 
@@ -181,7 +182,50 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
         use_allpairs = (scene.prims.kind_segments is not None
                         and MIN_PRIMS <= _n_scan_prims(scene.prims)
                         <= MAX_PRIMS)
-        if use_allpairs:
+        if culled and scene.prims.kind_segments is not None:
+            # visit-list engines (ray-binned driver): per-row cull
+            # prepass + t-ordered traversal.  Tables that fit VMEM take
+            # the broadcast kernel (prims on sublanes, MXU winner
+            # gather); bigger tables stream clusters from HBM through
+            # the scalar kernel — table size unbounded either way.
+            from ..ops.cull import visit_lists
+            from ..ops.pallas.allpairs_kernel import (
+                VISIT_W, visit_nearest_record,
+            )
+            from ..ops.pallas.intersect_kernel import (
+                BLOCK_G_CLUSTERED, CLUSTER, MAX_DENSE_PRIMS,
+                pallas_nearest_record_culled,
+            )
+            n_prims = _n_scan_prims(scene.prims)
+            use_bcast = n_prims <= MAX_DENSE_PRIMS
+            w = VISIT_W if use_bcast else BLOCK_G_CLUSTERED * 128
+            ids, nvis, tent = visit_lists(
+                pack_clusters(scene.prims), o[:, 0], o[:, 1], o[:, 2],
+                d[:, 0], d[:, 1], d[:, 2], block_lanes=w,
+                segments=scene.prims.kind_segments,
+                t_min=float(s.t_min), n_clusters=-(-n_prims // CLUSTER))
+            if use_bcast:
+                t, idx, nx, ny, nz, fr, uu, vv, mat, _ = \
+                    visit_nearest_record(
+                        tbl, ids, nvis, tent,
+                        resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
+                        resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]),
+                        resh(time),
+                        n_prims=n_prims, t_min=float(s.t_min),
+                        has_motion=scene.prims.has_motion,
+                        segments=scene.prims.kind_segments)
+            else:
+                t, idx, nx, ny, nz, fr, uu, vv, mat, _ = \
+                    pallas_nearest_record_culled(
+                        tbl, ids, nvis, tent,
+                        resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
+                        resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]),
+                        resh(time),
+                        n_prims=n_prims, t_min=float(s.t_min),
+                        has_motion=scene.prims.has_motion,
+                        has_box=scene.prims.has_box,
+                        segments=scene.prims.kind_segments)
+        elif use_allpairs:
             t, idx, nx, ny, nz, fr, uu, vv, mat = allpairs_nearest_record(
                 tbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
                 resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
@@ -234,7 +278,7 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
 
 def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
            radiance, throughput, alive, use_pallas: bool = False,
-           diff: bool = False, hit_override=None):
+           diff: bool = False, hit_override=None, culled: bool = False):
     """Advance every live lane by one bounce.
 
     ``uniforms[R, n_bounce_uniforms]`` supplies all randomness.  Returns
@@ -256,7 +300,7 @@ def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
         t_srf, idx, normal, front, uv, mat_id = hit_override
     else:
         t_srf, idx, normal, front, uv, mat_id = _surface_hit(
-            scene, s, o, d, time, use_pallas, diff=diff)
+            scene, s, o, d, time, use_pallas, diff=diff, culled=culled)
 
     if scene.volumes is not None:
         tmin = jnp.full((r,), s.t_min, DTYPE)
@@ -526,14 +570,13 @@ def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
     uk = uniforms[:, :N_U].T.reshape(N_U, g, 128)
     if culled:
         from ..ops.cull import visit_lists
-        from ..ops.pallas.intersect_kernel import (
-            BLOCK_G_CLUSTERED, CLUSTER, LANES,
-        )
-        bg_rows = BLOCK_G_CLUSTERED if block_g is None else block_g
+        from ..ops.pallas.allpairs_kernel import VISIT_W
+        from ..ops.pallas.intersect_kernel import CLUSTER
+        w = VISIT_W if block_g is None else block_g * 128
         n_prims = _n_scan_prims(scene.prims)
         ids, nvis, tent = visit_lists(
             ctbl, comps[0], comps[1], comps[2], comps[3], comps[4],
-            comps[5], block_lanes=bg_rows * LANES,
+            comps[5], block_lanes=w,
             segments=scene.prims.kind_segments, t_min=float(s.t_min),
             n_clusters=-(-n_prims // CLUSTER))
         outs = bounce_megakernel_culled(
@@ -544,8 +587,8 @@ def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
             n_prims=n_prims, n_mats=n_mats, n_targets=s.n_redirect,
             t_min=float(s.t_min), has_motion=scene.prims.has_motion,
             use_prim_albedo=use_beh, has_box=scene.prims.has_box,
-            segments=scene.prims.kind_segments, block_g=block_g,
-            interpret=interpret)
+            segments=scene.prims.kind_segments, w=w,
+            rg=2 if interpret else None, interpret=interpret)
     else:
         outs = bounce_megakernel(
             ptbl, ctbl, mtbl, ttbl,
@@ -1049,6 +1092,13 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
         acc = jnp.zeros((n_pix, 3), DTYPE)
     use_pallas = pallas_eligible(scene, lanes)
     use_mega = bounce_kernel_eligible(scene, s, lanes)
+    # the binned lane order is exactly what makes the visit-list culled
+    # engines' per-block cones narrow; engage them whenever the dense
+    # Pallas path serves a kind-segmented table and the lane pool is
+    # kernel-block aligned
+    from ..ops.pallas.intersect_kernel import BLOCK_G_CLUSTERED
+    use_culled = (use_pallas and scene.prims.kind_segments is not None
+                  and lanes % (BLOCK_G_CLUSTERED * LANE_ALIGN) == 0)
     last_sample = sample_offset + spp - 1
 
     # loose scene bbox for origin quantization (traced once per compile)
@@ -1144,14 +1194,15 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
 
         if use_mega:
             comps, rad, thr, alive, died = bounce_mega_soa(
-                scene, s, comps, uniforms, rad, thr, alive)
+                scene, s, comps, uniforms, rad, thr, alive,
+                culled=use_culled)
         else:
             o = jnp.stack(comps[0:3], axis=-1)
             d = jnp.stack(comps[3:6], axis=-1)
             o, d, radiance, throughput, alive, died = bounce(
                 scene, s, o, d, comps[6], uniforms,
                 jnp.stack(rad, axis=-1), jnp.stack(thr, axis=-1), alive,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas, culled=use_culled)
             comps = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
                      comps[6])
             rad = (radiance[:, 0], radiance[:, 1], radiance[:, 2])

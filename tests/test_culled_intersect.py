@@ -225,3 +225,69 @@ def test_cone_test_is_conservative():
             "despite an exact slab hit")
         # t_entry must lower-bound the exact slab entry
         assert (t_entry[blk[r], hit_k] <= tn[r, hit_k] + 1e-4).all()
+
+
+def _run_broadcast(scene, o, d, time, t_min=1e-3, w=512):
+    from raytrace_tpu.ops.pallas.allpairs_kernel import visit_nearest_record
+    n = o.shape[0]
+    g = n // LANES
+    resh = lambda x: x.reshape(g, LANES)
+    tbl = pack_prims(scene.prims)
+    ctbl = pack_clusters(scene.prims)
+    n_prims = scene.prims.kind.shape[0]
+    segs = scene.prims.kind_segments or ((None, 0, -(-n_prims // CLUSTER)),)
+    ids, nvis, tent = visit_lists(
+        ctbl, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+        block_lanes=w, segments=scene.prims.kind_segments, t_min=t_min,
+        n_clusters=-(-n_prims // CLUSTER))
+    out = visit_nearest_record(
+        tbl, ids, nvis, tent,
+        resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
+        resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
+        n_prims=n_prims, t_min=t_min,
+        has_motion=scene.prims.has_motion, segments=segs, w=w, rg=2,
+        interpret=True)
+    t, idx, nx, ny, nz, fr, uu, vv, mat, nproc = out
+    flat = lambda x: np.asarray(x).reshape(n)
+    flags = flat(fr)
+    front = (flags & 1).astype(bool)
+    is_sphere = (flags & 2) > 0
+    normal = np.stack([flat(nx), flat(ny), flat(nz)], -1)
+    outward = normal * np.where(front, 1.0, -1.0)[:, None]
+    su = np.arctan2(outward[:, 0], outward[:, 2]) / (2 * np.pi) + 0.5
+    sv = np.arccos(np.clip(-outward[:, 1], -1 + 1e-6, 1 - 1e-6)) / np.pi
+    uv = np.stack([np.where(is_sphere, su, flat(uu)),
+                   np.where(is_sphere, sv, flat(vv))], -1)
+    res = dict(t=flat(t), i=flat(idx), n=normal, f=front, uv=uv,
+               m=flat(mat))
+    return res, np.asarray(nproc).ravel()
+
+
+def test_broadcast_incoherent_matches_oracle():
+    """Visit-list broadcast kernel vs the XLA oracle (shuffled rays:
+    everything visited, pure mechanics)."""
+    scene = _mesh_scene()
+    o, d, time = _rays(1024, 2)
+    ref = _run_oracle(scene, o, d, time)
+    pal, _ = _run_broadcast(scene, o, d, time)
+    assert np.isfinite(ref["t"]).sum() > 100
+    _compare(ref, pal)
+
+
+def test_broadcast_coherent_culls_and_matches():
+    scene = _mesh_scene(n_spheres=1000)
+    o, d, time = _rays(1024, 3, coherent=True)
+    ref = _run_oracle(scene, o, d, time)
+    pal, nproc = _run_broadcast(scene, o, d, time)
+    _compare(ref, pal, t_rtol=5e-4)
+    n_clusters = -(-scene.prims.kind.shape[0] // CLUSTER)
+    assert nproc.max() < n_clusters
+
+
+def test_broadcast_segmented_matches():
+    scene = _segmented_scene()
+    for coherent in (False, True):
+        o, d, time = _rays(1024, 7 + coherent, coherent=coherent)
+        ref = _run_oracle(scene, o, d, time)
+        pal, _ = _run_broadcast(scene, o, d, time)
+        _compare(ref, pal)

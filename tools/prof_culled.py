@@ -117,6 +117,22 @@ def main():
         # pallas outputs in VMEM and blow the scoped limit
         return out[0], jnp.sum(out[9])
 
+    def run_broadcast(a):
+        from raytrace_tpu.ops.pallas.allpairs_kernel import (
+            VISIT_W, visit_nearest_record,
+        )
+        ox, oy, oz, dx, dy, dz, tm = a
+        ids, nvis, tent = visit_lists(
+            ctbl, ox, oy, oz, dx, dy, dz,
+            block_lanes=VISIT_W, segments=segs,
+            t_min=float(settings.t_min), n_clusters=n_clusters)
+        out = visit_nearest_record(
+            tbl, ids, nvis, tent, resh(ox), resh(oy), resh(oz),
+            resh(dx), resh(dy), resh(dz), resh(tm),
+            n_prims=n_prims, t_min=float(settings.t_min),
+            has_motion=p.has_motion, segments=segs)
+        return out[0], jnp.sum(out[9])
+
     def run_clustered(a):
         ox, oy, oz, dx, dy, dz, tm = a
         out = pallas_nearest_record(
@@ -127,7 +143,8 @@ def main():
             kinds=p.kinds_present)
         return out[0], jnp.zeros((), jnp.int32)
 
-    engines = {"culled": run_culled, "clustered": run_clustered}
+    engines = {"culled": run_culled, "clustered": run_clustered,
+               "broadcast": run_broadcast}
     for name in args.engines.split(","):
         fn = jax.jit(engines[name])
         for label, a in (("coherent  ", (ox, oy, oz, dx, dy, dz, tm)),
@@ -141,8 +158,13 @@ def main():
                 s, nv = fn(a2)
                 _ = float(s[0, 0])
                 best = min(best, time.time() - t0)
-            extra = f"  clusters/block={float(nv)/ (g//bg):.1f}" \
-                if name == "culled" else ""
+            if name == "culled":
+                extra = f"  clusters/block={float(nv)/ (g//bg):.1f}"
+            elif name == "broadcast":
+                from raytrace_tpu.ops.pallas.allpairs_kernel import VISIT_W
+                extra = f"  clusters/row={float(nv)/(R//VISIT_W):.1f}"
+            else:
+                extra = ""
             print(f"{name:10s} {label}: {best*1e3:7.2f} ms / 2^18 rays -> "
                   f"{R/best/1e6:6.2f}M rays/s{extra}", flush=True)
 
