@@ -106,34 +106,37 @@ def _cull_matrix(ctbl, olo, ohi, axis, cos_half, t_min: float,
       when it straddles zero.
 
     ``t_entry`` is the max of the two entry lower bounds.
+
+    All math is per-axis SoA over [B, K] arrays — a stacked [B, K, 3]
+    formulation tiles its minor dim 3 into (8, 128) vregs at 43x waste
+    and measured ~27 ms at [512, 796] (CLAUDE.md layout rule).
     """
-    clo = ctbl[None, :, 0:3]                              # [1, K, 3]
-    chi = ctbl[None, :, 3:6]
-    dlo = clo - ohi[:, None, :]                           # [B, K, 3]
-    dhi = chi - olo[:, None, :]
-    # distance from 0 to box D per axis
-    gap = jnp.maximum(jnp.maximum(dlo, -dhi), 0.0)
-    min_norm = jnp.sqrt(jnp.sum(gap * gap, -1))           # [B, K]
+    inf = jnp.float32(jnp.inf)
+    min_norm_sq = 0.0
+    max_dot = 0.0
+    tn_lo = jnp.float32(t_min)
+    tf_hi = inf
+    ax_ok = None
+    for ax in range(3):
+        clo = ctbl[None, :, ax]                           # [1, K]
+        chi = ctbl[None, :, 3 + ax]
+        dlo = clo - ohi[:, ax:ax + 1]                     # [B, K]
+        dhi = chi - olo[:, ax:ax + 1]
+        gap = jnp.maximum(jnp.maximum(dlo, -dhi), 0.0)
+        min_norm_sq = min_norm_sq + gap * gap
+        a = axis[:, ax:ax + 1]
+        max_dot = max_dot + jnp.maximum(dlo * a, dhi * a)
+        if dlo_d is not None:
+            dl = dlo_d[:, ax:ax + 1]
+            dh = dhi_d[:, ax:ax + 1]
+            qlo, qhi = _interval_div_bounds(dlo, dhi, dl, dh)
+            tn_lo = jnp.maximum(tn_lo, qlo)
+            tf_hi = jnp.minimum(tf_hi, qhi)
+    min_norm = jnp.sqrt(min_norm_sq)
     inside = min_norm <= 0.0
-    a = axis[:, None, :]
-    max_dot = jnp.sum(jnp.maximum(dlo * a, dhi * a), -1)  # [B, K]
     visit = inside | (max_dot >= min_norm * cos_half[:, None])
     t_entry = jnp.maximum(min_norm, jnp.float32(t_min))
-
     if dlo_d is not None:
-        # interval slab test: N1 = cl - o (low plane), N2 = ch - o
-        dl = dlo_d[:, None, :]                            # [B, 1, 3]
-        dh = dhi_d[:, None, :]
-        c1lo, c1hi = _interval_div_bounds(dlo, dhi, dl, dh)
-        # per-ray entry_x = min(crossing of the two planes); its lower
-        # bound over the block is min of both planes' lower bounds, and
-        # exit_x's upper bound is the max of both planes' upper bounds.
-        # [dlo, dhi] here already spans BOTH planes' numerators (cl - o
-        # and ch - o), so c1lo/c1hi bound all crossings at once.
-        entry_lo = c1lo                                   # [B, K, 3]
-        exit_hi = c1hi
-        tn_lo = jnp.maximum(jnp.max(entry_lo, -1), jnp.float32(t_min))
-        tf_hi = jnp.min(exit_hi, -1)
         visit = visit & (tn_lo <= tf_hi)
         t_entry = jnp.maximum(t_entry, tn_lo)
 
@@ -171,6 +174,16 @@ def visit_lists(ctbl, ox, oy, oz, dx, dy, dz, *, block_lanes: int,
     visit, t_entry = _cull_matrix(ctbl, olo, ohi, axis, cos_half, t_min,
                                   dlo_d, dhi_d)
     b = visit.shape[0]
+
+    if jax.default_backend() in ("tpu", "axon") and b % 8 == 0:
+        # XLA's TPU sort costs ~22 ms for [512, 804] (measured,
+        # tools/prof_visit_stats.py) — build the lists with the O(K^2)
+        # rank kernel instead (comparison tile + one-hot MXU permute)
+        from .pallas.rank_kernel import rank_visit_lists
+        return rank_visit_lists(
+            visit, t_entry,
+            segments=tuple((k0, k1) for _, k0, k1 in segments),
+            n_clusters=n_clusters)
 
     ids_parts = []
     tent_parts = []

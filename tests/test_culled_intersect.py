@@ -291,3 +291,41 @@ def test_broadcast_segmented_matches():
         ref = _run_oracle(scene, o, d, time)
         pal, _ = _run_broadcast(scene, o, d, time)
         _compare(ref, pal)
+
+
+def test_rank_kernel_matches_argsort():
+    """The O(K^2) rank-based list builder (Pallas) must reproduce the
+    XLA argsort lists: same nvis, same t-ordered visited prefix (ids may
+    permute only among exact-tie t_entry values)."""
+    from raytrace_tpu.ops.cull import PAD_COLS
+    from raytrace_tpu.ops.pallas.rank_kernel import rank_visit_lists
+    rng_ = np.random.default_rng(3)
+    b, k = 16, 100
+    visit = rng_.uniform(size=(b, k)) < 0.3
+    t_entry = np.where(rng_.uniform(size=(b, k)) < 0.2, 1e-3,
+                       rng_.uniform(1, 50, (b, k))).astype(np.float32)
+    segments = ((0, 60), (60, 100))
+    ids, nvis, tent = rank_visit_lists(
+        jnp.asarray(visit), jnp.asarray(t_entry), segments=segments,
+        n_clusters=k, rg=8, interpret=True)
+    ids = np.asarray(ids)
+    nvis = np.asarray(nvis)
+    tent = np.asarray(tent)
+    assert ids.shape == (b, k + PAD_COLS)
+    for r in range(b):
+        for si, (k0, k1) in enumerate(segments):
+            v = visit[r, k0:k1]
+            te = np.where(v, t_entry[r, k0:k1], np.inf)
+            order = np.argsort(te, kind="stable")
+            nv = int(v.sum())
+            assert nvis[r, si] == nv
+            ref_ids = k0 + order[:nv]
+            got_ids = ids[r, k0:k0 + nv]
+            # t values must match exactly in order
+            np.testing.assert_allclose(tent[r, k0:k0 + nv], te[order[:nv]],
+                                       rtol=1e-6)
+            # ids match (stable tie-break by index in both)
+            assert (got_ids == ref_ids).all(), (r, si)
+            # beyond the list: +inf tent
+            assert np.isinf(tent[r, k0 + nv:k1]).all()
+    assert np.isinf(tent[:, k + PAD_COLS - 1]).all()
