@@ -299,6 +299,10 @@ def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
     if hit_override is not None:
         t_srf, idx, normal, front, uv, mat_id = hit_override
     else:
+        if not diff:
+            # stale dead-lane rays poison block consensus/cull bounds
+            # (see bounce_mega_soa); park them far outside the scene
+            o = jnp.where(alive[:, None], o, jnp.float32(3e18))
         t_srf, idx, normal, front, uv, mat_id = _surface_hit(
             scene, s, o, d, time, use_pallas, diff=diff, culled=culled)
 
@@ -524,6 +528,17 @@ def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
                     rad, thr, alive, interpret: bool = False,
                     with_idx: bool = False, culled: bool = False,
                     block_g: int | None = None):
+    # Dead (budget-exhausted) lanes carry STALE rays; left alone they
+    # poison every consensus/cull bound their block touches (74% of
+    # lanes are dead in a typical tail iteration — measured bigmesh
+    # occupancy 0.26 — and their arbitrary directions made the culled
+    # path no faster than visit-everything).  Send them from far
+    # outside the scene so every cluster test rejects them; their
+    # outputs are masked by ``alive`` downstream anyway.
+    far = jnp.float32(3e18)
+    comps = tuple(
+        jnp.where(alive, c, far) if k < 3 else c
+        for k, c in enumerate(comps))
     """Component-level megakernel call.
 
     ``comps`` = (ox, oy, oz, dx, dy, dz, time); ``rad``/``thr`` are
@@ -1064,26 +1079,28 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
                            sample_offset: int = 0,
                            with_stats: bool = False,
                            pixel_offset=0):
-    """Ray-binned persistent wavefront for mesh-scale scenes.
+    """Ray-binned persistent WORK-QUEUE wavefront for mesh-scale scenes.
 
-    Pixel-stationary SEMANTICS (absolute (pixel, sample) RNG keys -> the
-    image is bit-identical to :func:`trace_wavefront_stationary`), but
-    the lane ORDER is re-sorted every iteration by (direction octant,
-    quantized origin cell): after one bounce a wavefront is incoherent,
-    and the dense kernels' per-row AABB consensus only fires when the
-    rays of a kernel row agree spatially.  Each lane carries its pixel
-    binding; finished paths scatter-add into the pixel-indexed
-    accumulator.  The permutation applies as ONE packed [C, R] take per
-    dtype (17 separate gathers measured 61 ms/iter vs 4 ms packed).
+    Two ideas on top of :func:`trace_wavefront_stationary`:
 
-    Status (measured, bigmesh 50k tris): EXPERIMENTAL and off by
-    default.  This binning does not yet pay off — a 512-lane kernel row
-    drawn from one (octant, cell) bin still spans a hemisphere of
-    directions, so its chunk-AABB union reaches every chunk and the
-    consensus skip fires no more than unsorted (net -20% after sort
-    overhead).  It becomes the prerequisite once the kernels cull by
-    per-row direction CONE rather than AABB union (round-3 roadmap);
-    enable via RT_SORTED_WAVEFRONT=1 in render_accumulate.
+    * **Ray binning** — the lane ORDER is re-sorted every iteration by
+      (direction octant, quantized origin cell): after one bounce a
+      wavefront is incoherent, and the dense kernels' block/row
+      consensus only fires when the rays of a kernel block agree
+      spatially (measured: 122 -> 83 ms/iter on bigmesh).  The
+      permutation applies as ONE packed [C, R] take per dtype (17
+      separate gathers measured 61 ms/iter vs 4 ms packed).
+    * **Queue regeneration** — dead lanes pull fresh (pixel, sample)
+      work items from a global counter instead of being bound to one
+      pixel, so occupancy stays ~1 until the whole budget drains (the
+      pixel-stationary tail measured occupancy 0.26 at spp=4).  The
+      per-pixel scatter-add this needs is already paid for by the
+      binning, and work items enumerate pixels in 8x128 TILE order so
+      freshly regenerated lanes (sorted together at the end) form
+      coherent camera-ray rows.
+
+    RNG keys are absolute (pixel, sample): the image equals the other
+    drivers' bit-for-bit regardless of lane count or assignment order.
     """
     lanes = -(-n_pix // LANE_ALIGN) * LANE_ALIGN
     n_u = n_bounce_uniforms(scene)
@@ -1092,14 +1109,21 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
         acc = jnp.zeros((n_pix, 3), DTYPE)
     use_pallas = pallas_eligible(scene, lanes)
     use_mega = bounce_kernel_eligible(scene, s, lanes)
-    # the binned lane order is exactly what makes the visit-list culled
-    # engines' per-block cones narrow; engage them whenever the dense
-    # Pallas path serves a kind-segmented table and the lane pool is
-    # kernel-block aligned
-    from ..ops.pallas.intersect_kernel import BLOCK_G_CLUSTERED
+    # the binned lane order is what makes the visit-list culled engines'
+    # per-row cones narrow, but for tables that fit VMEM the consensus
+    # kernels on binned lanes measured FASTER (83 vs 143 ms/iter,
+    # bigmesh); keep the culled engines for tables past the VMEM cap
+    # (where the consensus kernels cannot run at all)
+    import os
+    from ..ops.pallas.intersect_kernel import (
+        BLOCK_G_CLUSTERED, MAX_DENSE_PRIMS,
+    )
     use_culled = (use_pallas and scene.prims.kind_segments is not None
-                  and lanes % (BLOCK_G_CLUSTERED * LANE_ALIGN) == 0)
-    last_sample = sample_offset + spp - 1
+                  and lanes % (BLOCK_G_CLUSTERED * LANE_ALIGN) == 0
+                  and (_n_scan_prims(scene.prims) > MAX_DENSE_PRIMS
+                       or os.environ.get("RT_FORCE_CULL") == "1")
+                  and not os.environ.get("RT_NO_CULL"))
+    total_work = n_pix * spp
 
     # loose scene bbox for origin quantization (traced once per compile)
     p = scene.prims
@@ -1109,11 +1133,10 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
     bhi = jnp.max(p.p0[:nn] + ext, axis=0)
     binv = 1.0 / jnp.maximum(bhi - blo, 1e-6)
 
-    lane_ids = jnp.arange(lanes, dtype=jnp.int32)
-    init_pixel = pixel_offset + jnp.minimum(lane_ids, n_pix - 1)
-    # padding lanes (>= n_pix) start exhausted
-    init_sample = jnp.where(lane_ids < n_pix,
-                            sample_offset - 1, last_sample + 1)
+    # work item w -> (pixel, sample): pixels enumerate in 8x128 tile
+    # order so consecutive fresh lanes form one-tile camera bundles
+    l2p_np, _ = _tile_maps(n_pix, s.image_width, n_pix)
+    tile_l2p = jnp.asarray(l2p_np)
 
     _CELL = 64  # origin-quantization cells per axis (fine: the scene
     #             bbox includes ground planes etc. far larger than the
@@ -1128,7 +1151,7 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
         x = (x | (x << 2)) & jnp.int32(0x09249249)
         return x
 
-    def sort_perm(comps, alive, lane_pixel):
+    def sort_perm(comps, alive):
         ox, oy, oz, dx, dy, dz, _ = comps
         oct_ = ((dx < 0).astype(jnp.int32) * 4
                 + (dy < 0).astype(jnp.int32) * 2
@@ -1139,54 +1162,52 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
         cell = (_spread3(q(ox, 0)) | (_spread3(q(oy, 1)) << 1)
                 | (_spread3(q(oz, 2)) << 2))
         live_key = oct_ * (_CELL ** 3) + cell
-        # dead lanes: their NEXT ray is the camera ray of their pixel,
-        # and camera origins sit OUTSIDE the scene bbox (one origin
-        # cell), so the live key cannot separate them.  Key them by the
-        # 8x128 screen-TILE rank of their pixel (same arithmetic as
-        # _tile_maps): a kernel row then covers a compact screen tile
-        # with a narrow frustum, not a full-width scanline strip.
-        i = lane_pixel % s.image_width
-        j = lane_pixel // s.image_width
-        n_tx = -(-s.image_width // 128)
-        tile_rank = (((j >> 3) * n_tx + (i >> 7)) << 10) \
-            + ((j & 7) << 7) + (i & 127)
-        dead_key = (1 << 25) + tile_rank   # strictly above every live key
-        return jnp.argsort(jnp.where(alive, live_key, dead_key))
+        # dead lanes sort together at the end (stable, so their queue
+        # ranks are consecutive -> consecutive tile-ordered work items)
+        dead_key = jnp.int32(1 << 25)
+        return jnp.argsort(jnp.where(alive, live_key, dead_key),
+                           stable=True)
 
     def body(state):
-        (acc_r, acc_g, acc_b, comps, rad, thr, alive, sample, lane_pixel,
-         depth, iters, segments) = state
+        (acc_r, acc_g, acc_b, next_w, comps, rad, thr, alive, lane_pixel,
+         sample, depth, iters, segments) = state
 
         # --- re-bin lanes (permutation travels with ALL lane state) ---
-        # ONE packed [C, R] take per dtype: 17 separate [R] gathers
-        # measured 61 ms/iteration at 2^18 lanes vs 4 ms packed
-        # (tools/prof_sort_cost.py) — the difference between this
-        # driver winning and losing outright.
-        perm = sort_perm(comps, alive, lane_pixel)
+        perm = sort_perm(comps, alive)
         fpack = jnp.stack(comps + rad + thr, axis=0)          # [13, R]
         ipack = jnp.stack(
-            [sample, lane_pixel, depth, alive.astype(jnp.int32)], axis=0)
+            [lane_pixel, sample, depth, alive.astype(jnp.int32)], axis=0)
         fpack = jnp.take(fpack, perm, axis=1)
         ipack = jnp.take(ipack, perm, axis=1)
         comps = tuple(fpack[k] for k in range(7))
         rad = tuple(fpack[7 + k] for k in range(3))
         thr = tuple(fpack[10 + k] for k in range(3))
-        sample = ipack[0]
-        lane_pixel = ipack[1]
+        lane_pixel = ipack[0]
+        sample = ipack[1]
         depth = ipack[2]
         alive = ipack[3].astype(bool)
 
-        # --- start this lane's next sample if idle ---
-        can = ~alive & (sample < last_sample)
+        # --- queue regeneration: dead lanes pull fresh work ---
+        dead = ~alive
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)
+        wi = next_w + rank
+        can = dead & (wi < total_work)
         can_f = jnp.where(can, 1.0, 0.0)
-        sample = jnp.where(can, sample + 1, sample)
+        w_safe = jnp.minimum(wi, total_work - 1)
+        new_pixel = tile_l2p[(w_safe % n_pix).astype(jnp.int32)]
+        new_sample = (w_safe // n_pix).astype(jnp.int32) + sample_offset
+        lane_pixel = jnp.where(can, new_pixel, lane_pixel)
+        sample = jnp.where(can, new_sample, sample)
         depth = jnp.where(can, 0, depth)
         alive = alive | can
-        keys = rng.ray_keys_fast(base_key, lane_pixel, sample)
+        next_w = next_w + jnp.sum(can.astype(jnp.int32))
+
+        keys = rng.ray_keys_fast(base_key, pixel_offset + lane_pixel,
+                                 sample)
         dkeys = rng.mix_depth(keys, depth)
         uniforms = rng.uniform_block(dkeys, n_u + 6)
-        new_comps = generate_ray_components(s, frame, lane_pixel,
-                                            uniforms[:, n_u:n_u + 5])
+        new_comps = generate_ray_components(
+            s, frame, pixel_offset + lane_pixel, uniforms[:, n_u:n_u + 5])
         comps = tuple(jnp.where(can, nc, c)
                       for nc, c in zip(new_comps, comps))
         rad = tuple(r * (1.0 - can_f) for r in rad)
@@ -1217,27 +1238,27 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
 
         # --- flush: pixel-indexed scatter-add at death ---
         died_f = jnp.where(died, 1.0, 0.0)
-        tgt = lane_pixel - pixel_offset
-        acc_r = acc_r.at[tgt].add(rad[0] * died_f, mode="drop")
-        acc_g = acc_g.at[tgt].add(rad[1] * died_f, mode="drop")
-        acc_b = acc_b.at[tgt].add(rad[2] * died_f, mode="drop")
+        acc_r = acc_r.at[lane_pixel].add(rad[0] * died_f, mode="drop")
+        acc_g = acc_g.at[lane_pixel].add(rad[1] * died_f, mode="drop")
+        acc_b = acc_b.at[lane_pixel].add(rad[2] * died_f, mode="drop")
 
         segments = segments + jnp.sum((alive | died).astype(jnp.int32))
-        return (acc_r, acc_g, acc_b, comps, rad, thr, alive, sample,
-                lane_pixel, depth, iters + 1, segments)
+        return (acc_r, acc_g, acc_b, next_w, comps, rad, thr, alive,
+                lane_pixel, sample, depth, iters + 1, segments)
 
     def cond(state):
-        return jnp.any(state[6] | (state[7] < last_sample))
+        return jnp.any(state[7]) | (state[3] < total_work)
 
     z1 = jnp.zeros((lanes,), DTYPE)
     o1 = jnp.ones((lanes,), DTYPE)
     zp = jnp.zeros((n_pix,), DTYPE)
     state = (
-        zp, zp, zp,
+        zp, zp, zp, jnp.zeros((), jnp.int32),
         (z1, z1, z1, z1, z1, o1, z1),
         (z1, z1, z1), (o1, o1, o1),
-        jnp.zeros((lanes,), bool), init_sample.astype(jnp.int32),
-        init_pixel.astype(jnp.int32),
+        jnp.zeros((lanes,), bool),
+        jnp.zeros((lanes,), jnp.int32),
+        jnp.zeros((lanes,), jnp.int32),
         jnp.zeros((lanes,), jnp.int32),
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
     )

@@ -124,16 +124,17 @@ def _queue_fn(scene, settings, key, acc, s0, n_pix, spp, n_lanes):
 def _stationary_fn(scene, settings, key, acc, s0, n_pix, spp, rotate_k=1,
                    pixel_offset=0):
     import os
-    if (os.environ.get("RT_SORTED_WAVEFRONT")
+    if (os.environ.get("RT_SORTED_WAVEFRONT", "1") != "0"
             and scene.prims.kind.shape[0] >= SORT_MIN_PRIMS
             and scene.bvh is None):
-        # Experimental, OFF by default: at 50k rows the (direction
-        # octant, origin cell) binning did NOT restore kernel-row
-        # coherence for hemisphere-spread bounce rays (a 512-lane row
-        # from one bin still reaches every chunk), so the measured net
-        # is -20% (tools/bench_bigmesh.py 25.5 s vs 20.2 s) even with
-        # the packed-take permutation.  Kept for the round-3 in-kernel
-        # cone-culling work, where binned rows are the prerequisite.
+        # Default for mesh-scale scenes since round 3: per-iteration
+        # ray binning restores kernel-block consensus on bounce rays
+        # (122 -> 83 ms/iter) and queue regeneration keeps occupancy
+        # ~1 instead of the pixel-stationary tail's 0.26 — bigmesh
+        # end-to-end 20.3 s -> 6.6 s.  ``rotate_k`` does not apply
+        # (queue lanes are not pixel-bound); image is bit-identical
+        # (absolute (pixel, sample) RNG keys).  RT_SORTED_WAVEFRONT=0
+        # opts out.
         return trace_wavefront_sorted(scene, settings, key, n_pix, spp,
                                       acc, sample_offset=s0,
                                       pixel_offset=pixel_offset)
