@@ -500,6 +500,15 @@ def pallas_eligible(scene: Scene, n_rays: int) -> bool:
             and n_rays % 128 == 0)
 
 
+# Above this many primitive rows the full-bounce megakernel loses to the
+# split path: its embedded clustered consensus intersect measured 6.6 s
+# vs the dynamic all-pairs kernel's 4.5 s on bigmesh (50k tris, binned
+# wavefront) — per-(chunk, 512-ray-row) exact slab consensus beats
+# 4096-lane block consensus once bounce rays dominate.  At small scenes
+# the megakernel's fused shade still wins (Cornell ~80x).
+MEGA_MAX_PRIMS = 8192
+
+
 def bounce_kernel_eligible(scene: Scene, s: CameraSettings,
                            n_rays: int) -> bool:
     """Static check for the full-bounce megakernel: dense scene, no
@@ -507,6 +516,12 @@ def bounce_kernel_eligible(scene: Scene, s: CameraSettings,
     material *behaviors* (constant-color materials collapse to one
     behavior row however many colors the scene interns — see
     materials.MaterialTable.behavior_of)."""
+    import os
+    if os.environ.get("RT_NO_MEGA"):
+        return False
+    if scene.prims.kind.shape[0] > MEGA_MAX_PRIMS \
+            and not os.environ.get("RT_FORCE_MEGA"):
+        return False
     from ..textures.textures import TEX_CHECKER, TEX_CONSTANT
     m = scene.materials
     n_rows = m.n_behaviors if getattr(m, "n_behaviors", 0) > 0 \
