@@ -505,8 +505,9 @@ def broadcast_cand(col, gkind, ox, oy, oz, dx, dy, dz, tm, inv,
 
 def _dyn_kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                 dz_ref, tm_ref, t_out, i_out, nx_out, ny_out, nz_out,
-                fr_out, u_out, v_out, m_out, *, seg_plan, n_prims: int,
-                t_min: float, has_motion: bool, rg: int, w: int):
+                fr_out, u_out, v_out, m_out, *scratch, seg_plan,
+                n_prims: int, t_min: float, has_motion: bool, rg: int,
+                w: int, stream: bool = False):
     """Dynamic-chunk variant for mesh-scale tables.
 
     The static kernel unrolls one code section per chunk — at 100 chunks
@@ -537,8 +538,26 @@ def _dyn_kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
         bt0 = jnp.full((1, w), inf, jnp.float32)
         bi0 = jnp.full((1, w), -1.0, jnp.float32)
 
-        def cols(p0):
-            return lambda c: tbl_ref[pl.ds(p0, CHUNK), pl.ds(c, 1)]
+        if stream:
+            # HBM table: pull the chunk into VMEM scratch on demand.
+            # ~0.3 us transfer + ~1 us latency per visited (row, chunk)
+            # vs the ~8 us [CHUNK, W] sweep it feeds.
+            sc_ref, sem = scratch
+
+            def fetch(p0):
+                dma = pltpu.make_async_copy(
+                    tbl_ref.at[pl.ds(p0, CHUNK), :], sc_ref, sem)
+                dma.start()
+                dma.wait()
+
+            def cols(p0):
+                return lambda c: sc_ref[:, pl.ds(c, 1)]
+        else:
+            def fetch(p0):
+                pass
+
+            def cols(p0):
+                return lambda c: tbl_ref[pl.ds(p0, CHUNK), pl.ds(c, 1)]
 
         def cand_for(gkind, p0):
             return broadcast_cand(
@@ -567,6 +586,7 @@ def _dyn_kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
 
                 def eval_chunk(c3):
                     bt, bi = c3
+                    fetch(p0)
                     t_c = cand_for(gkind, p0)              # [CHUNK, W]
                     piota = (p0.astype(jnp.float32)
                              + jax.lax.broadcasted_iota(
@@ -598,17 +618,24 @@ def _dyn_kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                 in_c = (bi >= p0f) & (bi < jnp.minimum(p0f + CHUNK, row1f))
 
                 def add(gt):
+                    fetch(p0)
                     piota = (p0f + jax.lax.broadcasted_iota(
                         jnp.int32, (CHUNK, 1), 0).astype(jnp.float32))
                     # clamp to the segment: overrun rows belong to the
                     # NEXT segment's chunks (no double gather)
                     oh = ((piota == bi)
                           & (piota < row1f)).astype(jnp.float32)
+                    # streamed scratch is [CHUNK, 128]; slice the RESULT
+                    # to N_COLS (a 36-wide lane slice of the operand is
+                    # not tile-aligned)
+                    rows = scratch[0][...] if stream \
+                        else tbl_ref[pl.ds(p0, CHUNK), :]
                     g_c = jax.lax.dot_general(
-                        tbl_ref[pl.ds(p0, CHUNK), :], oh,
-                        (((0,), (0,)), ((), ())),
+                        rows, oh, (((0,), (0,)), ((), ())),
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
+                    if stream:
+                        g_c = g_c[:N_COLS]
                     return gt + g_c
 
                 return jax.lax.cond(jnp.any(in_c), add, lambda x: x, gt)
@@ -663,26 +690,37 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
     # (the static unroll took >25 min of Mosaic compile at 100 chunks)
     # and per-(chunk, row) AABB skipping.  Small mostly-visited tables
     # (demo2: 4 chunks, +1.5 ms/iter of pure cond overhead measured)
-    # keep the static unrolled kernel.
-    dyn = ctbl is not None and len(plan) >= DYN_MIN_CHUNKS
+    # keep the static unrolled kernel.  Past MAX_PRIMS the table leaves
+    # VMEM entirely and chunks stream from HBM on demand — no table
+    # size cap.
+    stream = n_prims > MAX_PRIMS
+    dyn = stream or (ctbl is not None and len(plan) >= DYN_MIN_CHUNKS)
     if dyn:
         cbox = chunk_boxes(ctbl, plan)
         # pad the table to a CHUNK multiple: dynamic chunk slices may
         # overrun the true rows; pad rows are kind -1 (never match)
-        n_pad = -tbl.shape[0] % CHUNK
-        if n_pad:
-            pad = jnp.zeros((n_pad, tbl.shape[1]),
-                            jnp.float32).at[:, 16].set(-1.0)
-            tbl = jnp.concatenate([tbl, pad])
         seg_plan = []
         cbase = 0
+        rows_needed = tbl.shape[0]
         for gkind, k0, k1 in segments:
             row0 = k0 * CLUSTER
             row1 = min(k1 * CLUSTER, n_prims)
             n_chunks = -(-(row1 - row0) // CHUNK)
             seg_plan.append((int(gkind), row0, row1, n_chunks, cbase))
             cbase += n_chunks
+            # a segment whose start is not CHUNK-aligned reads past the
+            # nominal table end in its last chunk — pad to the true
+            # chunk extent (OOB reads returned garbage rows whose kind
+            # column could alias a real kind)
+            rows_needed = max(rows_needed, row0 + n_chunks * CHUNK)
         seg_plan = tuple(seg_plan)
+        if rows_needed > tbl.shape[0] or (stream and tbl.shape[1] != 128):
+            # streamed tables also pad the minor dim to 128 (Mosaic HBM
+            # DMA slices must be 128-aligned along lanes)
+            cols = 128 if stream else tbl.shape[1]
+            out = jnp.zeros((rows_needed, cols),
+                            jnp.float32).at[:, 16].set(-1.0)
+            tbl = out.at[:tbl.shape[0], :tbl.shape[1]].set(tbl)
     else:
         cbox = jnp.zeros((1, 8), jnp.float32)
     # Row width: regroup the [G, 128] components into [G', W] rows so one
@@ -692,7 +730,8 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
     # ~12 live [CHUNK, W] phase-1 intermediates stay under the ~16 MB
     # scoped-vmem limit (50944 rows at W=512 measured 25.5 MB: OOM).
     w_cap = WIDE_LANES
-    while w_cap > LANES and (tbl.shape[0] * N_COLS * 4
+    tbl_vmem = 0 if (dyn and stream) else tbl.shape[0] * N_COLS * 4
+    while w_cap > LANES and (tbl_vmem
                              + CHUNK * w_cap * 4 * 12) > 14_000_000:
         w_cap //= 2
     w = LANES
@@ -724,17 +763,21 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
     if dyn:
         kernel = functools.partial(_dyn_kernel, seg_plan=seg_plan,
                                    n_prims=n_prims, t_min=t_min,
-                                   has_motion=has_motion, rg=rg, w=w)
-        scratch = []
+                                   has_motion=has_motion, rg=rg, w=w,
+                                   stream=stream)
+        scratch = [pltpu.VMEM((CHUNK, 128), jnp.float32),
+                   pltpu.SemaphoreType.DMA(())] if stream else []
     else:
         kernel = functools.partial(_kernel, plan=plan, n_prims=n_prims,
                                    t_min=t_min, has_motion=has_motion,
                                    rg=rg, w=w, skip=False)
         scratch = [pltpu.VMEM((rg, w), f32), pltpu.VMEM((rg, w), f32)]
+    tbl_spec = pl.BlockSpec(memory_space=pltpu.HBM) if (dyn and stream) \
+        else pl.BlockSpec(memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        in_specs=[tbl_spec, pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [ray_spec] * 7,
         out_specs=out_specs,
         out_shape=out_shape,

@@ -179,9 +179,10 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
         # (demo2 table: 5.4 vs 8.1 ms/90k semi-coherent lanes).  Its
         # per-ray cost is O(n_prims), so past MAX_PRIMS the two-level
         # clustered loop (which skips whole cluster groups) takes over.
+        # no upper bound: past MAX_PRIMS the dynamic all-pairs kernel
+        # streams chunks from HBM (table size unbounded)
         use_allpairs = (scene.prims.kind_segments is not None
-                        and MIN_PRIMS <= _n_scan_prims(scene.prims)
-                        <= MAX_PRIMS)
+                        and MIN_PRIMS <= _n_scan_prims(scene.prims))
         if culled and scene.prims.kind_segments is not None:
             # visit-list engines (ray-binned driver): per-row cull
             # prepass + t-ordered traversal.  Tables that fit VMEM take
@@ -492,11 +493,15 @@ def _russian_roulette(s: CameraSettings, u_rr, depth, thr_tuple, alive,
 
 
 def pallas_eligible(scene: Scene, n_rays: int) -> bool:
-    """Static check: can the dense Pallas intersect kernel serve this scene?"""
+    """Static check: can the dense Pallas intersect kernels serve this
+    scene?  Kind-segmented tables have no size cap (past MAX_DENSE_PRIMS
+    the dynamic all-pairs kernel streams chunks from HBM); unsegmented
+    tables must fit VMEM."""
     from ..ops.pallas.intersect_kernel import MAX_DENSE_PRIMS
     return (jax.default_backend() in ("tpu", "axon")
             and scene.bvh is None
-            and scene.prims.kind.shape[0] <= MAX_DENSE_PRIMS
+            and (scene.prims.kind.shape[0] <= MAX_DENSE_PRIMS
+                 or scene.prims.kind_segments is not None)
             and n_rays % 128 == 0)
 
 
@@ -1133,11 +1138,13 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
     from ..ops.pallas.intersect_kernel import (
         BLOCK_G_CLUSTERED, MAX_DENSE_PRIMS,
     )
+    # opt-in only: the visit-list engines measured slower than the
+    # consensus/all-pairs kernels on binned lanes at every scale that
+    # fits VMEM, and past the VMEM cap the HBM-streamed dynamic
+    # all-pairs kernel (split path) carries unbounded tables
     use_culled = (use_pallas and scene.prims.kind_segments is not None
                   and lanes % (BLOCK_G_CLUSTERED * LANE_ALIGN) == 0
-                  and (_n_scan_prims(scene.prims) > MAX_DENSE_PRIMS
-                       or os.environ.get("RT_FORCE_CULL") == "1")
-                  and not os.environ.get("RT_NO_CULL"))
+                  and os.environ.get("RT_FORCE_CULL") == "1")
     total_work = n_pix * spp
 
     # loose scene bbox for origin quantization (traced once per compile)

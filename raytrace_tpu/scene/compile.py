@@ -316,8 +316,16 @@ def compile_scene(root: B.Geom, *, accel: str = "auto", leaf_size: int = 4,
     ~1000x slower there — selecting it on TPU warns loudly.
     """
     if dense_threshold is None:
-        from ..ops.pallas.intersect_kernel import MAX_DENSE_PRIMS
-        dense_threshold = MAX_DENSE_PRIMS
+        import jax
+        if jax.default_backend() in ("tpu", "axon"):
+            # unbounded since round 3: past the VMEM table cap the
+            # dense engines stream primitive chunks from HBM
+            # (ops/pallas/allpairs_kernel.py stream=True,
+            # intersect_kernel pallas_nearest_record_culled)
+            dense_threshold = 1 << 62
+        else:
+            from ..ops.pallas.intersect_kernel import MAX_DENSE_PRIMS
+            dense_threshold = MAX_DENSE_PRIMS
     interner = _Interner()
     rows = _Rows.empty()
     volumes: list = []
