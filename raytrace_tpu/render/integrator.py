@@ -1091,7 +1091,8 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
 # lanes); above it, incoherent wavefronts cost 3.4-7x coherent ones
 # (tools/prof_bigmesh_engines.py: 366 vs 107 ms per 2^18 rays at 50k
 # rows) and re-sorting wins outright.
-SORT_MIN_PRIMS = 8192
+SORT_MIN_PRIMS = int(__import__("os").environ.get("RT_SORT_MIN_PRIMS",
+                                                  "8192"))
 
 
 def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
