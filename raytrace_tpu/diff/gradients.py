@@ -81,7 +81,8 @@ def render_loss_wavefront(scene_params, scene_statics, settings, key,
                           pixel_ids, target, spp: int,
                           n_iters: int | None = None, remat: bool = True,
                           rotate_k: int = 1, skip_done: bool = False,
-                          skip_chunk: int = 16, pixel_cost=None):
+                          skip_chunk: int = 16, pixel_cost=None,
+                          schedule: tuple | None = None):
     """MSE loss via the differentiable *regenerative* wavefront
     (render/integrator.py:trace_wavefront_diff) — ~10x less wasted work
     than the bounded-depth scan for deep max_depth settings.
@@ -99,7 +100,8 @@ def render_loss_wavefront(scene_params, scene_statics, settings, key,
                                      n_iters=n_iters, remat=remat,
                                      rotate_k=rotate_k, skip_done=skip_done,
                                      skip_chunk=skip_chunk,
-                                     pixel_cost=pixel_cost)
+                                     pixel_cost=pixel_cost,
+                                     schedule=schedule)
     loss = jnp.mean((img - target) ** 2)
     # aux: fraction of requested samples completed within the iteration
     # budget (should be ~1.0; raise n_iters if it drops)

@@ -284,6 +284,45 @@ def test_wavefront_diff_skip_done_matches_and_completes():
                                    rtol=1e-6, atol=1e-8)
 
 
+def test_wavefront_diff_two_phase_schedule_matches_single():
+    """The two-phase completion schedule (compact unfinished lanes into a
+    narrower phase after the full-width iterations) must reproduce the
+    single-phase loss AND gradients when every sample completes: the
+    compacted lanes carry their absolute (pixel, sample) RNG coordinates,
+    so the estimator is the identical sample sum, re-associated only at
+    the final scatter-add."""
+    from raytrace_tpu.diff.gradients import partition, render_loss_wavefront
+    scene = _simple_scene()
+    s = rt.CameraSettings(image_width=16, samples_per_pixel=16, max_depth=6,
+                          rr_depth=3, background=rt.const_background(0.5))
+    params, statics = partition(scene)
+    key = rng.base_key(7)
+    pix = jnp.arange(256, dtype=jnp.int32)
+    target = jnp.full((256, 3), 0.25, jnp.float32)
+    vg = jax.value_and_grad(render_loss_wavefront, has_aux=True)
+    (l0, f0), g0 = vg(params, statics, s, key, pix, target, spp=16,
+                      n_iters=160)
+    # phase A 60 iters full width, then 128 lanes, then a 64-lane tail —
+    # total iteration opportunity >= the single-phase 160
+    (l1, f1), g1 = vg(params, statics, s, key, pix, target, spp=16,
+                      n_iters=60, schedule=((60, 128), (60, 64)))
+    assert float(f0) == 1.0, "single-phase must complete for the comparison"
+    assert float(f1) == 1.0, "two-phase dropped samples (width too small?)"
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+    # incomplete-schedule path: overflow lanes drop samples, frac < 1,
+    # and the result is still finite/valid
+    (l2, f2), g2 = vg(params, statics, s, key, pix, target, spp=16,
+                      n_iters=10, schedule=((4, 128),))
+    assert float(f2) < 1.0
+    assert np.isfinite(float(l2))
+    for a in jax.tree_util.tree_leaves(g2):
+        assert np.all(np.isfinite(np.asarray(a)))
+
+
 def test_wavefront_diff_balanced_matches_unbalanced():
     """Cost-balanced antithetic pixel assignment (per-chunk permutation
     maps from a forward cost prepass) must reproduce the unrotated loss
