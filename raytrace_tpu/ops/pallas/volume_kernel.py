@@ -167,6 +167,245 @@ def _kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tm, *outs,
         outs[3 * v + 2][...] = b2
 
 
+# ---------------------------------------------------------------------------
+# Broadcast crossing kernel: prims on sublanes, rays on lanes.
+#
+# The scalar fori_loop above costs ~10 ms per 131k-lane iteration on
+# pawn's 1200-tri mesh boundary (one [1] scalar row per loop step); this
+# variant restructures the scan exactly like the all-pairs intersect
+# kernel (allpairs_kernel.py): one iteration computes BOTH crossing
+# roots of a whole [L, 1] prim chunk against a [1, W] ray row as
+# [L, W] vector tiles, then reduces to the row's carried
+# (first, front-of-first, strictly-second) triple.  Tie-breaking matches
+# _merge exactly: earliest prim index wins the front flag, the enter
+# root beats the exit root of the same prim, duplicate crossings
+# (shared mesh edges) collapse via the strict > in the second-min.
+# ---------------------------------------------------------------------------
+
+BCAST_CHUNK = 512
+BCAST_MIN_ROWS = 64     # below this the scalar loop's overhead is noise
+
+
+def _crossing_cand(col, ox, oy, oz, dx, dy, dz, tm, inv, tmn,
+                   has_motion: bool, has_box: bool):
+    """[L, W] crossing candidates of one prim chunk: returns
+    ``(c1, cf1, c2)`` — enter/plane root + its front flag, exit root."""
+    inf = jnp.float32(INF)
+    kindc = col(16)
+    if has_motion:
+        mvx, mvy, mvz = col(27), col(28), col(29)
+        sx = col(24) + tm * mvx
+        sy = col(25) + tm * mvy
+        sz = col(26) + tm * mvz
+
+    # sphere: both roots
+    cx, cy, cz = col(0), col(1), col(2)
+    if has_motion:
+        cx, cy, cz = cx + sx, cy + sy, cz + sz
+    ocx = cx - ox
+    ocy = cy - oy
+    ocz = cz - oz
+    h = ocx * dx + ocy * dy + ocz * dz
+    disc = h * h - (ocx * ocx + ocy * ocy + ocz * ocz - col(3))
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    ok_s = (disc >= 0.0) & (kindc == 0.0)
+    s1 = h - sq
+    s2 = h + sq
+
+    # plane (parallelogram/triangle): single root + membership
+    nx, ny, nz = col(4), col(5), col(6)
+    wax, way, waz = col(7), col(8), col(9)
+    wbx, wby, wbz = col(10), col(11), col(12)
+    qn, qwa, qwb = col(13), col(14), col(15)
+    if has_motion:
+        qn = qn + sx * nx + sy * ny + sz * nz
+        qwa = qwa + sx * wax + sy * way + sz * waz
+        qwb = qwb + sx * wbx + sy * wby + sz * wbz
+    den = nx * dx + ny * dy + nz * dz
+    den_ok = jnp.abs(den) > 1e-8
+    t_p = (qn - (nx * ox + ny * oy + nz * oz)) / jnp.where(den_ok, den, 1.0)
+    a = (wax * ox + way * oy + waz * oz) - qwa \
+        + t_p * (wax * dx + way * dy + waz * dz)
+    b = (wbx * ox + wby * oy + wbz * oz) - qwb \
+        + t_p * (wbx * dx + wby * dy + wbz * dz)
+    is_tri = kindc == 2.0
+    bound = jnp.where(is_tri, a + b, jnp.maximum(a, b))
+    ok_p = (den_ok & (a >= 0.0) & (b >= 0.0) & (bound <= 1.0)
+            & (kindc > 0.5) & (kindc < 2.5))
+
+    c1 = jnp.where(kindc == 0.0,
+                   jnp.where(ok_s & (s1 > tmn), s1, inf),
+                   jnp.where(ok_p & (t_p > tmn), t_p, inf))
+    cf1 = jnp.where(kindc == 0.0, 1.0, jnp.where(den < 0.0, 1.0, 0.0))
+    c2 = jnp.where(ok_s & (s2 > tmn), s2, inf)
+
+    if has_box:
+        ivx, ivy, ivz = inv
+        lox, loy, loz = col(0), col(1), col(2)
+        hix, hiy, hiz = col(7), col(8), col(9)
+        if has_motion:
+            lox, loy, loz = lox + sx, loy + sy, loz + sz
+            hix, hiy, hiz = hix + sx, hiy + sy, hiz + sz
+        t0x = (lox - ox) * ivx
+        t1x = (hix - ox) * ivx
+        t0y = (loy - oy) * ivy
+        t1y = (hiy - oy) * ivy
+        t0z = (loz - oz) * ivz
+        t1z = (hiz - oz) * ivz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        ok_b = (tn <= tf) & (kindc == 3.0)
+        c1 = jnp.where(kindc == 3.0,
+                       jnp.where(ok_b & (tn > tmn), tn, inf), c1)
+        cf1 = jnp.where(kindc == 3.0, 1.0, cf1)
+        c2 = jnp.where(kindc == 3.0,
+                       jnp.where(ok_b & (tf > tmn), tf, inf), c2)
+    return c1, cf1, c2
+
+
+def _bcast_kernel(tbl_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                  tm_ref, *outs, slices: tuple, t_min: float,
+                  has_motion: bool, has_box: bool, rg: int, w: int):
+    inf = jnp.float32(INF)
+    tmn = jnp.float32(t_min)
+
+    # chunk plan per volume: sublane-aligned starts, masked to the slice
+    plans = []
+    for start, count in slices:
+        chunks = []
+        p0a = (start // 8) * 8
+        end = start + count
+        p = p0a
+        while p < end:
+            ln = min(BCAST_CHUNK, -(-(end - p) // 8) * 8)
+            chunks.append((p, ln))
+            p += ln
+        plans.append(tuple(chunks))
+
+    def row(ref, g):
+        return ref[pl.ds(g, 1), :]
+
+    def row_body(g, _):
+        ox, oy, oz = row(ox_ref, g), row(oy_ref, g), row(oz_ref, g)
+        dx, dy, dz = row(dx_ref, g), row(dy_ref, g), row(dz_ref, g)
+        tm = row(tm_ref, g) if has_motion else None
+        if has_box:
+            safe = lambda dd: jnp.where(jnp.abs(dd) < 1e-20,
+                                        jnp.where(dd < 0, -1e-20, 1e-20),
+                                        dd)
+            inv = (1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz))
+        else:
+            inv = None
+
+        for v, (start, count) in enumerate(slices):
+            b1 = jnp.full((1, w), inf, jnp.float32)
+            f1 = jnp.zeros((1, w), jnp.float32)
+            b2 = jnp.full((1, w), inf, jnp.float32)
+            for p0, ln in plans[v]:
+                col = lambda c: tbl_ref[pl.ds(p0, ln), pl.ds(c, 1)]
+                c1, cf1, c2 = _crossing_cand(
+                    col, ox, oy, oz, dx, dy, dz, tm, inv, tmn,
+                    has_motion, has_box)
+                piota = (jnp.float32(p0) + jax.lax.broadcasted_iota(
+                    jnp.int32, (ln, 1), 0).astype(jnp.float32))
+                in_sl = (piota >= jnp.float32(start)) \
+                    & (piota < jnp.float32(start + count))
+                c1 = jnp.where(in_sl, c1, inf)
+                c2 = jnp.where(in_sl, c2, inf)
+                # tile first/front/second with _merge's tie rules:
+                # earliest prim wins; enter root beats same-t exit root
+                t1t = jnp.minimum(jnp.min(c1, axis=0, keepdims=True),
+                                  jnp.min(c2, axis=0, keepdims=True))
+                p1 = jnp.min(jnp.where(c1 == t1t, piota, inf), axis=0,
+                             keepdims=True)
+                p2 = jnp.min(jnp.where(c2 == t1t, piota, inf), axis=0,
+                             keepdims=True)
+                fc1 = jnp.max(
+                    jnp.where((c1 == t1t) & (piota == p1), cf1, 0.0),
+                    axis=0, keepdims=True)
+                f1t = jnp.where(p1 <= p2, fc1, 0.0)
+                gt1 = jnp.where(c1 > t1t, c1, inf)
+                gt2 = jnp.where(c2 > t1t, c2, inf)
+                t2t = jnp.minimum(jnp.min(gt1, axis=0, keepdims=True),
+                                  jnp.min(gt2, axis=0, keepdims=True))
+                # merge into the carried triple (strict <: earlier chunk
+                # keeps ties, exactly like _merge)
+                nb1 = jnp.minimum(b1, t1t)
+                take = t1t < b1
+                f1 = jnp.where(take, f1t, f1)
+                gtv = lambda x: jnp.where(x > nb1, x, inf)
+                b2 = jnp.minimum(jnp.minimum(gtv(b1), gtv(b2)),
+                                 jnp.minimum(gtv(t1t), gtv(t2t)))
+                b1 = nb1
+            gsl = (pl.ds(g, 1), slice(None))
+            outs[3 * v][gsl] = b1
+            outs[3 * v + 1][gsl] = f1
+            outs[3 * v + 2][gsl] = b2
+        return 0
+
+    jax.lax.fori_loop(0, rg, row_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("slices", "t_min", "has_motion", "has_box",
+                     "interpret"))
+def pallas_volume_crossings_bcast(vtbl, ox, oy, oz, dx, dy, dz, tm, *,
+                                  slices: tuple, t_min: float,
+                                  has_motion: bool, has_box: bool = False,
+                                  interpret: bool = False):
+    """Broadcast variant of :func:`pallas_volume_crossings` (same
+    contract).  Rays regroup into [g, W] rows (W up to 512) so each
+    chunk sweep amortizes over more lanes, exactly like
+    allpairs_nearest_record."""
+    g = ox.shape[0]
+    # pad the table to a sublane multiple; pad rows kind=-1 never match
+    rows = vtbl.shape[0]
+    rows_pad = -(-rows // 8) * 8
+    if rows_pad != rows:
+        pad = jnp.zeros((rows_pad - rows, vtbl.shape[1]),
+                        jnp.float32).at[:, 16].set(-1.0)
+        vtbl = jnp.concatenate([vtbl, pad])
+
+    w_cap = 512
+    tbl_vmem = vtbl.shape[0] * vtbl.shape[1] * 4
+    while w_cap > LANES and (tbl_vmem
+                             + BCAST_CHUNK * w_cap * 4 * 12) > 14_000_000:
+        w_cap //= 2
+    w = LANES
+    while w < w_cap and g % 2 == 0 and g >= 2:
+        w *= 2
+        g //= 2
+    resh = lambda x: x.reshape(g, w)
+    ox, oy, oz = resh(ox), resh(oy), resh(oz)
+    dx, dy, dz, tm = resh(dx), resh(dy), resh(dz), resh(tm)
+    rg = min(max(BLOCK_G * LANES // w, 8), g)
+    grid = (pl.cdiv(g, rg),)
+    n_out = 3 * len(slices)
+    ray_spec = pl.BlockSpec((rg, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((rg, w), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] * n_out
+    out_shape = [jax.ShapeDtypeStruct((g, w), jnp.float32)] * n_out
+    kernel = functools.partial(_bcast_kernel, slices=slices, t_min=t_min,
+                               has_motion=has_motion, has_box=has_box,
+                               rg=rg, w=w)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 7,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(vtbl, ox, oy, oz, dx, dy, dz, tm)
+    g0 = ox.size // LANES
+    return [o.reshape(g0, LANES) for o in outs]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("slices", "t_min", "has_motion", "has_box",

@@ -127,20 +127,34 @@ def volume_candidates(volumes: Volumes, o, d, time, t_min, u_scatter):
 
 def volume_candidates_pallas(volumes: Volumes, o, d, time, t_min,
                              u_scatter, t_min_scalar: float,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             use_bcast: bool | None = None):
     """:func:`volume_candidates` with the crossings computed by the
     Pallas kernel (ops/pallas/volume_kernel.py) — one launch for all
     volumes instead of a chunked XLA scan per volume (~10 ms/iteration
     on demo2's two media at 90k lanes).  Non-differentiable (the diff
-    path keeps the XLA scan)."""
+    path keeps the XLA scan).
+
+    Tables at mesh scale (>= BCAST_MIN_ROWS boundary rows) take the
+    *broadcast* crossing kernel — prims on sublanes, rays on lanes, the
+    all-pairs intersect restructuring — which replaces the scalar
+    per-prim fori_loop that cost ~10 ms per 131k-lane iteration on
+    pawn's 1200-tri boundary.  ``use_bcast`` forces the choice (tests)."""
     from ..ops.pallas.intersect_kernel import pack_prims
-    from ..ops.pallas.volume_kernel import pallas_volume_crossings
+    from ..ops.pallas.volume_kernel import (
+        BCAST_MIN_ROWS, pallas_volume_crossings,
+        pallas_volume_crossings_bcast,
+    )
     r = o.shape[0]
     g = r // 128
     resh = lambda x: x.reshape(g, 128)
     vtbl = pack_prims(volumes.prims)
     slices = tuple(zip(volumes.starts, volumes.counts))
-    outs = pallas_volume_crossings(
+    if use_bcast is None:
+        use_bcast = volumes.prims.kind.shape[0] >= BCAST_MIN_ROWS
+    fn = pallas_volume_crossings_bcast if use_bcast \
+        else pallas_volume_crossings
+    outs = fn(
         vtbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
         resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
         slices=slices, t_min=t_min_scalar,

@@ -50,6 +50,74 @@ def test_pallas_volume_candidates_match_xla():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_bcast_volume_candidates_match_xla():
+    """The broadcast crossing kernel (prims on sublanes — the pawn-scale
+    engine) must match the XLA scan lane-by-lane, including the
+    sub-slice masking of non-aligned volume starts."""
+    scene = _volume_scene()
+    vols = scene.volumes
+
+    rg = np.random.default_rng(3)
+    n = 512
+    o = jnp.asarray(rg.uniform(-6, 6, (n, 3)), jnp.float32)
+    d = jnp.asarray(rg.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = o.at[:32].set(jnp.asarray([0.0, 0.0, -3.0]))
+    o = o.at[32:64].set(jnp.asarray([3.2, 0.0, -3.5]))
+    time = jnp.asarray(rg.uniform(0, 1, n), jnp.float32)
+    t_min = jnp.full((n,), 1e-3, jnp.float32)
+    u = jnp.asarray(rg.uniform(0, 1, (n, 2)), jnp.float32)
+
+    t_x, v_x = volume_candidates(vols, o, d, time, t_min, u)
+    t_b, v_b = volume_candidates_pallas(vols, o, d, time, t_min, u, 1e-3,
+                                        interpret=True, use_bcast=True)
+    assert (np.asarray(v_x) == np.asarray(v_b)).all()
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bcast_volume_mesh_boundary():
+    """Non-convex triangle-mesh medium boundary (the pawn configuration):
+    broadcast crossings == scalar kernel == XLA scan, with shared-edge
+    duplicate crossings collapsed identically."""
+    from raytrace_tpu.scene.builder import Mesh
+
+    # a closed octahedron mesh (8 triangles, shared edges everywhere)
+    v = np.asarray([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                    [0, 0, 1], [0, 0, -1]], np.float64)
+    f = np.asarray([(0, 2, 4), (2, 1, 4), (1, 3, 4), (3, 0, 4),
+                    (2, 0, 5), (1, 2, 5), (3, 1, 5), (0, 3, 5)], np.int64)
+    mesh = Mesh(vertices=v, uv=np.zeros((0, 2)), faces=f,
+                uv_faces=np.full((8, 3), -1, np.int64))
+    world = rt.group([
+        rt.with_material(rt.isotropic(rt.constant_texture([1.0, 0.2, 0.2])),
+                         rt.constant_medium(2.0, rt.triangle_mesh(mesh))),
+        rt.with_material(rt.lambertian(rt.constant_texture(0.5)),
+                         rt.sphere([0, -50, 0], 40.0)),
+    ])
+    scene = rt.compile_scene(world, accel="dense")
+    vols = scene.volumes
+    assert vols is not None
+
+    rg = np.random.default_rng(5)
+    n = 384
+    o = jnp.asarray(rg.uniform(-3, 3, (n, 3)), jnp.float32)
+    d = jnp.asarray(rg.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = o.at[:64].set(0.0)  # inside the octahedron
+    time = jnp.zeros((n,), jnp.float32)
+    t_min = jnp.full((n,), 1e-3, jnp.float32)
+    u = jnp.asarray(rg.uniform(0, 1, (n, 1)), jnp.float32)
+
+    t_x, v_x = volume_candidates(vols, o, d, time, t_min, u)
+    t_b, v_b = volume_candidates_pallas(vols, o, d, time, t_min, u, 1e-3,
+                                        interpret=True, use_bcast=True)
+    assert (np.asarray(v_x) == np.asarray(v_b)).all()
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_x),
+                               rtol=1e-5, atol=1e-5)
+    assert int(np.asarray(v_x).sum()) > 0, "no scatter events exercised"
+
+
 def test_pallas_volume_candidates_motion():
     """Moving medium boundary: the kernel's motion columns must match."""
     world = rt.group([
