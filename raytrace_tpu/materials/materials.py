@@ -114,6 +114,10 @@ class MaterialTable(struct.PyTreeNode):
     behavior_of: jnp.ndarray | None = None   # i32[M]
     behavior_rep: jnp.ndarray | None = None  # i32[B]
     n_behaviors: int = struct.field(pytree_node=False, default=0)
+    # texture KINDS used by light-source materials (static): the fused
+    # shade kernel applies emission albedo in-kernel, so rich-texture
+    # lights make a scene ineligible (integrator.fused_shade_eligible)
+    light_tex_kinds: tuple = struct.field(pytree_node=False, default=())
 
 
 def compile_materials(materials, texture_index) -> MaterialTable:
@@ -153,4 +157,7 @@ def compile_materials(materials, texture_index) -> MaterialTable:
         behavior_of=jnp.asarray(behavior_of),
         behavior_rep=jnp.asarray(np.asarray(behavior_rep, np.int32)),
         n_behaviors=len(beh_ids) if materials else 0,
+        light_tex_kinds=tuple(sorted({int(m.texture.kind)
+                                      for m in materials
+                                      if m.kind == MAT_LIGHT})),
     )

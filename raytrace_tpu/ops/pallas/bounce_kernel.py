@@ -175,14 +175,47 @@ def _shade(hit_res, mtbl, ttbl, oxv, oyv, ozv, dxv, dyv, dzv,
            ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tr_o, tg_o, tb_o,
            rr_o, rg_o, rb_o, al_o, ms_o, pi_o,
            *, n_mats: int, n_targets: int,
-           use_prim_albedo: bool = False):
+           use_prim_albedo: bool = False,
+           tmed=None, vmat=None, sphere_rots=()):
     """Material/texture/emission/scatter/MIS stage of the bounce
     megakernel, shared by the consensus and visit-list intersect
-    variants (takes the prim_loop result tuple)."""
+    variants (takes the prim_loop result tuple).
+
+    ``tmed``/``vmat`` (optional [*, 128] refs): per-lane constant-medium
+    scatter candidate + its material id from the volume crossing kernel
+    (render/volumes.py).  A medium event wins when ``tmed < t``; the
+    record is overridden exactly as the XLA bounce does
+    (render/integrator.py:345-350 / Geometry.hs:320-326): normal = -d,
+    front, uv = 0.
+
+    Rich textures (image/noise/marble — anything but constant/checker)
+    are *deferred*: their lanes get albedo 1.0 here and the caller
+    multiplies the real albedo into throughput afterwards (the
+    direction/pdf/alive logic never depends on albedo; light-source
+    emission does, so fused-path eligibility requires const/checker
+    lights — integrator.fused_shade_eligible).
+
+    ``sphere_rots``: static ((row, r9), ...) world->object rotations for
+    instanced spheres — UV evaluates in object space
+    (Geometry.hs:382-391, ops/intersect.py:apply_sphere_rotations).
+    """
     trv, tgv, tbv = tr[...], tg[...], tb[...]
     alive = al[...] > 0.5
     u_all = un[...]                       # (N_U, BG, 128)
     (t, bi, nx, ny, nz, fr_f, uu, vv, mat_f, sph_f) = hit_res[:10]
+
+    if tmed is not None:
+        tmv = tmed[...]
+        in_med = tmv < t
+        t = jnp.where(in_med, tmv, t)
+        mat_f = jnp.where(in_med, vmat[...], mat_f)
+        nx = jnp.where(in_med, -dxv, nx)
+        ny = jnp.where(in_med, -dyv, ny)
+        nz = jnp.where(in_med, -dzv, nz)
+        fr_f = jnp.where(in_med, 1.0, fr_f)
+        uu = jnp.where(in_med, 0.0, uu)
+        vv = jnp.where(in_med, 0.0, vv)
+        sph_f = jnp.where(in_med, 0.0, sph_f)
 
     hit = t < jnp.float32(jnp.inf)
     t_safe = jnp.where(hit, t, 1.0)
@@ -192,11 +225,20 @@ def _shade(hit_res, mtbl, ttbl, oxv, oyv, ozv, dxv, dyv, dzv,
     front = fr_f > 0.5
     is_sphere = sph_f > 0.5
 
-    # sphere uv (Geometry.hs:100-104) via polynomial atan2
+    # sphere uv (Geometry.hs:100-104) via polynomial atan2; instanced
+    # spheres rotate the outward normal into object space first
     flip = jnp.where(front, 1.0, -1.0)
     owx = nx * flip
     owy = ny * flip
     owz = nz * flip
+    for row, r9 in sphere_rots:
+        sel = bi == jnp.float32(row)
+        rx = r9[0] * owx + r9[1] * owy + r9[2] * owz
+        ry = r9[3] * owx + r9[4] * owy + r9[5] * owz
+        rz = r9[6] * owx + r9[7] * owy + r9[8] * owz
+        owx = jnp.where(sel, rx, owx)
+        owy = jnp.where(sel, ry, owy)
+        owz = jnp.where(sel, rz, owz)
     su = _atan2(owx, owz) * (0.5 / math.pi) + 0.5
     sv = _acos(jnp.clip(-owy, -1.0, 1.0)) * (1.0 / math.pi)
     uu = jnp.where(is_sphere, su, uu)
@@ -232,6 +274,13 @@ def _shade(hit_res, mtbl, ttbl, oxv, oyv, ozv, dxv, dyv, dzv,
             tr_ = cf * hit_res[10] + (1.0 - cf) * tr_
             tg_ = cf * hit_res[11] + (1.0 - cf) * tg_
             tb_ = cf * hit_res[12] + (1.0 - cf) * tb_
+        # rich textures (image/noise/marble/custom) defer: albedo 1.0
+        # here, real albedo multiplied into throughput by the caller
+        rich = jnp.logical_and(tex_kind != float(TEX_CONSTANT),
+                               tex_kind != float(TEX_CHECKER))
+        tr_ = jnp.where(rich, 1.0, tr_)
+        tg_ = jnp.where(rich, 1.0, tg_)
+        tb_ = jnp.where(rich, 1.0, tb_)
         ar = jnp.where(sel, tr_, ar)
         ag = jnp.where(sel, tg_, ag)
         ab = jnp.where(sel, tb_, ab)
@@ -514,6 +563,77 @@ def bounce_megakernel(ptbl, ctbl, mtbl, ttbl, ox, oy, oz, dx, dy, dz, tm,
         interpret=interpret,
     )(ctbl, gtbl, mtbl, ttbl, ptbl, ox, oy, oz, dx, dy, dz, tm, tr, tg,
       tb, al, uniforms)
+
+
+def _shade_only_kernel(mtbl, ttbl, t, bi, nx, ny, nz, fr, uu, vv, mat,
+                       sph, *rest, n_mats: int, n_targets: int,
+                       has_medium: bool, sphere_rots=()):
+    if has_medium:
+        tmed, vmat = rest[0], rest[1]
+        rest = rest[2:]
+    else:
+        tmed = vmat = None
+    (ox, oy, oz, dx, dy, dz, tr, tg, tb, al, un) = rest[:11]
+    outs = rest[11:]
+    hit_res = (t[...], bi[...], nx[...], ny[...], nz[...], fr[...],
+               uu[...], vv[...], mat[...], sph[...])
+    _shade(hit_res, mtbl, ttbl, ox[...], oy[...], oz[...],
+           dx[...], dy[...], dz[...], tr, tg, tb, al, un, *outs,
+           n_mats=n_mats, n_targets=n_targets,
+           tmed=tmed, vmat=vmat, sphere_rots=sphere_rots)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_mats", "n_targets", "has_medium", "sphere_rots",
+                     "interpret"))
+def shade_megakernel(mtbl, ttbl, hit, medium, lanes, uniforms, *,
+                     n_mats: int, n_targets: int, has_medium: bool,
+                     sphere_rots=(), interpret: bool = False):
+    """Fused material/texture/emission/scatter/MIS stage fed by a
+    PRECOMPUTED hit record — the Pallas replacement for the XLA shade
+    half of render/integrator.py:bounce on scenes the full-bounce
+    megakernel cannot take (volumes, rich textures, any intersect
+    engine).  One kernel replaces the ~40 XLA launches of the shade
+    stage; the intersect engine stays freely chosen (all-pairs,
+    clustered, streamed) and the volume crossing kernel feeds medium
+    events per lane.
+
+    ``hit``: 10-tuple (t, idx_f32, nx, ny, nz, front_f, u, v, mat_f,
+    sphere_f) — [G, 128] each, normals hit-side, uv PRE-computed (pass
+    sphere_f = 0 to keep the input uv; the in-kernel polynomial sphere
+    uv is only for the full megakernel).  ``medium``: (t_med, vmat_f)
+    or None.  ``lanes``: (ox, oy, oz, dx, dy, dz, tr, tg, tb, alive_f).
+    ``uniforms``: [N_U, G, 128].  Returns the 15 standard bounce
+    outputs (see _kernel).
+    """
+    g = hit[0].shape[0]
+    bg = min(BLOCK_G, g)
+    grid = (pl.cdiv(g, bg),)
+    ray_spec = pl.BlockSpec((bg, LANES), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    uni_spec = pl.BlockSpec((N_U, bg, LANES), lambda i, *_: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    n_in = 10 + (2 if has_medium else 0) + 10
+    out_specs = [pl.BlockSpec((bg, LANES), lambda i, *_: (i, 0),
+                              memory_space=pltpu.VMEM)] * 15
+    out_shape = [jax.ShapeDtypeStruct((g, LANES), jnp.float32)] * 15
+    kernel = functools.partial(
+        _shade_only_kernel, n_mats=n_mats, n_targets=n_targets,
+        has_medium=has_medium, sphere_rots=sphere_rots)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[ray_spec] * n_in + [uni_spec],
+        out_specs=out_specs,
+    )
+    med = tuple(medium) if has_medium else ()
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(mtbl, ttbl, *hit, *med, *lanes, uniforms)
 
 
 def _culled_kernel(ids, nvis, tent, mtbl, ttbl, ptbl,

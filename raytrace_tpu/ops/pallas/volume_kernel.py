@@ -371,10 +371,13 @@ def pallas_volume_crossings_bcast(vtbl, ox, oy, oz, dx, dy, dz, tm, *,
                         jnp.float32).at[:, 16].set(-1.0)
         vtbl = jnp.concatenate([vtbl, pad])
 
+    # ~24 live [CHUNK, W] f32 intermediates peak in _crossing_cand
+    # (sphere + plane + box candidate math + reductions); measured OOM at
+    # the 12-buffer estimate (20.3 MB scoped vs the 16 MB limit at W=512)
     w_cap = 512
     tbl_vmem = vtbl.shape[0] * vtbl.shape[1] * 4
     while w_cap > LANES and (tbl_vmem
-                             + BCAST_CHUNK * w_cap * 4 * 12) > 14_000_000:
+                             + BCAST_CHUNK * w_cap * 4 * 24) > 14_000_000:
         w_cap //= 2
     w = LANES
     while w < w_cap and g % 2 == 0 and g >= 2:

@@ -151,7 +151,9 @@ def volume_candidates_pallas(volumes: Volumes, o, d, time, t_min,
     vtbl = pack_prims(volumes.prims)
     slices = tuple(zip(volumes.starts, volumes.counts))
     if use_bcast is None:
-        use_bcast = volumes.prims.kind.shape[0] >= BCAST_MIN_ROWS
+        import os
+        use_bcast = (volumes.prims.kind.shape[0] >= BCAST_MIN_ROWS
+                     and not os.environ.get("RT_NO_VOL_BCAST"))
     fn = pallas_volume_crossings_bcast if use_bcast \
         else pallas_volume_crossings
     outs = fn(

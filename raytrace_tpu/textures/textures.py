@@ -199,6 +199,45 @@ def compile_textures(textures: Sequence[Texture]) -> TextureTable:
 # Batched evaluation
 # ---------------------------------------------------------------------------
 
+def _image_gather(images, img_id, j, i, force_pallas_bwd: bool = False,
+                  interpret: bool = False):
+    """Atlas texel gather whose BACKWARD is the scatter-free Pallas
+    row x column one-hot factorization for small atlases
+    (ops/pallas/image_grad_kernel.py; docs/ROADMAP.md §8) — the XLA
+    scatter backward measured 4.25x the constant-texture train step at
+    2^17 lanes.  Large atlases / unaligned lanes keep the plain gather
+    (scatter backward)."""
+    import jax as _jax
+    from ..ops.pallas.image_grad_kernel import (
+        image_grad_eligible, image_grad_pallas,
+    )
+    eligible = (img_id.ndim == 1
+                and (force_pallas_bwd
+                     or image_grad_eligible(images, img_id.shape[0])))
+    if not eligible:
+        return images[img_id, j, i]
+    n_img, h_, w_, _ = images.shape
+
+    @_jax.custom_vjp
+    def gather(images, idf, jf, if_):
+        return images[idf.astype(jnp.int32), jf.astype(jnp.int32),
+                      if_.astype(jnp.int32)]
+
+    def fwd(images, idf, jf, if_):
+        return gather(images, idf, jf, if_), (idf, jf, if_)
+
+    def bwd(res, g):
+        idf, jf, if_ = res
+        g_img = image_grad_pallas(idf, jf, if_, g, n_img=n_img, h=h_,
+                                  w=w_, interpret=interpret)
+        return (g_img, jnp.zeros_like(idf), jnp.zeros_like(jf),
+                jnp.zeros_like(if_))
+
+    gather.defvjp(fwd, bwd)
+    return gather(images, img_id.astype(DTYPE), j.astype(DTYPE),
+                  i.astype(DTYPE))
+
+
 def eval_texture(table: TextureTable, tex_ids, points, uvs,
                  onehot: bool = False, marble_pallas: bool = False):
     """Evaluate texture ``tex_ids[...]`` at ``points[..., 3]`` / ``uvs[..., 2]``.
@@ -255,7 +294,7 @@ def eval_texture(table: TextureTable, tex_ids, points, uvs,
         # i = floor(u*w) mod w ; j = floor((1-v)*h) mod h (Texture.hs:36-42)
         i = jnp.mod(jnp.floor(uvs[..., 0] * w).astype(jnp.int32), jnp.maximum(w, 1))
         j = jnp.mod(jnp.floor((1.0 - uvs[..., 1]) * h).astype(jnp.int32), jnp.maximum(h, 1))
-        texel = table.images[img_id, j, i]
+        texel = _image_gather(table.images, img_id, j, i)
         out = jnp.where((kind == TEX_IMAGE)[..., None], texel, out)
 
     if TEX_NOISE in table.kinds_present:
