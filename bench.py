@@ -101,17 +101,21 @@ def main():
 
     params, statics = partition(scene)
     vg = jax.jit(jax.value_and_grad(render_loss_wavefront, has_aux=True),
-                 static_argnames=("spp", "n_iters", "remat"))
+                 static_argnames=("spp", "n_iters", "remat", "schedule"))
     bwd_pix = 1 << 18
     bwd_spp = 64
-    # Guaranteed-completion bound, measured (tools/prof_completion.py):
-    # frac=1.00000 at 275 iterations for spp=64 under RR.  The tail is
-    # per-SAMPLE path-length variance (the max over 262k lanes of a sum
-    # of 64 random path lengths), so neither pixel rotation nor
-    # cost-balanced antithetic assignment shrinks it (both measured
-    # slower at equal completion), and the cond-skip wrapper costs more
-    # than the tail it skips (see trace_wavefront_diff docstring).
-    n_iters = 275
+    # Two-phase completion schedule (tools/prof_twophase.py): the
+    # completion tail is per-SAMPLE path-length variance — the max over
+    # 262k lanes of a 64-path sum — so 99%+ of lanes finish by ~210
+    # full-width iterations while guaranteed completion needs 275+.
+    # Running the tail compacted (30 iters at 2^14 lanes, then 95 at
+    # 2^12: unfinished-lane counts measured 210:8.6k 240:116 260:3, so
+    # both widths carry >=1.4x margin) keeps frac=1.0 at ~17% less wall
+    # time than the single-phase 275 (0.230 s vs 0.277 s interleaved
+    # A/B).  Estimator-exact: compacted lanes keep their absolute
+    # (pixel, sample) RNG coordinates.
+    n_iters = 210
+    schedule = ((30, 1 << 14), (95, 1 << 12))
 
     def run_bwd(i):
         start = (i * 131) % max(n_pix - bwd_pix, 1)
@@ -121,7 +125,8 @@ def main():
         # residuals (~3 GB at these shapes) beat recomputing the forward
         # (tools/prof_diff2.py: 46.5M vs 36.9M rays/s)
         return vg(params, statics, settings_rr, key, pix, target,
-                  spp=bwd_spp, n_iters=n_iters, remat=False)
+                  spp=bwd_spp, n_iters=n_iters, remat=False,
+                  schedule=schedule)
 
     (loss, frac), grads = run_bwd(0)
     jax.block_until_ready((loss, grads))

@@ -27,9 +27,13 @@ from raytrace_tpu.diff.gradients import partition, render_loss_wavefront
 scene, settings = _cornell_scene_and_settings(width=600, spp=200, depth=50)
 settings = settings.replace(rr_depth=2)
 params, statics = partition(scene)
-bwd_spp = 64
+# Lane-shape sweep (RT_SPP/RT_LANES): the completion tail is the max
+# over lanes of an spp-path sum, so its DEVIATION grows ~sqrt(spp)
+# while the useful work grows ~spp — taller lanes (more spp, fewer
+# lanes) spend a smaller fraction of iterations on the tail.
+bwd_spp = int(os.environ.get("RT_SPP", "64"))
 n_pix = settings.image_width * settings.image_height
-N_LANES = 1 << 18
+N_LANES = 1 << int(os.environ.get("RT_LANES_LOG2", "18"))
 
 vg = jax.jit(jax.value_and_grad(render_loss_wavefront, has_aux=True),
              static_argnames=("spp", "n_iters", "remat", "schedule"))
@@ -145,11 +149,12 @@ if __name__ == "__main__":
         width_cost()
     if mode == "inter":
         interleaved([
-            (275, None),
-            (200, None),                  # frac<1: isolates phase-A cost
             (200, ((20, 1 << 15), (30, 1 << 13), (80, 1 << 12))),
-            (200, ((110, 1 << 15),)),
-            (210, ((30, 1 << 14), (80, 1 << 12))),
+            (200, ((25, 1 << 15), (110, 1 << 13))),
+            (195, ((25, 1 << 16), (30, 1 << 14), (85, 1 << 12))),
+            (205, ((20, 1 << 15), (30, 1 << 13), (80, 1 << 12))),
+            (200, ((135, 1 << 15),)),
+            (210, ((30, 1 << 14), (95, 1 << 12))),
         ])
     if mode in ("counts", "all"):
         unfinished_counts([150, 160, 170, 185, 200])
