@@ -602,13 +602,15 @@ def _russian_roulette(s: CameraSettings, u_rr, depth, thr_tuple, alive,
     return thr, alive & ~kill, died | rr_kill
 
 
-def pallas_eligible(scene: Scene, n_rays: int) -> bool:
+def pallas_eligible(scene: Scene, n_rays: int,
+                    interpret: bool = False) -> bool:
     """Static check: can the dense Pallas intersect kernels serve this
     scene?  Kind-segmented tables have no size cap (past MAX_DENSE_PRIMS
     the dynamic all-pairs kernel streams chunks from HBM); unsegmented
-    tables must fit VMEM."""
+    tables must fit VMEM.  ``interpret`` skips the backend check (CPU
+    tests drive the kernels in interpret mode)."""
     from ..ops.pallas.intersect_kernel import MAX_DENSE_PRIMS
-    return (jax.default_backend() in ("tpu", "axon")
+    return ((interpret or jax.default_backend() in ("tpu", "axon"))
             and scene.bvh is None
             and (scene.prims.kind.shape[0] <= MAX_DENSE_PRIMS
                  or scene.prims.kind_segments is not None)
@@ -625,7 +627,7 @@ MEGA_MAX_PRIMS = 8192
 
 
 def bounce_kernel_eligible(scene: Scene, s: CameraSettings,
-                           n_rays: int) -> bool:
+                           n_rays: int, interpret: bool = False) -> bool:
     """Static check for the full-bounce megakernel: dense scene, no
     volumes, only constant/checker textures, few targets and few
     material *behaviors* (constant-color materials collapse to one
@@ -641,7 +643,7 @@ def bounce_kernel_eligible(scene: Scene, s: CameraSettings,
     m = scene.materials
     n_rows = m.n_behaviors if getattr(m, "n_behaviors", 0) > 0 \
         else m.kind.shape[0]
-    return (pallas_eligible(scene, n_rays)
+    return (pallas_eligible(scene, n_rays, interpret=interpret)
             and scene.volumes is None
             and set(scene.textures.kinds_present) <= {TEX_CONSTANT,
                                                       TEX_CHECKER}
@@ -1273,6 +1275,13 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
 
     import os as _os
     _CELL = int(_os.environ.get("RT_SORT_CELL", "256"))
+    # Re-bin every k-th iteration: the permutation is purely a perf
+    # hint (RNG keys are absolute (pixel, sample)), and the per-
+    # iteration argsort (~12 ms) + packed takes (~4 ms) are the
+    # driver's overhead at 2^18 lanes.  Regeneration and the death
+    # flush still run EVERY iteration, so occupancy and the estimator
+    # are unchanged; only block coherence decays between sorts.
+    _SORT_EVERY = int(_os.environ.get("RT_SORT_EVERY", "1"))
     # origin-quantization cells per axis.  The scene bbox includes
     # ground planes etc. far larger than the mesh, so cells must be
     # fine for mesh-surface origins to separate at all: bigmesh
@@ -1304,11 +1313,10 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
         return jnp.argsort(jnp.where(alive, live_key, dead_key),
                            stable=True)
 
-    def body(state):
+    def rebin(state):
+        # --- re-bin lanes (permutation travels with ALL lane state) ---
         (acc_r, acc_g, acc_b, next_w, comps, rad, thr, alive, lane_pixel,
          sample, depth, iters, segments) = state
-
-        # --- re-bin lanes (permutation travels with ALL lane state) ---
         perm = sort_perm(comps, alive)
         fpack = jnp.stack(comps + rad + thr, axis=0)          # [13, R]
         ipack = jnp.stack(
@@ -1322,6 +1330,12 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
         sample = ipack[1]
         depth = ipack[2]
         alive = ipack[3].astype(bool)
+        return (acc_r, acc_g, acc_b, next_w, comps, rad, thr, alive,
+                lane_pixel, sample, depth, iters, segments)
+
+    def step(state):
+        (acc_r, acc_g, acc_b, next_w, comps, rad, thr, alive, lane_pixel,
+         sample, depth, iters, segments) = state
 
         # --- queue regeneration: dead lanes pull fresh work ---
         dead = ~alive
@@ -1381,6 +1395,19 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
         segments = segments + jnp.sum((alive | died).astype(jnp.int32))
         return (acc_r, acc_g, acc_b, next_w, comps, rad, thr, alive,
                 lane_pixel, sample, depth, iters + 1, segments)
+
+    if _SORT_EVERY <= 1:
+        def body(state):
+            return step(rebin(state))
+    else:
+        # static unroll (a nested fori_loop would double-buffer the
+        # intersect kernel's operands through the loop boundary —
+        # measured scoped-VMEM OOM at 2^18 lanes)
+        def body(state):
+            state = rebin(state)
+            for _ in range(_SORT_EVERY):
+                state = step(state)
+            return state
 
     def cond(state):
         return jnp.any(state[7]) | (state[3] < total_work)
@@ -1505,6 +1532,92 @@ def lane_cost_estimate(scene: Scene, s: CameraSettings, base_key,
     return st[0].astype(DTYPE)
 
 
+def _trace_wavefront_diff_fused(scene: Scene, s: CameraSettings, base_key,
+                                pixel_ids, spp: int, n_iters: int,
+                                sample_offset: int, remat: bool,
+                                schedule, interpret: bool = False):
+    """Fused-iteration driver for the differentiable wavefront: the
+    whole scan body is ONE Pallas kernel (ops/pallas/iter_kernel.py)
+    plus the accumulation adds — same estimator and RNG stream as the
+    unfused body (the kernel's int32 counter-hash is bit-identical to
+    core/rng.py's uint32 stream); camera/shade transcendentals differ
+    only in final-ulp lowering.  Carries: (smp, dep, alive, comps(7),
+    rad(3), thr(3)) as [G, 128] blocks — no keys carry (recomputed
+    in-kernel from absolute (pixel, sample, depth))."""
+    from ..diff.fused_iter import fused_iter_step
+
+    lanes = pixel_ids.shape[0]
+    last_sample = sample_offset + spp - 1
+    step = fused_iter_step(scene, s, base_key, spp, sample_offset,
+                           interpret=interpret)
+
+    def pack(pix):
+        g = pix.shape[0] // 128
+        return pix.astype(jnp.int32).reshape(g, 128)
+
+    def init_carry(w):
+        g = w // 128
+        z = jnp.zeros((g, 128), DTYPE)
+        o = jnp.ones((g, 128), DTYPE)
+        zi = jnp.zeros((g, 128), jnp.int32)
+        return ((jnp.full((g, 128), sample_offset - 1, jnp.int32), zi, z)
+                + (z, z, z, z, z, o, z) + (z, z, z) + (o, o, o))
+
+    def make_body(pix2):
+        def body(state):
+            acc, done, carry = state
+            carry2, died_f = step(pix2, carry)
+            rad2 = carry2[10:13]
+            acc = tuple(a + r * died_f for a, r in zip(acc, rad2))
+            done = done + died_f.astype(jnp.int32)
+            return (acc, done, carry2)
+        return jax.checkpoint(body) if remat else body
+
+    g0 = lanes // 128
+    z0 = jnp.zeros((g0, 128), DTYPE)
+    state = ((z0, z0, z0), jnp.zeros((g0, 128), jnp.int32),
+             init_carry(lanes))
+    body0 = make_body(pack(pixel_ids))
+    state = jax.lax.scan(lambda st, _: (body0(st), None), state, None,
+                         length=n_iters)[0]
+
+    if schedule:
+        acc, done, carry = state
+        acc = tuple(a.reshape(lanes) for a in acc)
+        done = done.reshape(lanes)
+        carry_f = tuple(
+            c.reshape(c.shape[0] * 128) for c in carry)
+        slot = jnp.arange(lanes, dtype=jnp.int32)
+        pix_f = pixel_ids.astype(jnp.int32)
+        for it_b, w_b in schedule:
+            smp_c, dep_c, al_c = carry_f[0:3]
+            unfinished = (al_c > 0.5) | (smp_c < last_sample)
+            sel = jnp.argsort(~unfinished)[:w_b]
+            slot = slot[sel]
+            pix_f = pix_f[sel]
+            carry_f = tuple(c[sel] for c in carry_f)
+            gb = w_b // 128
+            zb = jnp.zeros((gb, 128), DTYPE)
+            st_b = ((zb, zb, zb), jnp.zeros((gb, 128), jnp.int32),
+                    tuple(c.reshape(gb, 128) for c in carry_f))
+            body_b = make_body(pack(pix_f))
+            st_b = jax.lax.scan(lambda st, _: (body_b(st), None), st_b,
+                                None, length=it_b)[0]
+            acc_b, done_b, carry_b = st_b
+            acc = tuple(a.at[slot].add(ab.reshape(w_b))
+                        for a, ab in zip(acc, acc_b))
+            done = done.at[slot].add(done_b.reshape(w_b))
+            carry_f = tuple(c.reshape(w_b) for c in carry_b)
+        mean = jnp.stack(acc, axis=-1) / jnp.maximum(done, 1)[:, None]
+        return mean, done
+
+    acc, done, _ = state
+    acc = tuple(a.reshape(lanes) for a in acc)
+    done = done.reshape(lanes)
+    mean = jnp.stack(acc, axis=-1) / jnp.maximum(done, 1)[:, None]
+    return mean, done
+
+
 def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
                          pixel_ids, spp: int, n_iters: int | None = None,
                          sample_offset: int = 0, remat: bool = True,
@@ -1573,6 +1686,17 @@ def trace_wavefront_diff(scene: Scene, s: CameraSettings, base_key,
     ``width`` drops the overflow lanes' remaining samples.
     """
     lanes = pixel_ids.shape[0]
+    if n_iters is None:
+        n_iters = 6 * spp + s.max_depth
+    if (rotate_k == 1 and not skip_done and pixel_cost is None
+            and use_mega is not False):
+        from ..diff.fused_iter import fused_iter_eligible
+        if fused_iter_eligible(scene, s, lanes,
+                               interpret=mega_interpret):
+            return _trace_wavefront_diff_fused(
+                scene, s, base_key, pixel_ids, spp, n_iters,
+                sample_offset, remat, schedule,
+                interpret=mega_interpret)
     # keep ONLY raw uint32 key data inside the scan (wrap at use): the
     # extended key dtype as a cond carry/closure breaks JAX's
     # residual-union typing under the skip-done lax.cond's VJP
