@@ -1,0 +1,261 @@
+"""Custom-VJP wrapper for the fused wavefront-iteration megakernel.
+
+Forward: ONE Pallas kernel per scan iteration (ops/pallas/iter_kernel.py)
+— regeneration, RNG, camera, bounce, RR and death bookkeeping all in
+VMEM; the only XLA ops left in the scan body are the image accumulation
+adds.
+
+Backward: the regeneration/RNG/camera stage is DETACHED (sampling) or
+LINEAR (selects), so the VJP decomposes exactly as the unfused path's
+(diff/mega_bounce.py):
+
+* reconstruct the pre-bounce state in XLA from the saved integer
+  coordinates (pixel, sample, depth) — bit-identical RNG recompute,
+  ~60 cheap ops that run only in the backward pass;
+* replay the bounce + its machine-derived transpose through the
+  existing Pallas replay kernel (diff/lane_replay.py:replay_bwd_soa)
+  using the saved winner index;
+* route the cotangents through the linear regeneration selects by hand
+  (where(can, new, old) transposes to a (1 - can) mask).
+
+Residuals per iteration: the 17 input carries + winner index + RR scale
+(the unfused path saves 20) — detached sampling discipline unchanged
+(stop-gradient on sampled directions, MIS denominators, RR survival).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng
+from ..core.vecmath import DTYPE
+from ..render.camera import (
+    camera_frame, const_background, generate_ray_components, gray_fade, sky,
+)
+from .gradients import combine, partition
+
+N_CARRY = 17
+
+
+def background_kind(s):
+    """(bg_kind, color) when the kernel can evaluate the background
+    in-VMEM; None otherwise (render/camera.py's three shipped
+    backgrounds; arbitrary callables take the unfused path)."""
+    from ..ops.pallas.iter_kernel import BG_CONST, BG_GRAY, BG_SKY
+    bg = s.background
+    if bg is sky:
+        return BG_SKY, jnp.zeros(3, DTYPE)
+    if bg is gray_fade:
+        return BG_GRAY, jnp.zeros(3, DTYPE)
+    if getattr(bg, "__qualname__", "").startswith("const_background"):
+        cell = bg.__closure__[0].cell_contents
+        return BG_CONST, jnp.asarray(cell, DTYPE) * jnp.ones(3, DTYPE)
+    return None
+
+
+def fused_iter_eligible(scene, s, lanes: int,
+                        interpret: bool = False) -> bool:
+    """Static check: can the fused iteration kernel drive the diff
+    wavefront for this scene?"""
+    from ..ops.pallas.intersect_kernel import MAX_SMEM_PRIMS
+    from ..render.integrator import bounce_kernel_eligible
+    from .lane_replay import replay_eligible
+    import os
+    if os.environ.get("RT_NO_FUSED_ITER"):
+        return False
+    return (bounce_kernel_eligible(scene, s, lanes, interpret=interpret)
+            and replay_eligible(scene)
+            and scene.prims.kind.shape[0] <= MAX_SMEM_PRIMS
+            and lanes % (32 * 128) == 0
+            and background_kind(s) is not None
+            and not rng.USE_THREEFRY and rng.USE_PAIR16
+            and not scene.prims.sphere_rots)
+
+
+def fused_iter_step(scene, s, base_key, spp: int, sample_offset: int,
+                    interpret: bool = False):
+    """Returns ``step(pixel_ids2d, carry) -> carry2`` — one fused
+    differentiable wavefront iteration over [G, 128]-packed lane state.
+
+    ``carry`` = (smp i32, dep i32, al f32, comps(7), rad(3), thr(3))
+    [the pixel assignment is a closure-free ARG so compacted completion
+    phases can re-bind it].  Differentiable w.r.t. every float leaf of
+    ``scene`` exactly like the unfused body (same replay backward)."""
+    from ..ops.pallas.bounce_kernel import (
+        N_U, pack_behaviors, pack_materials, pack_targets,
+    )
+    from ..ops.pallas.intersect_kernel import pack_clusters, pack_prims
+    from ..ops.pallas.iter_kernel import iter_megakernel, pack_cam, pack_kt
+    from ..render.integrator import _n_scan_prims, n_bounce_uniforms
+    from ..textures.textures import TEX_CONSTANT
+    from .lane_replay import replay_bwd_soa
+
+    params, statics = partition(scene)
+    st_dtypes = jax.tree_util.tree_map(lambda x: x.dtype, statics)
+    statics_f = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32), statics)
+    t_min = float(s.t_min)
+    has_motion = scene.prims.has_motion
+    n_u = n_bounce_uniforms(scene)
+    bg_kind, bg_color = background_kind(s)
+    last_sample = sample_offset + spp - 1
+    rr_depth = None if s.rr_depth is None else int(s.rr_depth)
+    max_depth = int(s.max_depth)
+    width = int(s.image_width)
+    # the key rides through the custom-VJP boundary as an ARG (kt):
+    # custom_vjp closures must not capture tracers (diff/mega_bounce.py)
+    kt = pack_kt(base_key, last_sample)
+
+    def rebuild(params, statics_f):
+        st = jax.tree_util.tree_map(lambda x, dt: x.astype(dt),
+                                    statics_f, st_dtypes)
+        return combine(params, st)
+
+    def kernel_tables(scene_r):
+        m = scene_r.materials
+        use_beh = getattr(m, "n_behaviors", 0) > 0
+        if use_beh:
+            p = scene_r.prims
+            tex_ids = m.tex[p.mat]
+            is_const = (scene_r.textures.kind[tex_ids]
+                        == TEX_CONSTANT)[:, None]
+            prim_albedo = jnp.where(is_const,
+                                    scene_r.textures.c0[tex_ids], 0.0)
+            ptbl = pack_prims(p, mat_override=m.behavior_of[p.mat],
+                              albedo=prim_albedo, param=m.param[p.mat])
+            mtbl = pack_behaviors(m, scene_r.textures)
+            n_mats = m.n_behaviors
+        else:
+            ptbl = pack_prims(scene_r.prims)
+            mtbl = pack_materials(m, scene_r.textures)
+            n_mats = m.kind.shape[0]
+        ctbl = pack_clusters(scene_r.prims)
+        ttbl = pack_targets(s.redirect_prob, s.redirect_q, s.redirect_u,
+                            s.redirect_v)
+        return ptbl, ctbl, mtbl, ttbl, n_mats, use_beh
+
+    def run_fwd(params, statics_f, s_in, kt_in, pix2, *carry):
+        scene_r = rebuild(params, statics_f)
+        ptbl, ctbl, mtbl, ttbl, n_mats, use_beh = kernel_tables(scene_r)
+        cam = pack_cam(s_in, camera_frame(s_in), bg_color)
+        outs = iter_megakernel(
+            ptbl, ctbl, mtbl, ttbl, cam, kt_in, (pix2,) + carry,
+            n_prims=_n_scan_prims(scene_r.prims), n_mats=n_mats,
+            n_targets=int(s_in.n_redirect), t_min=t_min,
+            has_motion=has_motion, use_prim_albedo=use_beh,
+            has_box=scene_r.prims.has_box,
+            segments=scene_r.prims.kind_segments,
+            kinds=scene_r.prims.kinds_present, n_u=n_u,
+            rr_depth=rr_depth, max_depth=max_depth, width=width,
+            bg_kind=bg_kind, interpret=interpret)
+        # carry2 = (smp, dep, al, comps(7), rad(3), thr(3)) + died_f;
+        # residuals = (idx, rr_scale)
+        carry2 = ((outs[14], outs[15], outs[13]) + tuple(outs[0:7])
+                  + tuple(outs[7:10]) + tuple(outs[10:13]) + (outs[16],))
+        return carry2, (outs[17], outs[18])
+
+    @jax.custom_vjp
+    def f(params, statics_f, s_in, kt_in, pix2, *carry):
+        return run_fwd(params, statics_f, s_in, kt_in, pix2, *carry)[0]
+
+    def f_fwd(params, statics_f, s_in, kt_in, pix2, *carry):
+        out, res_extra = run_fwd(params, statics_f, s_in, kt_in, pix2,
+                                 *carry)
+        # rad carries don't enter the backward (pure linear passthrough)
+        # — drop them from the per-iteration residual set
+        return out, ((params, statics_f, s_in, kt_in, pix2) + carry[0:10]
+                     + carry[13:16] + res_extra)
+
+    def f_bwd(res, cts):
+        (params, statics_f, s_in, kt_in, pix2) = res[:5]
+        (smp_i, dep_i, al_i) = res[5:8]
+        comps_i = res[8:15]
+        thr_i = res[15:18]
+        idx2, scale2 = res[18:]
+        g2 = pix2.shape[0]
+        r = g2 * 128
+        fl = lambda x: x.reshape(r)
+        pixv = fl(pix2)
+        smpv = fl(smp_i)
+        depv = fl(dep_i)
+        alv = fl(al_i) > 0.5
+        comps_in = tuple(fl(c) for c in comps_i)
+        thr_in = tuple(fl(t) for t in thr_i)
+        idx = fl(idx2).astype(jnp.int32)
+        scale = fl(scale2)
+
+        # ---- reconstruct the pre-bounce state (detached; backward-only
+        # cost — bit-identical RNG/camera recompute) ----
+        can = ~alv & (smpv < last_sample)
+        can_f = jnp.where(can, 1.0, 0.0)
+        smp2 = jnp.where(can, smpv + 1, smpv)
+        dep_pre = jnp.where(can, 0, depv)
+        alive_pre = alv | can
+        base_raw = kt_in[0, 0:2].astype(jnp.uint32)
+        keys = rng.ray_keys_fast(
+            jax.random.wrap_key_data(base_raw), pixv, smp2)
+        dkeys = rng.mix_depth(keys, dep_pre)
+        uni = rng.uniform_block(dkeys, n_u + 6)
+        scene_d = jax.lax.stop_gradient(rebuild(params, statics_f))
+        frame = camera_frame(s_in)
+        new_comps = generate_ray_components(
+            s_in, frame, pixv, uni[:, n_u:n_u + 5])
+        comps_pre = tuple(jnp.where(can, jax.lax.stop_gradient(n), c)
+                          for n, c in zip(new_comps, comps_in))
+        thr_pre = tuple(jnp.where(can, 1.0, t) for t in thr_in)
+        # dead-lane origin nulling, exactly as the forward kernel
+        far = jnp.float32(3e18)
+        comps_pre = tuple(
+            jnp.where(alive_pre, c, far) if k < 3 else c
+            for k, c in enumerate(comps_pre))
+
+        # ---- cotangents: carry2 layout (smp, dep, al, comps, rad, thr,
+        # died) — ints/flags get zero/ignored ----
+        ct_comps = tuple(fl(c) for c in cts[3:10])
+        ct_rad = tuple(fl(c) for c in cts[10:13])
+        ct_thr = tuple(fl(c) for c in cts[13:16])
+        # RR: thr2 = thr2_bounce * scale (survival prob detached)
+        ct_thr_b = tuple(c * scale for c in ct_thr)
+        ct12 = ct_comps[0:6] + ct_rad + ct_thr_b
+
+        scene_r = rebuild(params, statics_f)
+        u_cols = tuple(uni[:, k] for k in range(N_U))
+        g_scene, g_lane = replay_bwd_soa(
+            scene_r, s_in, comps_pre, u_cols, thr_pre, alive_pre, idx,
+            ct12, has_motion=has_motion, t_min=t_min, use_pallas=True,
+            interpret=interpret)
+
+        # route through the linear regeneration selects
+        st = lambda x: x.reshape(g2, 128)
+        keep = 1.0 - can_f
+        g_comps_in = tuple(st(g * keep) for g in g_lane[0:6]) \
+            + (st((g_lane[6] + ct_comps[6]) * keep),)
+        g_rad_in = tuple(st(c * keep) for c in ct_rad)
+        g_thr_in = tuple(st(g * keep) for g in g_lane[7:10])
+
+        g_params = jax.tree_util.tree_map(
+            lambda x: x if (hasattr(x, "dtype") and jnp.issubdtype(
+                x.dtype, jnp.floating)) else None, g_scene)
+
+        import numpy as np
+
+        def zi(x):
+            # integer primals take float0 cotangents
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                return jnp.zeros_like(x)
+            return np.zeros(x.shape, jax.dtypes.float0)
+
+        return ((g_params,
+                 jax.tree_util.tree_map(jnp.zeros_like, statics_f),
+                 jax.tree_util.tree_map(jnp.zeros_like, s_in),
+                 zi(kt_in), zi(pix2), zi(smp_i), zi(dep_i),
+                 jnp.zeros_like(al_i))
+                + g_comps_in + g_rad_in + g_thr_in)
+
+    f.defvjp(f_fwd, f_bwd)
+
+    def step(pix2, carry):
+        out = f(params, statics_f, s, kt, pix2, *carry)
+        return out[:N_CARRY - 1], out[N_CARRY - 1]      # carry2, died_f
+
+    return step

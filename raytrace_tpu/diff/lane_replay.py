@@ -50,9 +50,13 @@ from ..textures.textures import TEX_CHECKER
 # a captured constant, which pallas_call kernels reject
 INF = float("inf")
 
-# one-hot row caps: [R, N] selector cost grows linearly in N; past these
-# the generic backward's gathers win (and its residuals stay bounded)
+# One-hot row caps: the [R, N] selector of the OUTSIDE-gather path grows
+# linearly in N; past MAX_REPLAY_PRIMS the Pallas backward switches to
+# the self-gathering kernel (bounce_bwd_gather_kernel.py) whose one-hots
+# stay in VMEM, up to the forward megakernel's own prim cap.  Material /
+# texture tables stay hard-capped (per-row [nm, 128] one-hot gathers).
 MAX_REPLAY_PRIMS = 64
+REPLAY_GATHER_MAX_PRIMS = 8192     # == integrator.MEGA_MAX_PRIMS
 MAX_REPLAY_MATS = 64
 MAX_REPLAY_TEX = 64
 
@@ -63,7 +67,7 @@ def replay_eligible(scene) -> bool:
     """Static check: can the SoA replay backward serve this scene?"""
     from ..textures.textures import TEX_CONSTANT
     return (scene.volumes is None
-            and scene.prims.kind.shape[0] <= MAX_REPLAY_PRIMS
+            and scene.prims.kind.shape[0] <= REPLAY_GATHER_MAX_PRIMS
             and scene.materials.kind.shape[0] <= MAX_REPLAY_MATS
             and scene.textures.kind.shape[0] <= MAX_REPLAY_TEX
             and set(scene.textures.kinds_present) <= {TEX_CONSTANT,
@@ -636,6 +640,11 @@ def replay_bwd_soa(scene, s, comps, u_cols, thr, alive, idx, ct12, *,
     from ..ops.pallas.bounce_kernel import pack_targets
     from ..core.vecmath import onehot_rows
 
+    if p.kind.shape[0] > MAX_REPLAY_PRIMS:
+        return _replay_bwd_gather(scene, s, comps, u_cols, thr, alive,
+                                  idx, ct12, has_motion=has_motion,
+                                  t_min=t_min, interpret=interpret)
+
     g = r // 128
     # ONE [R, N] one-hot matmul gathers everything per-prim (rows, uvs,
     # kind, mat) — oh_p is 25 MB at 2^18 lanes/24 prims, so every extra
@@ -699,6 +708,99 @@ def replay_bwd_soa(scene, s, comps, u_cols, thr, alive, idx, ct12, *,
     g_mparam = gd[i + 6] @ oh_m
     i += 7
     g_lane = gd[i:i + 10]
+
+    # miss-background term (kept in XLA: arbitrary jittable backgrounds)
+    def bgf(o3, d3, thr3):
+        return _bg_term(s, o3, d3, thr3, miss_f)
+
+    o3 = jnp.stack([ox, oy, oz], axis=-1)
+    d3 = jnp.stack([dx, dy, dz], axis=-1)
+    thr3 = jnp.stack([tr, tg, tb], axis=-1)
+    ct_rad3 = jnp.stack(ct12[6:9], axis=-1)
+    _, bg_vjp = jax.vjp(bgf, o3, d3, thr3)
+    go_bg, gd_bg, gthr_bg = bg_vjp(ct_rad3)
+    g_lane = (g_lane[0] + go_bg[:, 0], g_lane[1] + go_bg[:, 1],
+              g_lane[2] + go_bg[:, 2],
+              g_lane[3] + gd_bg[:, 0], g_lane[4] + gd_bg[:, 1],
+              g_lane[5] + gd_bg[:, 2], g_lane[6],
+              g_lane[7] + gthr_bg[:, 0], g_lane[8] + gthr_bg[:, 1],
+              g_lane[9] + gthr_bg[:, 2])
+
+    g_scene = assemble_scene_grads(
+        scene, g_ptab[:, 0:3], g_ptab[:, 3:6], g_ptab[:, 6:9],
+        g_ptab[:, 9:12] if has_motion else None,
+        g_ptab[:, 12:15] if has_motion else None, g_mparam, g_tc0, g_tc1)
+    return g_scene, g_lane
+
+
+def _replay_bwd_gather(scene, s, comps, u_cols, thr, alive, idx, ct12, *,
+                       has_motion: bool, t_min: float,
+                       interpret: bool = False):
+    """Pallas backward for scenes past ``MAX_REPLAY_PRIMS``: the winner
+    gather and the table-gradient reduction happen INSIDE the kernel as
+    per-(row, chunk) MXU one-hot matmuls (bounce_bwd_gather_kernel.py),
+    so the [R, N] selector never materializes.  Numerically equal to
+    the <=64-prim path / XLA oracle (tests/test_lane_replay.py)."""
+    from ..ops.pallas.bounce_bwd_gather_kernel import (
+        CHUNK_P, bounce_bwd_gather_megakernel,
+    )
+    from ..ops.pallas.bounce_kernel import pack_targets
+
+    p, m, tx = scene.prims, scene.materials, scene.textures
+    n, nm, nt = p.kind.shape[0], m.kind.shape[0], tx.kind.shape[0]
+    n_targets = int(s.n_redirect)
+    has_box = p.has_box
+    ox, oy, oz, dx, dy, dz, time = comps
+    tr, tg, tb = thr
+    r = ox.shape[0]
+    g = r // 128
+
+    parts = [p.p0, p.e1, p.e2]
+    if has_motion:
+        parts += [p.mv0, p.mv1]
+    n_row = 3 * len(parts)
+    tbl = jnp.concatenate(
+        parts + [p.uvs.reshape(n, 6), p.kind.astype(DTYPE)[:, None],
+                 p.mat.astype(DTYPE)[:, None]], axis=1)
+    np_pad = max(-(-n // CHUNK_P) * CHUNK_P, 8) if n > CHUNK_P \
+        else -(-n // 8) * 8
+    pad_row = jnp.zeros((np_pad - n, tbl.shape[1]), DTYPE).at[:, n_row + 6]\
+        .set(-1.0)                                  # kind=-1: no prim
+    tbl = _SG(jnp.concatenate([tbl, pad_row], axis=0))
+    nm_pad = -(-nm // 8) * 8
+    mtbl = jnp.concatenate(
+        [m.kind.astype(DTYPE)[:, None], m.tex.astype(DTYPE)[:, None],
+         m.param[:, None]], axis=1)
+    mtbl = jnp.concatenate(
+        [mtbl, jnp.zeros((nm_pad - nm, 3), DTYPE)], axis=0)
+    nt_pad = -(-nt // 8) * 8
+    xtbl = jnp.concatenate(
+        [tx.kind.astype(DTYPE)[:, None], tx.f0[:, None], tx.f1[:, None],
+         tx.c0, tx.c1], axis=1)
+    xtbl = jnp.concatenate(
+        [xtbl, jnp.zeros((nt_pad - nt, 9), DTYPE)], axis=0)
+
+    st = lambda x: x.reshape(g, 128)
+    bi = _SG(st(jnp.maximum(idx, 0).astype(DTYPE)))
+    lane = tuple(st(x) for x in (ox, oy, oz, dx, dy, dz, time, tr, tg, tb))
+    flags = (st(jnp.where(alive, 1.0, 0.0).astype(DTYPE)),
+             st(jnp.where(idx >= 0, 1.0, 0.0).astype(DTYPE)))
+    ttbl = pack_targets(s.redirect_prob, s.redirect_q, s.redirect_u,
+                        s.redirect_v)
+    gdiff, miss, g_tbl, g_mat, g_tex = bounce_bwd_gather_megakernel(
+        _SG(ttbl), tbl, _SG(mtbl), _SG(xtbl), bi, lane,
+        tuple(st(_SG(u)) for u in u_cols), flags,
+        _SG(tuple(st(c) for c in ct12)), n_targets=n_targets,
+        has_motion=has_motion, has_box=has_box, t_min=t_min,
+        interpret=interpret)
+    g_lane = tuple(x.reshape(r) for x in gdiff)
+    miss_f = miss.reshape(r)
+    g_ptab = g_tbl[:n]
+    g_mparam = jnp.sum(g_mat[:nm], axis=1)
+    g_tc0 = jnp.stack([jnp.sum(g_tex[j * nt_pad:j * nt_pad + nt], axis=1)
+                       for j in range(3)], axis=-1)
+    g_tc1 = jnp.stack([jnp.sum(g_tex[j * nt_pad:j * nt_pad + nt], axis=1)
+                       for j in range(3, 6)], axis=-1)
 
     # miss-background term (kept in XLA: arbitrary jittable backgrounds)
     def bgf(o3, d3, thr3):

@@ -199,16 +199,37 @@ def _shade(hit_res, mtbl, ttbl, oxv, oyv, ozv, dxv, dyv, dzv,
     instanced spheres — UV evaluates in object space
     (Geometry.hs:382-391, ops/intersect.py:apply_sphere_rotations).
     """
-    trv, tgv, tbv = tr[...], tg[...], tb[...]
-    alive = al[...] > 0.5
-    u_all = un[...]                       # (N_U, BG, 128)
+    vals = _shade_values(
+        hit_res, mtbl, ttbl, oxv, oyv, ozv, dxv, dyv, dzv,
+        tr[...], tg[...], tb[...], al[...] > 0.5, un[...],
+        n_mats=n_mats, n_targets=n_targets,
+        use_prim_albedo=use_prim_albedo,
+        tmed=tmed[...] if tmed is not None else None,
+        vmat=vmat[...] if vmat is not None else None,
+        sphere_rots=sphere_rots)
+    for ref, v in zip((ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tr_o, tg_o,
+                       tb_o, rr_o, rg_o, rb_o, al_o, ms_o, pi_o), vals):
+        ref[...] = v
+
+
+def _shade_values(hit_res, mtbl, ttbl, oxv, oyv, ozv, dxv, dyv, dzv,
+                  trv, tgv, tbv, alive, u_all,
+                  *, n_mats: int, n_targets: int,
+                  use_prim_albedo: bool = False,
+                  tmed=None, vmat=None, sphere_rots=()):
+    """Value-in/value-out core of :func:`_shade` (same math, no refs) —
+    also called directly by the fused-iteration kernel
+    (ops/pallas/iter_kernel.py), whose shade outputs feed further
+    in-kernel stages instead of output refs.  Returns the 15 outputs in
+    _kernel's output order: o2 (3), d2 (3), thr2 (3), emitted radiance
+    (3), alive', miss_f, winner index."""
     (t, bi, nx, ny, nz, fr_f, uu, vv, mat_f, sph_f) = hit_res[:10]
 
     if tmed is not None:
-        tmv = tmed[...]
+        tmv = tmed
         in_med = tmv < t
         t = jnp.where(in_med, tmv, t)
-        mat_f = jnp.where(in_med, vmat[...], mat_f)
+        mat_f = jnp.where(in_med, vmat, mat_f)
         nx = jnp.where(in_med, -dxv, nx)
         ny = jnp.where(in_med, -dyv, ny)
         nz = jnp.where(in_med, -dzv, nz)
@@ -291,9 +312,9 @@ def _shade(hit_res, mtbl, ttbl, oxv, oyv, ozv, dxv, dyv, dzv,
 
     # ---- 3. emission (Ray.hs:181-183) ----
     emit = jnp.where(live_hit & (kind == float(MAT_LIGHT)), 1.0, 0.0)
-    rr_o[...] = trv * ar * emit
-    rg_o[...] = tgv * ag * emit
-    rb_o[...] = tbv * ab * emit
+    emit_r = trv * ar * emit
+    emit_g = tgv * ag * emit
+    emit_b = tbv * ab * emit
 
     # ---- 4. behaviour classes ----
     is_absorb = (kind == float(MAT_LIGHT)) | (kind == float(MAT_PITCH_BLACK))
@@ -472,21 +493,20 @@ def _shade(hit_res, mtbl, ttbl, oxv, oyv, ozv, dxv, dyv, dzv,
     next_alive = live_hit & ~is_absorb & ~spec_dead & ~hemi_dead
 
     na = jnp.where(next_alive, 1.0, 0.0)
-    tr_o[...] = jnp.where(next_alive, trv * w_r, trv)
-    tg_o[...] = jnp.where(next_alive, tgv * w_g, tgv)
-    tb_o[...] = jnp.where(next_alive, tbv * w_b, tbv)
-    ox_o[...] = jnp.where(next_alive, px, oxv)
-    oy_o[...] = jnp.where(next_alive, py, oyv)
-    oz_o[...] = jnp.where(next_alive, pz, ozv)
-    dx_o[...] = jnp.where(next_alive, ndx, dxv)
-    dy_o[...] = jnp.where(next_alive, ndy, dyv)
-    dz_o[...] = jnp.where(next_alive, ndz, dzv)
-    al_o[...] = na
-    ms_o[...] = jnp.where(alive & ~hit, 1.0, 0.0)
     # winner primitive index (-1 on miss) — the residual that lets the
     # differentiable wrapper (diff/mega_bounce.py) recompute the bounce
     # without re-running the prim loop in the backward pass
-    pi_o[...] = bi
+    return (jnp.where(next_alive, px, oxv),
+            jnp.where(next_alive, py, oyv),
+            jnp.where(next_alive, pz, ozv),
+            jnp.where(next_alive, ndx, dxv),
+            jnp.where(next_alive, ndy, dyv),
+            jnp.where(next_alive, ndz, dzv),
+            jnp.where(next_alive, trv * w_r, trv),
+            jnp.where(next_alive, tgv * w_g, tgv),
+            jnp.where(next_alive, tbv * w_b, tbv),
+            emit_r, emit_g, emit_b,
+            na, jnp.where(alive & ~hit, 1.0, 0.0), bi)
 
 
 @functools.partial(

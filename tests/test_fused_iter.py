@@ -1,0 +1,112 @@
+"""Fused wavefront-iteration megakernel (ops/pallas/iter_kernel.py +
+diff/fused_iter.py) vs the unfused diff wavefront: the in-kernel
+regeneration/RNG/camera stage must reproduce the XLA stage exactly (the
+int32 counter-hash is bit-identical to core/rng.py's uint32 stream by
+construction), and the custom-VJP backward must equal the unfused
+backward on every scene-parameter gradient."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from __graft_entry__ import _cornell_scene_and_settings
+from raytrace_tpu.core import rng
+from raytrace_tpu.diff.fused_iter import fused_iter_eligible
+from raytrace_tpu.diff.gradients import partition, render_loss_wavefront
+from raytrace_tpu.render.integrator import trace_wavefront_diff
+
+R = 4096
+N_PIX = 64 * 64
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    scene, s = _cornell_scene_and_settings(width=64, spp=8, depth=10)
+    return scene, s.replace(rr_depth=2)
+
+
+def _run(scene, s, pix, spp, n_iters, schedule=None, fused=True):
+    if not fused:
+        os.environ["RT_NO_FUSED_ITER"] = "1"
+    try:
+        return trace_wavefront_diff(
+            scene, s, rng.base_key(0), pix, spp, n_iters=n_iters,
+            remat=False, use_mega=True, mega_interpret=True,
+            schedule=schedule)
+    finally:
+        os.environ.pop("RT_NO_FUSED_ITER", None)
+
+
+def test_fused_iter_forward_bit_identical(cornell):
+    scene, s = cornell
+    assert fused_iter_eligible(scene, s, R, interpret=True)
+    pix = jnp.arange(R, dtype=jnp.int32) % N_PIX
+    mean_f, done_f = _run(scene, s, pix, 8, 30)
+    mean_u, done_u = _run(scene, s, pix, 8, 30, fused=False)
+    assert bool(jnp.all(done_f == done_u))
+    np.testing.assert_array_equal(np.asarray(mean_f), np.asarray(mean_u))
+
+
+def test_fused_iter_gradients_match_unfused(cornell):
+    scene, s = cornell
+    params, statics = partition(scene)
+    pix = jnp.arange(R, dtype=jnp.int32) % N_PIX
+    target = jnp.zeros((R, 3), jnp.float32)
+
+    def go(fused):
+        if not fused:
+            os.environ["RT_NO_FUSED_ITER"] = "1"
+        try:
+            vg = jax.value_and_grad(render_loss_wavefront, has_aux=True)
+            return vg(params, statics, s, rng.base_key(0), pix, target,
+                      spp=8, n_iters=30, remat=False)
+        finally:
+            os.environ.pop("RT_NO_FUSED_ITER", None)
+
+    (l_f, fr_f), g_f = go(True)
+    (l_u, fr_u), g_u = go(False)
+    assert float(l_f) == float(l_u)
+    assert float(fr_f) == float(fr_u)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_u)):
+        if a is None or not hasattr(a, "dtype"):
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_iter_two_phase_schedule(cornell):
+    """The compacted completion phases must produce the same estimator
+    through the fused driver as through the unfused one."""
+    scene, s = cornell
+    r2 = 8192
+    pix = jnp.arange(r2, dtype=jnp.int32) % N_PIX
+    mean_f, done_f = _run(scene, s, pix, 8, 25, schedule=((15, 4096),))
+    mean_u, done_u = _run(scene, s, pix, 8, 25, schedule=((15, 4096),),
+                          fused=False)
+    assert bool(jnp.all(done_f == done_u))
+    np.testing.assert_array_equal(np.asarray(mean_f), np.asarray(mean_u))
+    # the compacted phase made real progress (equality above is the
+    # correctness check; full completion needs bench-scale iterations)
+    assert int(done_f.sum()) >= int(0.999 * r2 * 8)
+
+
+def test_fused_iter_remat(cornell):
+    """remat=True must give the same values (checkpointed scan body)."""
+    scene, s = cornell
+    pix = jnp.arange(R, dtype=jnp.int32) % N_PIX
+    params, statics = partition(scene)
+    target = jnp.zeros((R, 3), jnp.float32)
+    vg = jax.value_and_grad(render_loss_wavefront, has_aux=True)
+    (l0, _), g0 = vg(params, statics, s, rng.base_key(0), pix, target,
+                     spp=4, n_iters=16, remat=False)
+    (l1, _), g1 = vg(params, statics, s, rng.base_key(0), pix, target,
+                     spp=4, n_iters=16, remat=True)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        if a is None or not hasattr(a, "dtype"):
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
