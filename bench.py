@@ -106,16 +106,16 @@ def main():
     bwd_spp = 64
     # Two-phase completion schedule (tools/prof_twophase.py): the
     # completion tail is per-SAMPLE path-length variance — the max over
-    # 262k lanes of a 64-path sum — so 99%+ of lanes finish by ~210
+    # 262k lanes of a 64-path sum — so 99%+ of lanes finish by ~205
     # full-width iterations while guaranteed completion needs 275+.
-    # Running the tail compacted (30 iters at 2^14 lanes, then 95 at
+    # Running the tail compacted (25 iters at 2^14 lanes, then 100 at
     # 2^12: unfinished-lane counts measured 210:8.6k 240:116 260:3, so
-    # both widths carry >=1.4x margin) keeps frac=1.0 at ~17% less wall
-    # time than the single-phase 275 (0.230 s vs 0.277 s interleaved
-    # A/B).  Estimator-exact: compacted lanes keep their absolute
-    # (pixel, sample) RNG coordinates.
-    n_iters = 210
-    schedule = ((30, 1 << 14), (95, 1 << 12))
+    # both widths carry >=1.4x margin) keeps frac=1.0 at ~14% less wall
+    # time than the single-phase 275 (0.200 s vs 0.231 s interleaved
+    # A/B on the fused-iteration kernel).  Estimator-exact: compacted
+    # lanes keep their absolute (pixel, sample) RNG coordinates.
+    n_iters = 205
+    schedule = ((25, 1 << 14), (100, 1 << 12))
 
     def run_bwd(i):
         start = (i * 131) % max(n_pix - bwd_pix, 1)

@@ -149,12 +149,13 @@ if __name__ == "__main__":
         width_cost()
     if mode == "inter":
         interleaved([
-            (200, ((20, 1 << 15), (30, 1 << 13), (80, 1 << 12))),
+            (210, ((30, 1 << 14), (95, 1 << 12))),     # current bench
             (200, ((25, 1 << 15), (110, 1 << 13))),
-            (195, ((25, 1 << 16), (30, 1 << 14), (85, 1 << 12))),
-            (205, ((20, 1 << 15), (30, 1 << 13), (80, 1 << 12))),
-            (200, ((135, 1 << 15),)),
-            (210, ((30, 1 << 14), (95, 1 << 12))),
+            (195, ((20, 1 << 16), (25, 1 << 14), (95, 1 << 12))),
+            (190, ((15, 1 << 16), (20, 1 << 15), (30, 1 << 13),
+                   (80, 1 << 12))),
+            (205, ((25, 1 << 14), (100, 1 << 12))),
+            (275, None),                               # single-phase ref
         ])
     if mode in ("counts", "all"):
         unfinished_counts([150, 160, 170, 185, 200])
