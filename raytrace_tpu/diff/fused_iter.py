@@ -42,14 +42,20 @@ def background_kind(s):
     in-VMEM; None otherwise (render/camera.py's three shipped
     backgrounds; arbitrary callables take the unfused path)."""
     from ..ops.pallas.iter_kernel import BG_CONST, BG_GRAY, BG_SKY
+    import numpy as np
     bg = s.background
+    # numpy (NOT jnp): under an outer jit a jnp-built color would be a
+    # staged tracer, and closing over it from the custom-VJP backward
+    # leaks it into the scan body's jaxpr consts ("No constant handler
+    # for DynamicJaxprTracer" at while-lowering)
     if bg is sky:
-        return BG_SKY, jnp.zeros(3, DTYPE)
+        return BG_SKY, np.zeros(3, np.float32)
     if bg is gray_fade:
-        return BG_GRAY, jnp.zeros(3, DTYPE)
+        return BG_GRAY, np.zeros(3, np.float32)
     if getattr(bg, "__qualname__", "").startswith("const_background"):
         cell = bg.__closure__[0].cell_contents
-        return BG_CONST, jnp.asarray(cell, DTYPE) * jnp.ones(3, DTYPE)
+        return BG_CONST, (np.asarray(cell, np.float32)
+                          * np.ones(3, np.float32))
     return None
 
 
@@ -66,7 +72,7 @@ def fused_iter_eligible(scene, s, lanes: int,
     return (bounce_kernel_eligible(scene, s, lanes, interpret=interpret)
             and replay_eligible(scene)
             and scene.prims.kind.shape[0] <= MAX_SMEM_PRIMS
-            and lanes % (32 * 128) == 0
+            and lanes % 128 == 0
             and background_kind(s) is not None
             and not rng.USE_THREEFRY and rng.USE_PAIR16
             and not scene.prims.sphere_rots)
@@ -172,6 +178,73 @@ def fused_iter_step(scene, s, base_key, spp: int, sample_offset: int,
         comps_i = res[8:15]
         thr_i = res[15:18]
         idx2, scale2 = res[18:]
+
+        import os as _os
+        # Opt-in (RT_FUSED_BWD_KERNEL=1): the one-kernel backward's
+        # per-row gather/reduce dots are latency-bound at small N —
+        # measured 69.9 M vs 91.8 M bench rays/s on Cornell (24 prims)
+        # against the default below (XLA one-hot gathers + replay
+        # kernel + XLA regen reconstruction).  Revisit for mesh-scale
+        # scenes where the [512, W] chunk dots amortize.
+        if _os.environ.get("RT_FUSED_BWD_KERNEL"):
+            # ---- one-kernel backward: regen reconstruction + replay
+            # transpose + winner reduction all in VMEM ----
+            from ..ops.pallas.bounce_bwd_gather_kernel import (
+                bounce_bwd_regen_megakernel,
+            )
+            from ..ops.pallas.bounce_kernel import pack_targets
+            from .lane_replay import assemble_scene_grads, build_bwd_tables
+
+            _SG = jax.lax.stop_gradient
+            scene_r = rebuild(params, statics_f)
+            tbl, mtbl, xtbl, n, n_row, nm, nt = build_bwd_tables(
+                _SG(scene_r), has_motion)
+            nt_pad = xtbl.shape[0]
+            cam = _SG(pack_cam(s_in, camera_frame(s_in), bg_color))
+            ttbl = _SG(pack_targets(s_in.redirect_prob, s_in.redirect_q,
+                                    s_in.redirect_u, s_in.redirect_v))
+            bi = jnp.maximum(idx2, 0.0)
+            cts13 = tuple(cts[3:10]) + tuple(cts[10:13]) \
+                + tuple(cts[13:16])
+            g_comps_in, g_rad_in, g_thr_in, g_tbl, g_mat, g_tex = \
+                bounce_bwd_regen_megakernel(
+                    ttbl, kt_in, cam, tbl, mtbl, xtbl, bi,
+                    (pix2, smp_i, dep_i), al_i, comps_i, thr_i, scale2,
+                    cts13, n_targets=int(s_in.n_redirect),
+                    has_motion=has_motion,
+                    has_box=scene_r.prims.has_box, t_min=t_min, n_u=n_u,
+                    width=width, bg_kind=bg_kind, interpret=interpret)
+            g_ptab = g_tbl[:n]
+            g_mparam = jnp.sum(g_mat[:nm], axis=1)
+            g_tc0 = jnp.stack(
+                [jnp.sum(g_tex[j * nt_pad:j * nt_pad + nt], axis=1)
+                 for j in range(3)], axis=-1)
+            g_tc1 = jnp.stack(
+                [jnp.sum(g_tex[j * nt_pad:j * nt_pad + nt], axis=1)
+                 for j in range(3, 6)], axis=-1)
+            g_scene = assemble_scene_grads(
+                scene_r, g_ptab[:, 0:3], g_ptab[:, 3:6], g_ptab[:, 6:9],
+                g_ptab[:, 9:12] if has_motion else None,
+                g_ptab[:, 12:15] if has_motion else None,
+                g_mparam, g_tc0, g_tc1)
+            g_params = jax.tree_util.tree_map(
+                lambda x: x if (hasattr(x, "dtype") and jnp.issubdtype(
+                    x.dtype, jnp.floating)) else None, g_scene)
+
+            import numpy as np
+
+            def zi(x):
+                if jnp.issubdtype(x.dtype, jnp.floating):
+                    return jnp.zeros_like(x)
+                return np.zeros(x.shape, jax.dtypes.float0)
+
+            return ((g_params,
+                     jax.tree_util.tree_map(jnp.zeros_like, statics_f),
+                     jax.tree_util.tree_map(jnp.zeros_like, s_in),
+                     zi(kt_in), zi(pix2), zi(smp_i), zi(dep_i),
+                     jnp.zeros_like(al_i))
+                    + g_comps_in + g_rad_in + g_thr_in)
+
         g2 = pix2.shape[0]
         r = g2 * 128
         fl = lambda x: x.reshape(r)
@@ -257,5 +330,65 @@ def fused_iter_step(scene, s, base_key, spp: int, sample_offset: int,
     def step(pix2, carry):
         out = f(params, statics_f, s, kt, pix2, *carry)
         return out[:N_CARRY - 1], out[N_CARRY - 1]      # carry2, died_f
+
+    return step
+
+
+def fused_iter_fwd_step(scene, s, base_key, spp: int, sample_offset: int,
+                        interpret: bool = False):
+    """Forward-only fused iteration (no custom VJP): the same ONE-kernel
+    body for the non-differentiable stationary wavefront
+    (render/integrator.py:trace_wavefront_stationary).  Returns
+    ``step(pix2, carry) -> (carry2, rad2, died_f)`` over the same
+    [G, 128] carry layout as :func:`fused_iter_step`."""
+    from ..ops.pallas.bounce_kernel import (
+        pack_behaviors, pack_materials, pack_targets,
+    )
+    from ..ops.pallas.intersect_kernel import pack_clusters, pack_prims
+    from ..ops.pallas.iter_kernel import iter_megakernel, pack_cam, pack_kt
+    from ..render.integrator import _n_scan_prims, n_bounce_uniforms
+    from ..textures.textures import TEX_CONSTANT
+
+    t_min = float(s.t_min)
+    has_motion = scene.prims.has_motion
+    n_u = n_bounce_uniforms(scene)
+    bg_kind, bg_color = background_kind(s)
+    last_sample = sample_offset + spp - 1
+    rr_depth = None if s.rr_depth is None else int(s.rr_depth)
+    kt = pack_kt(base_key, last_sample)
+    m = scene.materials
+    use_beh = getattr(m, "n_behaviors", 0) > 0
+    if use_beh:
+        p = scene.prims
+        tex_ids = m.tex[p.mat]
+        is_const = (scene.textures.kind[tex_ids] == TEX_CONSTANT)[:, None]
+        prim_albedo = jnp.where(is_const, scene.textures.c0[tex_ids], 0.0)
+        ptbl = pack_prims(p, mat_override=m.behavior_of[p.mat],
+                          albedo=prim_albedo, param=m.param[p.mat])
+        mtbl = pack_behaviors(m, scene.textures)
+        n_mats = m.n_behaviors
+    else:
+        ptbl = pack_prims(scene.prims)
+        mtbl = pack_materials(m, scene.textures)
+        n_mats = m.kind.shape[0]
+    ctbl = pack_clusters(scene.prims)
+    ttbl = pack_targets(s.redirect_prob, s.redirect_q, s.redirect_u,
+                        s.redirect_v)
+    cam = pack_cam(s, camera_frame(s), bg_color)
+
+    def step(pix2, carry):
+        outs = iter_megakernel(
+            ptbl, ctbl, mtbl, ttbl, cam, kt, (pix2,) + tuple(carry),
+            n_prims=_n_scan_prims(scene.prims), n_mats=n_mats,
+            n_targets=int(s.n_redirect), t_min=t_min,
+            has_motion=has_motion, use_prim_albedo=use_beh,
+            has_box=scene.prims.has_box,
+            segments=scene.prims.kind_segments,
+            kinds=scene.prims.kinds_present, n_u=n_u, rr_depth=rr_depth,
+            max_depth=int(s.max_depth), width=int(s.image_width),
+            bg_kind=bg_kind, interpret=interpret)
+        carry2 = ((outs[14], outs[15], outs[13]) + tuple(outs[0:7])
+                  + tuple(outs[7:10]) + tuple(outs[10:13]))
+        return carry2, tuple(outs[7:10]), outs[16]
 
     return step

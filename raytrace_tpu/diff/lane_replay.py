@@ -733,6 +733,41 @@ def replay_bwd_soa(scene, s, comps, u_cols, thr, alive, idx, ct12, *,
     return g_scene, g_lane
 
 
+def build_bwd_tables(scene, has_motion: bool):
+    """Padded (tbl, mtbl, xtbl) for the self-gathering backward kernels
+    (ops/pallas/bounce_bwd_gather_kernel.py): prim rows + uvs + kind +
+    mat; material (kind, tex, param); texture (kind, f0, f1, c0, c1).
+    Returns ``(tbl, mtbl, xtbl, n, n_row, nm, nt)``."""
+    from ..ops.pallas.bounce_bwd_gather_kernel import CHUNK_P
+    p, m, tx = scene.prims, scene.materials, scene.textures
+    n, nm, nt = p.kind.shape[0], m.kind.shape[0], tx.kind.shape[0]
+    parts = [p.p0, p.e1, p.e2]
+    if has_motion:
+        parts += [p.mv0, p.mv1]
+    n_row = 3 * len(parts)
+    tbl = jnp.concatenate(
+        parts + [p.uvs.reshape(n, 6), p.kind.astype(DTYPE)[:, None],
+                 p.mat.astype(DTYPE)[:, None]], axis=1)
+    np_pad = max(-(-n // CHUNK_P) * CHUNK_P, 8) if n > CHUNK_P \
+        else -(-n // 8) * 8
+    pad_row = jnp.zeros((np_pad - n, tbl.shape[1]), DTYPE).at[:, n_row + 6]\
+        .set(-1.0)                                  # kind=-1: no prim
+    tbl = jnp.concatenate([tbl, pad_row], axis=0)
+    nm_pad = -(-nm // 8) * 8
+    mtbl = jnp.concatenate(
+        [m.kind.astype(DTYPE)[:, None], m.tex.astype(DTYPE)[:, None],
+         m.param[:, None]], axis=1)
+    mtbl = jnp.concatenate(
+        [mtbl, jnp.zeros((nm_pad - nm, 3), DTYPE)], axis=0)
+    nt_pad = -(-nt // 8) * 8
+    xtbl = jnp.concatenate(
+        [tx.kind.astype(DTYPE)[:, None], tx.f0[:, None], tx.f1[:, None],
+         tx.c0, tx.c1], axis=1)
+    xtbl = jnp.concatenate(
+        [xtbl, jnp.zeros((nt_pad - nt, 9), DTYPE)], axis=0)
+    return tbl, mtbl, xtbl, n, n_row, nm, nt
+
+
 def _replay_bwd_gather(scene, s, comps, u_cols, thr, alive, idx, ct12, *,
                        has_motion: bool, t_min: float,
                        interpret: bool = False):

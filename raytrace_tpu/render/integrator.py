@@ -125,8 +125,7 @@ def _henyey_greenstein(g, mu):
 
 
 def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
-                 use_pallas: bool, diff: bool = False,
-                 culled: bool = False):
+                 use_pallas: bool, diff: bool = False):
     """Nearest surface hit + record fields, via the Pallas megakernel when
     enabled (TPU, dense scene) or the XLA path otherwise.
 
@@ -183,50 +182,7 @@ def _surface_hit(scene: Scene, s: CameraSettings, o, d, time,
         # streams chunks from HBM (table size unbounded)
         use_allpairs = (scene.prims.kind_segments is not None
                         and MIN_PRIMS <= _n_scan_prims(scene.prims))
-        if culled and scene.prims.kind_segments is not None:
-            # visit-list engines (ray-binned driver): per-row cull
-            # prepass + t-ordered traversal.  Tables that fit VMEM take
-            # the broadcast kernel (prims on sublanes, MXU winner
-            # gather); bigger tables stream clusters from HBM through
-            # the scalar kernel — table size unbounded either way.
-            from ..ops.cull import visit_lists
-            from ..ops.pallas.allpairs_kernel import (
-                VISIT_W, visit_nearest_record,
-            )
-            from ..ops.pallas.intersect_kernel import (
-                BLOCK_G_CLUSTERED, CLUSTER, MAX_DENSE_PRIMS,
-                pallas_nearest_record_culled,
-            )
-            n_prims = _n_scan_prims(scene.prims)
-            use_bcast = n_prims <= MAX_DENSE_PRIMS
-            w = VISIT_W if use_bcast else BLOCK_G_CLUSTERED * 128
-            ids, nvis, tent = visit_lists(
-                pack_clusters(scene.prims), o[:, 0], o[:, 1], o[:, 2],
-                d[:, 0], d[:, 1], d[:, 2], block_lanes=w,
-                segments=scene.prims.kind_segments,
-                t_min=float(s.t_min), n_clusters=-(-n_prims // CLUSTER))
-            if use_bcast:
-                t, idx, nx, ny, nz, fr, uu, vv, mat, _ = \
-                    visit_nearest_record(
-                        tbl, ids, nvis, tent,
-                        resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
-                        resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]),
-                        resh(time),
-                        n_prims=n_prims, t_min=float(s.t_min),
-                        has_motion=scene.prims.has_motion,
-                        segments=scene.prims.kind_segments)
-            else:
-                t, idx, nx, ny, nz, fr, uu, vv, mat, _ = \
-                    pallas_nearest_record_culled(
-                        tbl, ids, nvis, tent,
-                        resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
-                        resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]),
-                        resh(time),
-                        n_prims=n_prims, t_min=float(s.t_min),
-                        has_motion=scene.prims.has_motion,
-                        has_box=scene.prims.has_box,
-                        segments=scene.prims.kind_segments)
-        elif use_allpairs:
+        if use_allpairs:
             t, idx, nx, ny, nz, fr, uu, vv, mat = allpairs_nearest_record(
                 tbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
                 resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
@@ -378,7 +334,7 @@ def _fused_shade_bounce(scene: Scene, s: CameraSettings, o, d, uniforms,
 
 def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
            radiance, throughput, alive, use_pallas: bool = False,
-           diff: bool = False, hit_override=None, culled: bool = False):
+           diff: bool = False, hit_override=None):
     """Advance every live lane by one bounce.
 
     ``uniforms[R, n_bounce_uniforms]`` supplies all randomness.  Returns
@@ -404,7 +360,7 @@ def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
             # (see bounce_mega_soa); park them far outside the scene
             o = jnp.where(alive[:, None], o, jnp.float32(3e18))
         t_srf, idx, normal, front, uv, mat_id = _surface_hit(
-            scene, s, o, d, time, use_pallas, diff=diff, culled=culled)
+            scene, s, o, d, time, use_pallas, diff=diff)
 
     if scene.volumes is not None:
         tmin = jnp.full((r,), s.t_min, DTYPE)
@@ -658,8 +614,7 @@ def bounce_kernel_eligible(scene: Scene, s: CameraSettings,
 
 def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
                     rad, thr, alive, interpret: bool = False,
-                    with_idx: bool = False, culled: bool = False,
-                    block_g: int | None = None):
+                    with_idx: bool = False):
     # Dead (budget-exhausted) lanes carry STALE rays; left alone they
     # poison every consensus/cull bound their block touches (74% of
     # lanes are dead in a typical tail iteration — measured bigmesh
@@ -678,15 +633,10 @@ def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
     catastrophically on TPU).  Returns (comps', rad', thr', alive', died),
     plus the winner prim index (i32, -1 on miss) when ``with_idx``.
 
-    ``culled=True`` runs the visit-list streamed intersect stage
-    (ops/cull.py prepass + HBM cluster DMA): the lane pool must be a
-    multiple of the kernel block (block_g * 128 lanes).  Meant for the
-    ray-binned driver (trace_wavefront_sorted), whose lane order makes
-    the per-block direction cones narrow.
     """
     from ..ops.pallas.bounce_kernel import (
-        N_U, bounce_megakernel, bounce_megakernel_culled, pack_behaviors,
-        pack_materials, pack_prims, pack_targets,
+        N_U, bounce_megakernel, pack_behaviors, pack_materials,
+        pack_prims, pack_targets,
     )
     from ..ops.pallas.intersect_kernel import pack_clusters
     from ..textures.textures import TEX_CONSTANT
@@ -715,39 +665,17 @@ def bounce_mega_soa(scene: Scene, s: CameraSettings, comps, uniforms,
     ttbl = pack_targets(s.redirect_prob, s.redirect_q, s.redirect_u,
                         s.redirect_v)
     uk = uniforms[:, :N_U].T.reshape(N_U, g, 128)
-    if culled:
-        from ..ops.cull import visit_lists
-        from ..ops.pallas.allpairs_kernel import VISIT_W
-        from ..ops.pallas.intersect_kernel import CLUSTER
-        w = VISIT_W if block_g is None else block_g * 128
-        n_prims = _n_scan_prims(scene.prims)
-        ids, nvis, tent = visit_lists(
-            ctbl, comps[0], comps[1], comps[2], comps[3], comps[4],
-            comps[5], block_lanes=w,
-            segments=scene.prims.kind_segments, t_min=float(s.t_min),
-            n_clusters=-(-n_prims // CLUSTER))
-        outs = bounce_megakernel_culled(
-            ptbl, ids, nvis, tent, mtbl, ttbl,
-            *(resh(c) for c in comps),
-            resh(thr[0]), resh(thr[1]), resh(thr[2]),
-            resh(alive.astype(DTYPE)), uk,
-            n_prims=n_prims, n_mats=n_mats, n_targets=s.n_redirect,
-            t_min=float(s.t_min), has_motion=scene.prims.has_motion,
-            use_prim_albedo=use_beh, has_box=scene.prims.has_box,
-            segments=scene.prims.kind_segments, w=w,
-            rg=2 if interpret else None, interpret=interpret)
-    else:
-        outs = bounce_megakernel(
-            ptbl, ctbl, mtbl, ttbl,
-            *(resh(c) for c in comps),
-            resh(thr[0]), resh(thr[1]), resh(thr[2]),
-            resh(alive.astype(DTYPE)), uk,
-            n_prims=_n_scan_prims(scene.prims),
-            n_mats=n_mats, n_targets=s.n_redirect,
-            t_min=float(s.t_min), has_motion=scene.prims.has_motion,
-            use_prim_albedo=use_beh, has_box=scene.prims.has_box,
-            segments=scene.prims.kind_segments,
-            kinds=scene.prims.kinds_present, interpret=interpret)
+    outs = bounce_megakernel(
+        ptbl, ctbl, mtbl, ttbl,
+        *(resh(c) for c in comps),
+        resh(thr[0]), resh(thr[1]), resh(thr[2]),
+        resh(alive.astype(DTYPE)), uk,
+        n_prims=_n_scan_prims(scene.prims),
+        n_mats=n_mats, n_targets=s.n_redirect,
+        t_min=float(s.t_min), has_motion=scene.prims.has_motion,
+        use_prim_albedo=use_beh, has_box=scene.prims.has_box,
+        segments=scene.prims.kind_segments,
+        kinds=scene.prims.kinds_present, interpret=interpret)
     fl = lambda x: x.reshape(r)
     new_comps = tuple(fl(outs[k]) for k in range(6)) + (comps[6],)
     thr_new = (fl(outs[6]), fl(outs[7]), fl(outs[8]))
@@ -990,7 +918,8 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
                                sample_offset: int = 0,
                                with_stats: bool = False,
                                rotate_k: int = 1,
-                               pixel_offset=0):
+                               pixel_offset=0,
+                               fused_interpret: bool = False):
     """Pixel-stationary persistent wavefront: lane ``l`` owns pixel
     ``pixel_offset + l`` for the whole launch and traces its ``spp``
     samples sequentially.  ``pixel_offset`` lets a device render a
@@ -1059,6 +988,59 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
         stride = max(lanes // k_rot, 1)
 
     lane_ids = jnp.arange(lanes, dtype=jnp.int32)
+
+    # ---- fused-iteration fast path: the whole body is ONE Pallas
+    # kernel (ops/pallas/iter_kernel.py) + the masked accumulation adds;
+    # same RNG stream and estimator as the body below (the kernel's
+    # int32 counter-hash is bit-identical to core/rng.py) ----
+    from ..diff.fused_iter import fused_iter_eligible
+    if k_rot == 1 and fused_iter_eligible(scene, s, lanes,
+                                          interpret=fused_interpret):
+        from ..diff.fused_iter import fused_iter_fwd_step
+        step = fused_iter_fwd_step(scene, s, base_key, spp, sample_offset,
+                                   interpret=fused_interpret)
+        if use_tiles:
+            lane_pixel = tile_l2p
+        else:
+            lane_pixel = pixel_offset + jnp.minimum(lane_ids, n_pix - 1)
+        g = lanes // 128
+        pix2 = lane_pixel.astype(jnp.int32).reshape(g, 128)
+        init_smp = jnp.where(lane_ids < n_pix, sample_offset - 1,
+                             last_sample + 1).astype(jnp.int32)
+
+        def body_f(state):
+            accs, carry, iters, segments = state
+            carry2, rad2, died_f = step(pix2, carry)
+            accs = tuple(a + r * died_f for a, r in zip(accs, rad2))
+            alive2 = carry2[2] > 0.5
+            segments = segments + jnp.sum(
+                (alive2 | (died_f > 0.5)).astype(jnp.int32))
+            return (accs, carry2, iters + 1, segments)
+
+        def cond_f(state):
+            carry = state[1]
+            return jnp.any((carry[2] > 0.5) | (carry[0] < last_sample))
+
+        z2 = jnp.zeros((g, 128), DTYPE)
+        o2 = jnp.ones((g, 128), DTYPE)
+        zi2 = jnp.zeros((g, 128), jnp.int32)
+        carry0 = ((init_smp.reshape(g, 128), zi2, z2)
+                  + (z2, z2, z2, z2, z2, o2, z2) + (z2, z2, z2)
+                  + (o2, o2, o2))
+        state = ((z2, z2, z2), carry0, jnp.zeros((), jnp.int32),
+                 jnp.zeros((), jnp.int32))
+        state = jax.lax.while_loop(cond_f, body_f, state)
+        accs = tuple(a.reshape(lanes) for a in state[0])
+        if use_tiles:
+            contrib = jnp.stack(accs, axis=-1)[tile_p2l]
+        else:
+            contrib = jnp.stack(accs, axis=-1)[:n_pix]
+        acc_out = acc + contrib
+        if with_stats:
+            return acc_out, dict(iterations=state[2], segments=state[3],
+                                 lanes=lanes)
+        return acc_out
+
     if k_rot == 1:
         # padding lanes (>= n_pix) start exhausted
         init_sample = jnp.where(lane_ids < n_pix,
@@ -1242,22 +1224,6 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
         acc = jnp.zeros((n_pix, 3), DTYPE)
     use_pallas = pallas_eligible(scene, lanes)
     use_mega = bounce_kernel_eligible(scene, s, lanes)
-    # the binned lane order is what makes the visit-list culled engines'
-    # per-row cones narrow, but for tables that fit VMEM the consensus
-    # kernels on binned lanes measured FASTER (83 vs 143 ms/iter,
-    # bigmesh); keep the culled engines for tables past the VMEM cap
-    # (where the consensus kernels cannot run at all)
-    import os
-    from ..ops.pallas.intersect_kernel import (
-        BLOCK_G_CLUSTERED, MAX_DENSE_PRIMS,
-    )
-    # opt-in only: the visit-list engines measured slower than the
-    # consensus/all-pairs kernels on binned lanes at every scale that
-    # fits VMEM, and past the VMEM cap the HBM-streamed dynamic
-    # all-pairs kernel (split path) carries unbounded tables
-    use_culled = (use_pallas and scene.prims.kind_segments is not None
-                  and lanes % (BLOCK_G_CLUSTERED * LANE_ALIGN) == 0
-                  and os.environ.get("RT_FORCE_CULL") == "1")
     total_work = n_pix * spp
 
     # loose scene bbox for origin quantization (traced once per compile)
@@ -1365,15 +1331,14 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
 
         if use_mega:
             comps, rad, thr, alive, died = bounce_mega_soa(
-                scene, s, comps, uniforms, rad, thr, alive,
-                culled=use_culled)
+                scene, s, comps, uniforms, rad, thr, alive)
         else:
             o = jnp.stack(comps[0:3], axis=-1)
             d = jnp.stack(comps[3:6], axis=-1)
             o, d, radiance, throughput, alive, died = bounce(
                 scene, s, o, d, comps[6], uniforms,
                 jnp.stack(rad, axis=-1), jnp.stack(thr, axis=-1), alive,
-                use_pallas=use_pallas, culled=use_culled)
+                use_pallas=use_pallas)
             comps = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
                      comps[6])
             rad = (radiance[:, 0], radiance[:, 1], radiance[:, 2])

@@ -110,3 +110,57 @@ def test_fused_iter_remat(cornell):
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_fused_iter_regen_kernel_backward(cornell, monkeypatch):
+    """The opt-in one-kernel backward (bounce_bwd_regen_megakernel:
+    regen reconstruction + replay transpose + winner reduction in one
+    Pallas kernel) must equal the default backward bit-for-bit."""
+    scene, s = cornell
+    params, statics = partition(scene)
+    pix = jnp.arange(R, dtype=jnp.int32) % N_PIX
+    target = jnp.zeros((R, 3), jnp.float32)
+
+    def go():
+        vg = jax.value_and_grad(render_loss_wavefront, has_aux=True)
+        return vg(params, statics, s, rng.base_key(0), pix, target,
+                  spp=4, n_iters=16, remat=False)
+
+    (l0, _), g0 = go()
+    monkeypatch.setenv("RT_FUSED_BWD_KERNEL", "1")
+    (l1, _), g1 = go()
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        if a is None or not hasattr(a, "dtype"):
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fused_iter_forward_stationary_driver(cornell):
+    """The fused-iteration fast path of trace_wavefront_stationary must
+    reproduce the XLA-bounce driver statistically: the XLA reference on
+    CPU runs the non-mega bounce, whose sphere-uv/atan2 lowering differs
+    in final ulps from the kernel's, so a handful of lanes may take a
+    different Russian-roulette branch — the estimator is unchanged
+    (same RNG stream, same physics; cf. tests/test_bounce_kernel.py
+    tolerances)."""
+    from raytrace_tpu.render.integrator import trace_wavefront_stationary
+    scene, s = cornell
+    n_pix = 48 * 48
+    s2 = s.replace(image_width=48, samples_per_pixel=4)
+    key = rng.base_key(1)
+    acc_f = trace_wavefront_stationary(scene, s2, key, n_pix, 4,
+                                       fused_interpret=True)
+    os.environ["RT_NO_FUSED_ITER"] = "1"
+    try:
+        acc_u = trace_wavefront_stationary(scene, s2, key, n_pix, 4,
+                                           fused_interpret=True)
+    finally:
+        os.environ.pop("RT_NO_FUSED_ITER", None)
+    a, b = np.asarray(acc_f), np.asarray(acc_u)
+    # almost every lane identical; brightness equal to Monte-Carlo noise
+    frac_diff = (np.abs(a - b).max(axis=1) > 1e-5).mean()
+    assert frac_diff < 0.02, frac_diff
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=2e-3)
