@@ -267,24 +267,15 @@ def _crossing_cand(col, ox, oy, oz, dx, dy, dz, tm, inv, tmn,
     return c1, cf1, c2
 
 
-def _bcast_kernel(tbl_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                  tm_ref, *outs, slices: tuple, t_min: float,
-                  has_motion: bool, has_box: bool, rg: int, w: int):
+def _bcast_kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref,
+                  dy_ref, dz_ref, tm_ref, *outs, slices: tuple,
+                  t_min: float, has_motion: bool, has_box: bool, rg: int,
+                  w: int):
     inf = jnp.float32(INF)
     tmn = jnp.float32(t_min)
 
     # chunk plan per volume: sublane-aligned starts, masked to the slice
-    plans = []
-    for start, count in slices:
-        chunks = []
-        p0a = (start // 8) * 8
-        end = start + count
-        p = p0a
-        while p < end:
-            ln = min(BCAST_CHUNK, -(-(end - p) // 8) * 8)
-            chunks.append((p, ln))
-            p += ln
-        plans.append(tuple(chunks))
+    plans = _chunk_plans(slices)
 
     def row(ref, g):
         return ref[pl.ds(g, 1), :]
@@ -293,54 +284,76 @@ def _bcast_kernel(tbl_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         ox, oy, oz = row(ox_ref, g), row(oy_ref, g), row(oz_ref, g)
         dx, dy, dz = row(dx_ref, g), row(dy_ref, g), row(dz_ref, g)
         tm = row(tm_ref, g) if has_motion else None
-        if has_box:
-            safe = lambda dd: jnp.where(jnp.abs(dd) < 1e-20,
-                                        jnp.where(dd < 0, -1e-20, 1e-20),
-                                        dd)
-            inv = (1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz))
-        else:
-            inv = None
+        safe = lambda dd: jnp.where(jnp.abs(dd) < 1e-20,
+                                    jnp.where(dd < 0, -1e-20, 1e-20), dd)
+        inv = (1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz))
 
         for v, (start, count) in enumerate(slices):
             b1 = jnp.full((1, w), inf, jnp.float32)
             f1 = jnp.zeros((1, w), jnp.float32)
             b2 = jnp.full((1, w), inf, jnp.float32)
-            for p0, ln in plans[v]:
-                col = lambda c: tbl_ref[pl.ds(p0, ln), pl.ds(c, 1)]
-                c1, cf1, c2 = _crossing_cand(
-                    col, ox, oy, oz, dx, dy, dz, tm, inv, tmn,
-                    has_motion, has_box)
-                piota = (jnp.float32(p0) + jax.lax.broadcasted_iota(
-                    jnp.int32, (ln, 1), 0).astype(jnp.float32))
-                in_sl = (piota >= jnp.float32(start)) \
-                    & (piota < jnp.float32(start + count))
-                c1 = jnp.where(in_sl, c1, inf)
-                c2 = jnp.where(in_sl, c2, inf)
-                # tile first/front/second with _merge's tie rules:
-                # earliest prim wins; enter root beats same-t exit root
-                t1t = jnp.minimum(jnp.min(c1, axis=0, keepdims=True),
-                                  jnp.min(c2, axis=0, keepdims=True))
-                p1 = jnp.min(jnp.where(c1 == t1t, piota, inf), axis=0,
-                             keepdims=True)
-                p2 = jnp.min(jnp.where(c2 == t1t, piota, inf), axis=0,
-                             keepdims=True)
-                fc1 = jnp.max(
-                    jnp.where((c1 == t1t) & (piota == p1), cf1, 0.0),
-                    axis=0, keepdims=True)
-                f1t = jnp.where(p1 <= p2, fc1, 0.0)
-                gt1 = jnp.where(c1 > t1t, c1, inf)
-                gt2 = jnp.where(c2 > t1t, c2, inf)
-                t2t = jnp.minimum(jnp.min(gt1, axis=0, keepdims=True),
-                                  jnp.min(gt2, axis=0, keepdims=True))
-                # merge into the carried triple (strict <: earlier chunk
-                # keeps ties, exactly like _merge)
-                nb1 = jnp.minimum(b1, t1t)
-                take = t1t < b1
-                f1 = jnp.where(take, f1t, f1)
-                gtv = lambda x: jnp.where(x > nb1, x, inf)
-                b2 = jnp.minimum(jnp.minimum(gtv(b1), gtv(b2)),
-                                 jnp.minimum(gtv(t1t), gtv(t2t)))
-                b1 = nb1
+            for ci, (p0, ln) in enumerate(plans[v]):
+
+                def visit(carry, p0=p0, ln=ln):
+                    b1, f1, b2 = carry
+                    col = lambda c: tbl_ref[pl.ds(p0, ln), pl.ds(c, 1)]
+                    c1, cf1, c2 = _crossing_cand(
+                        col, ox, oy, oz, dx, dy, dz, tm,
+                        inv if has_box else None, tmn, has_motion,
+                        has_box)
+                    piota = (jnp.float32(p0) + jax.lax.broadcasted_iota(
+                        jnp.int32, (ln, 1), 0).astype(jnp.float32))
+                    in_sl = (piota >= jnp.float32(start)) \
+                        & (piota < jnp.float32(start + count))
+                    c1 = jnp.where(in_sl, c1, inf)
+                    c2 = jnp.where(in_sl, c2, inf)
+                    # tile first/front/second with _merge's tie rules:
+                    # earliest prim wins the front flag; the enter root
+                    # beats the exit root of the same prim
+                    t1t = jnp.minimum(jnp.min(c1, axis=0, keepdims=True),
+                                      jnp.min(c2, axis=0, keepdims=True))
+                    p1 = jnp.min(jnp.where(c1 == t1t, piota, inf), axis=0,
+                                 keepdims=True)
+                    p2 = jnp.min(jnp.where(c2 == t1t, piota, inf), axis=0,
+                                 keepdims=True)
+                    fc1 = jnp.max(
+                        jnp.where((c1 == t1t) & (piota == p1), cf1, 0.0),
+                        axis=0, keepdims=True)
+                    f1t = jnp.where(p1 <= p2, fc1, 0.0)
+                    gt1 = jnp.where(c1 > t1t, c1, inf)
+                    gt2 = jnp.where(c2 > t1t, c2, inf)
+                    t2t = jnp.minimum(jnp.min(gt1, axis=0, keepdims=True),
+                                      jnp.min(gt2, axis=0, keepdims=True))
+                    # merge into the carried triple (strict <: earlier
+                    # chunk keeps ties, exactly like _merge)
+                    nb1 = jnp.minimum(b1, t1t)
+                    take = t1t < b1
+                    f1 = jnp.where(take, f1t, f1)
+                    gtv = lambda x: jnp.where(x > nb1, x, inf)
+                    b2 = jnp.minimum(jnp.minimum(gtv(b1), gtv(b2)),
+                                     jnp.minimum(gtv(t1t), gtv(t2t)))
+                    return nb1, f1, b2
+
+                # chunk-AABB consensus: a chunk whose slab entry lies
+                # beyond every lane's current second crossing (or whose
+                # exit is before t_min) cannot change the triple —
+                # lax.cond genuinely skips it (CLAUDE.md).  Rays outside
+                # the volume skip the whole sweep; rays inside skip the
+                # chunks behind them and beyond their two crossings.
+                t0x = (cbox_ref[ci + _plan_base(plans, v), 0] - ox) * inv[0]
+                t1x = (cbox_ref[ci + _plan_base(plans, v), 3] - ox) * inv[0]
+                t0y = (cbox_ref[ci + _plan_base(plans, v), 1] - oy) * inv[1]
+                t1y = (cbox_ref[ci + _plan_base(plans, v), 4] - oy) * inv[1]
+                t0z = (cbox_ref[ci + _plan_base(plans, v), 2] - oz) * inv[2]
+                t1z = (cbox_ref[ci + _plan_base(plans, v), 5] - oz) * inv[2]
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.maximum(jnp.minimum(t0z, t1z), tmn))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.minimum(jnp.maximum(t0z, t1z), b2))
+                b1, f1, b2 = jax.lax.cond(
+                    jnp.any(tn <= tf), visit, lambda c: c, (b1, f1, b2))
             gsl = (pl.ds(g, 1), slice(None))
             outs[3 * v][gsl] = b1
             outs[3 * v + 1][gsl] = f1
@@ -350,18 +363,83 @@ def _bcast_kernel(tbl_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     jax.lax.fori_loop(0, rg, row_body, 0)
 
 
+def _chunk_plans(slices):
+    """Per-volume (start, len) chunk plan: sublane-aligned BCAST_CHUNK
+    pieces covering each slice (shared by kernel and AABB packing)."""
+    plans = []
+    for start, count in slices:
+        chunks = []
+        p = (start // 8) * 8
+        end = start + count
+        while p < end:
+            ln = min(BCAST_CHUNK, -(-(end - p) // 8) * 8)
+            chunks.append((p, ln))
+            p += ln
+        plans.append(tuple(chunks))
+    return tuple(plans)
+
+
+def _plan_base(plans, v: int) -> int:
+    return sum(len(p) for p in plans[:v])
+
+
+def pack_chunk_boxes(prims, slices):
+    """[n_chunks, 8] chunk AABBs aligned with :func:`_chunk_plans` —
+    pack_clusters' per-prim boxes (intersect_kernel.py) reduced over
+    each BCAST_CHUNK piece; pad rows contribute nothing."""
+    # pack_clusters' per-prim box math (intersect_kernel.py:119-162),
+    # reduced at chunk granularity instead of CLUSTER
+    from ...scene.types import PRIM_BOX, PRIM_SPHERE
+    kind = prims.kind
+    p0, e1, e2 = prims.p0, prims.e1, prims.e2
+    is_sphere = (kind == PRIM_SPHERE)[:, None]
+    r = jnp.abs(e1[:, 0:1])
+    slo = p0 - r
+    shi = p0 + r
+    c0, c1 = p0, p0 + e1
+    c2, c3 = p0 + e2, p0 + e1 + e2
+    plo = jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3)) - 1e-4
+    phi = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3)) + 1e-4
+    lo = jnp.where(is_sphere, slo, plo)
+    hi = jnp.where(is_sphere, shi, phi)
+    if prims.has_box:
+        is_box = (kind == PRIM_BOX)[:, None]
+        lo = jnp.where(is_box, p0, lo)
+        hi = jnp.where(is_box, e1, hi)
+    if prims.has_motion:
+        lo = jnp.minimum(lo + prims.mv0, lo + prims.mv1)
+        hi = jnp.maximum(hi + prims.mv0, hi + prims.mv1)
+    pad = (kind == -1)[:, None]
+    lo = jnp.where(pad, jnp.inf, lo)
+    hi = jnp.where(pad, -jnp.inf, hi)
+    plans = _chunk_plans(slices)
+    n = kind.shape[0]
+    rows = []
+    for v, plan in enumerate(plans):
+        start, count = slices[v]
+        for p, ln in plan:
+            a = max(p, start)
+            b = min(p + ln, start + count, n)
+            rows.append(jnp.concatenate([
+                jnp.min(lo[a:b], axis=0), jnp.max(hi[a:b], axis=0),
+                jnp.zeros((2,), jnp.float32)]))
+    return jnp.stack(rows)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("slices", "t_min", "has_motion", "has_box",
                      "interpret"))
-def pallas_volume_crossings_bcast(vtbl, ox, oy, oz, dx, dy, dz, tm, *,
-                                  slices: tuple, t_min: float,
+def pallas_volume_crossings_bcast(vtbl, cbox, ox, oy, oz, dx, dy, dz,
+                                  tm, *, slices: tuple, t_min: float,
                                   has_motion: bool, has_box: bool = False,
                                   interpret: bool = False):
     """Broadcast variant of :func:`pallas_volume_crossings` (same
     contract).  Rays regroup into [g, W] rows (W up to 512) so each
     chunk sweep amortizes over more lanes, exactly like
-    allpairs_nearest_record."""
+    allpairs_nearest_record.  ``cbox`` (pack_chunk_boxes) drives the
+    per-(row, chunk) slab consensus: rays outside a chunk's AABB — or
+    whose two crossings already bound it out — skip its whole sweep."""
     g = ox.shape[0]
     # pad the table to a sublane multiple; pad rows kind=-1 never match
     rows = vtbl.shape[0]
@@ -400,11 +478,12 @@ def pallas_volume_crossings_bcast(vtbl, ox, oy, oz, dx, dy, dz, tm, *,
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        + [ray_spec] * 7,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(vtbl, ox, oy, oz, dx, dy, dz, tm)
+    )(vtbl, cbox, ox, oy, oz, dx, dy, dz, tm)
     g0 = ox.size // LANES
     return [o.reshape(g0, LANES) for o in outs]
 

@@ -124,8 +124,20 @@ def _queue_fn(scene, settings, key, acc, s0, n_pix, spp, n_lanes):
 def _stationary_fn(scene, settings, key, acc, s0, n_pix, spp, rotate_k=1,
                    pixel_offset=0):
     import os
+    # Mesh-boundary media also take the binned driver: the volume
+    # crossing kernel's chunk-AABB consensus only fires on spatially
+    # coherent rows, and in-medium lanes cluster under binning —
+    # pawn measured 24.7 s stationary vs 12.0 s sorted (round 4).
+    # Small SURFACE tables without such media keep the stationary
+    # driver (demo2: sorted measured net-slower, argsort > occupancy
+    # win at 1.5k rows).
+    from ..ops.pallas.volume_kernel import BCAST_MIN_ROWS
+    mesh_volumes = (scene.volumes is not None
+                    and scene.volumes.prims.kind.shape[0]
+                    >= BCAST_MIN_ROWS)
     if (os.environ.get("RT_SORTED_WAVEFRONT", "1") != "0"
-            and scene.prims.kind.shape[0] >= SORT_MIN_PRIMS
+            and (scene.prims.kind.shape[0] >= SORT_MIN_PRIMS
+                 or mesh_volumes)
             and scene.bvh is None):
         # Default for mesh-scale scenes since round 3: per-iteration
         # ray binning restores kernel-block consensus on bounce rays

@@ -142,7 +142,7 @@ def volume_candidates_pallas(volumes: Volumes, o, d, time, t_min,
     pawn's 1200-tri boundary.  ``use_bcast`` forces the choice (tests)."""
     from ..ops.pallas.intersect_kernel import pack_prims
     from ..ops.pallas.volume_kernel import (
-        BCAST_MIN_ROWS, pallas_volume_crossings,
+        BCAST_MIN_ROWS, pack_chunk_boxes, pallas_volume_crossings,
         pallas_volume_crossings_bcast,
     )
     r = o.shape[0]
@@ -154,14 +154,21 @@ def volume_candidates_pallas(volumes: Volumes, o, d, time, t_min,
         import os
         use_bcast = (volumes.prims.kind.shape[0] >= BCAST_MIN_ROWS
                      and not os.environ.get("RT_NO_VOL_BCAST"))
-    fn = pallas_volume_crossings_bcast if use_bcast \
-        else pallas_volume_crossings
-    outs = fn(
-        vtbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
-        resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
-        slices=slices, t_min=t_min_scalar,
-        has_motion=volumes.prims.has_motion,
-        has_box=volumes.prims.has_box, interpret=interpret)
+    if use_bcast:
+        cbox = pack_chunk_boxes(volumes.prims, slices)
+        outs = pallas_volume_crossings_bcast(
+            vtbl, cbox, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
+            resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
+            slices=slices, t_min=t_min_scalar,
+            has_motion=volumes.prims.has_motion,
+            has_box=volumes.prims.has_box, interpret=interpret)
+    else:
+        outs = pallas_volume_crossings(
+            vtbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
+            resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
+            slices=slices, t_min=t_min_scalar,
+            has_motion=volumes.prims.has_motion,
+            has_box=volumes.prims.has_box, interpret=interpret)
     cands = []
     valids = []
     for v in range(volumes.n_volumes):

@@ -1,0 +1,87 @@
+"""Mesh-scale differentiable rendering rate: fwd+bwd rays/s on the
+4,968-tri bunny (VERDICT r3 item 3 — target >= 10 M rays/s with the
+self-gathering backward kernel, vs the generic XLA replay it replaces).
+
+Usage: python tools/prof_bunny_grad.py [--generic]
+"""
+import argparse
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--generic", action="store_true",
+                    help="force the generic XLA replay backward (the "
+                         "pre-round-4 mesh-scale path) for the A/B")
+    ap.add_argument("--lanes", type=int, default=1 << 17)
+    ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=110)
+    args = ap.parse_args()
+
+    if args.generic:
+        # drop the gather-kernel prim cap so replay_eligible fails and
+        # mega_bounce falls back to the generic XLA replay
+        import raytrace_tpu.diff.lane_replay as lr
+        lr.REPLAY_GATHER_MAX_PRIMS = 64
+
+    import argparse as _ap
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "scenes"))
+    import raytrace_tpu as rt
+    import bunny_test
+    from raytrace_tpu.core import rng
+    from raytrace_tpu.diff.gradients import partition, render_loss_wavefront
+    from raytrace_tpu.diff.lane_replay import replay_eligible
+
+    sargs = _ap.Namespace(width=600, spp=args.spp, depth=10)
+    scene, settings, _ = bunny_test.build(sargs)
+    settings = settings.replace(rr_depth=2)
+    n = scene.prims.kind.shape[0]
+    print(f"prims={n} replay_eligible={replay_eligible(scene)}",
+          file=sys.stderr, flush=True)
+
+    params, statics = partition(scene)
+    n_pix = settings.image_width * settings.image_height
+    pix = jnp.arange(args.lanes, dtype=jnp.int32) % n_pix
+    target = jnp.zeros((args.lanes, 3), jnp.float32)
+    vg = jax.jit(jax.value_and_grad(render_loss_wavefront, has_aux=True),
+                 static_argnames=("spp", "n_iters", "remat"))
+
+    def go(seed):
+        return vg(params, statics, settings, rng.base_key(seed), pix,
+                  target, spp=args.spp, n_iters=args.iters, remat=False)
+
+    (l, f), g = go(0)
+    jax.block_until_ready((l, g))
+    best = float("inf")
+    frac = 1.0
+    for r in range(3):
+        t0 = time.time()
+        (l, f), g = go(r + 1)
+        jax.block_until_ready(g)
+        lv = float(l)
+        assert lv == lv
+        best = min(best, time.time() - t0)
+        frac = min(frac, float(f))
+    rays = args.lanes * args.spp
+    label = "generic-XLA-replay" if args.generic else "gather-kernel"
+    print(f"bunny fwd+bwd [{label}]: {rays/best/1e6:.2f}M rays/s "
+          f"({best:.3f}s, frac={frac:.4f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
