@@ -786,238 +786,3 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
     )(tbl, cbox, ox, oy, oz, dx, dy, dz, tm)
     g0 = ox.size // LANES
     return tuple(o.reshape(g0, LANES) for o in outs)
-
-
-# ---------------------------------------------------------------------------
-# Visit-list broadcast kernel (round 3): per-row (W-lane) cluster visit
-# lists from the ops/cull.py prepass drive the all-pairs broadcast
-# candidate sweep at 64-prim cluster granularity — no per-(chunk, row)
-# slab conds, t-ordered traversal with best-t early exit, and winner
-# attributes via per-visited-cluster one-hot MXU gathers.  This replaces
-# both the consensus cond hierarchy (the conds and slab tests are gone)
-# and the scalar-load visit kernel (prim data loads as [L, 1] vector
-# columns, ~17 us/cluster of scalar traffic gone).
-# ---------------------------------------------------------------------------
-
-def _visit_rows(ids_ref, nvis_ref, tent_ref, tbl_ref, ox_ref, oy_ref,
-                oz_ref, dx_ref, dy_ref, dz_ref, tm_ref, emit, *,
-                segments, t_min: float, has_motion: bool, rg: int,
-                w: int, chunk: int = 4, with_albedo: bool = False):
-    """Row driver of the visit-list broadcast intersect: for each of the
-    ``rg`` rows, walk its t-ordered cluster lists (phase 1), gather the
-    winner rows with per-cluster one-hot MXU matmuls (phase 2), and call
-    ``emit(r, res)`` with ``res = (bt, bi, n_x, n_y, n_z, fr, uu, vv,
-    mat, sphf[, ar, ag, ab, prm], nproc)`` — all [1, w] tiles (normals
-    pre-flip; ``fr``/``sphf`` are 0/1 floats)."""
-    inf = jnp.float32(jnp.inf)
-    tmn = jnp.float32(t_min)
-
-    def row_body(r, _):
-        ox, oy, oz = _row(ox_ref, r), _row(oy_ref, r), _row(oz_ref, r)
-        dx, dy, dz = _row(dx_ref, r), _row(dy_ref, r), _row(dz_ref, r)
-        tm = _row(tm_ref, r) if has_motion else None
-        safe = lambda dd: jnp.where(jnp.abs(dd) < 1e-20,
-                                    jnp.where(dd < 0, -1e-20, 1e-20), dd)
-        inv = (1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz))
-
-        def eval_cluster(gkind, k, bt, bi):
-            p0 = k * CLUSTER
-            col = lambda c_: tbl_ref[pl.ds(p0, CLUSTER), pl.ds(c_, 1)]
-            t_c = broadcast_cand(col, gkind, ox, oy, oz, dx, dy, dz,
-                                 tm, inv, tmn, has_motion)   # [L, W]
-            piota = (p0.astype(jnp.float32)
-                     + jax.lax.broadcasted_iota(
-                         jnp.int32, (CLUSTER, 1), 0).astype(jnp.float32))
-            tmin = jnp.min(t_c, axis=0, keepdims=True)        # [1, W]
-            pi = jnp.min(jnp.where(t_c == tmin, piota, inf),
-                         axis=0, keepdims=True)
-            better = tmin < bt
-            return (jnp.where(better, tmin, bt),
-                    jnp.where(better,
-                              jnp.where(tmin < inf, pi, -1.0), bi))
-
-        # ---- phase 1: t-ordered visit list, chunked early exit ----
-        bt = jnp.full((1, w), inf, jnp.float32)
-        bi = jnp.full((1, w), -1.0, jnp.float32)
-        nproc = jnp.zeros((), jnp.int32)
-        for si, (gkind, k0, k1) in enumerate(segments):
-            nv = nvis_ref[r, si]
-
-            def one(j, bt, bi, gkind=gkind, k0=k0):
-                return eval_cluster(gkind, ids_ref[r, k0 + j], bt, bi)
-
-            def pred(j, bt, k0=k0):
-                return jnp.max(bt) >= tent_ref[r, k0 + j]
-
-            def bulk_cond(c):
-                j, bt, bi = c
-                return (j + chunk <= nv) & pred(j, bt)
-
-            def bulk_body(c):
-                j, bt, bi = c
-                for i in range(chunk):
-                    bt, bi = one(j + i, bt, bi)
-                return j + chunk, bt, bi
-
-            state = jax.lax.while_loop(bulk_cond, bulk_body,
-                                       (jnp.zeros((), jnp.int32), bt, bi))
-
-            def tail_cond(c):
-                j, bt, bi = c
-                return (j < nv) & pred(j, bt)
-
-            def tail_body(c):
-                j, bt, bi = c
-                bt, bi = one(j, bt, bi)
-                return j + 1, bt, bi
-
-            j_end, bt, bi = jax.lax.while_loop(tail_cond, tail_body, state)
-            nproc = nproc + j_end
-        hit = bt < inf
-
-        # ---- phase 2: winner one-hot gather over listed clusters ----
-        gt = jnp.zeros((N_COLS, w), jnp.float32)
-        for si, (gkind, k0, k1) in enumerate(segments):
-            nv = nvis_ref[r, si]
-
-            def c2_body(j, gt, k0=k0):
-                p0 = ids_ref[r, k0 + j] * CLUSTER
-                p0f = p0.astype(jnp.float32)
-                in_c = (bi >= p0f) & (bi < p0f + jnp.float32(CLUSTER))
-
-                def add(gt):
-                    piota = (p0f + jax.lax.broadcasted_iota(
-                        jnp.int32, (CLUSTER, 1), 0).astype(jnp.float32))
-                    oh = (piota == bi).astype(jnp.float32)    # [L, W]
-                    g_c = jax.lax.dot_general(
-                        tbl_ref[pl.ds(p0, CLUSTER), :], oh,
-                        (((0,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-                    return gt + g_c
-
-                return jax.lax.cond(jnp.any(in_c), add, lambda x: x, gt)
-
-            gt = jax.lax.fori_loop(0, nv, c2_body, gt)
-
-        c = lambda j: gt[j:j + 1, :]
-        kinds = tuple(sorted({sp[0] for sp in segments})) \
-            if segments[0][0] is not None \
-            else (PRIM_SPHERE, PRIM_PARALLELOGRAM, PRIM_BOX)
-        n_x, n_y, n_z, fr, uu, vv, sphf = _winner_attrs(
-            c, bt, hit, ox, oy, oz, dx, dy, dz, tm, kinds=kinds,
-            has_motion=has_motion)
-        res = (bt, bi, n_x, n_y, n_z, fr, uu, vv, c(17), sphf)
-        if with_albedo:
-            res = res + (c(31), c(32), c(33), c(34))
-        emit(r, res + (nproc,))
-        return 0
-
-    jax.lax.fori_loop(0, rg, row_body, 0)
-
-
-def _visit_kernel(ids_ref, nvis_ref, tent_ref, tbl_ref, ox_ref, oy_ref,
-                  oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
-                  t_out, i_out, nx_out, ny_out, nz_out, fr_out, u_out,
-                  v_out, m_out, np_out, *, segments, n_clusters: int,
-                  t_min: float, has_motion: bool, rg: int, w: int,
-                  chunk: int = 4):
-    def emit(r, res):
-        bt, bi, n_x, n_y, n_z, fr, uu, vv, mat, sphf, nproc = res
-        flip = jnp.where(fr > 0.5, 1.0, -1.0)
-        gsl = (pl.ds(r, 1), slice(None))
-        t_out[gsl] = bt
-        i_out[gsl] = bi.astype(jnp.int32)
-        nx_out[gsl] = n_x * flip
-        ny_out[gsl] = n_y * flip
-        nz_out[gsl] = n_z * flip
-        fr_out[gsl] = ((fr > 0.5).astype(jnp.int32)
-                       + 2 * (sphf > 0.5).astype(jnp.int32))
-        u_out[gsl] = uu
-        v_out[gsl] = vv
-        m_out[gsl] = mat.astype(jnp.int32)
-        np_out[r, 0] = nproc
-
-    _visit_rows(ids_ref, nvis_ref, tent_ref, tbl_ref, ox_ref, oy_ref,
-                oz_ref, dx_ref, dy_ref, dz_ref, tm_ref, emit,
-                segments=segments, t_min=t_min, has_motion=has_motion,
-                rg=rg, w=w, chunk=chunk)
-
-
-# row width of the visit-list broadcast kernel: the cull prepass bounds
-# each W-lane row, so smaller W = tighter cones but more rows
-VISIT_W = int(os.environ.get("RT_VISIT_W", "512"))
-VISIT_RG = int(os.environ.get("RT_VISIT_RG", "8"))
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_prims", "t_min", "has_motion", "segments", "w",
-                     "rg", "interpret"))
-def visit_nearest_record(tbl, ids, nvis, tent, ox, oy, oz, dx, dy, dz,
-                         tm, *, n_prims: int, t_min: float,
-                         has_motion: bool, segments, w: int | None = None,
-                         rg: int | None = None, interpret: bool = False):
-    """Visit-list broadcast nearest hit.  Contract of
-    allpairs_nearest_record, plus a per-row processed-cluster counter:
-    [G, 128] ray components in, (t, idx, nx, ny, nz, front|sphere<<1,
-    u, v, mat, nproc[rows, 1]) out.  ``ids``/``nvis``/``tent`` are
-    ops/cull.py visit lists built with ``block_lanes = w``."""
-    w = w or VISIT_W
-    rg = rg or VISIT_RG
-    g0 = ox.shape[0]
-    r_total = g0 * LANES
-    if r_total % w:
-        raise ValueError(f"lanes={r_total} not a multiple of w={w}")
-    gw = r_total // w
-    rg = min(rg, gw)
-    if gw % rg:
-        raise ValueError(f"rows={gw} not a multiple of rg={rg}")
-    n_clusters = -(-n_prims // CLUSTER)
-    # pad the table to whole clusters (pad rows kind = -1: never hit)
-    rows = n_clusters * CLUSTER
-    if tbl.shape[0] < rows:
-        pad = jnp.zeros((rows - tbl.shape[0], tbl.shape[1]),
-                        jnp.float32).at[:, 16].set(-1.0)
-        tbl = jnp.concatenate([tbl, pad])
-    resh = lambda x: x.reshape(gw, w)
-    ox, oy, oz = resh(ox), resh(oy), resh(oz)
-    dx, dy, dz, tm = resh(dx), resh(dy), resh(dz), resh(tm)
-    kw = ids.shape[1]
-    n_seg = nvis.shape[1]
-    grid = (gw // rg,)
-    ray_spec = pl.BlockSpec((rg, w), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    smem = lambda width: pl.BlockSpec((rg, width), lambda i: (i, 0),
-                                      memory_space=pltpu.SMEM)
-    in_specs = [smem(kw), smem(n_seg), smem(kw),
-                pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 7
-    out_specs = [pl.BlockSpec((rg, w), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)] * 9 + [
-        pl.BlockSpec((rg, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)]
-    f32 = jnp.float32
-    i32 = jnp.int32
-    out_shape = [
-        jax.ShapeDtypeStruct((gw, w), f32),   # t
-        jax.ShapeDtypeStruct((gw, w), i32),   # idx
-        jax.ShapeDtypeStruct((gw, w), f32),   # nx
-        jax.ShapeDtypeStruct((gw, w), f32),   # ny
-        jax.ShapeDtypeStruct((gw, w), f32),   # nz
-        jax.ShapeDtypeStruct((gw, w), i32),   # front | sphere<<1
-        jax.ShapeDtypeStruct((gw, w), f32),   # u
-        jax.ShapeDtypeStruct((gw, w), f32),   # v
-        jax.ShapeDtypeStruct((gw, w), i32),   # mat
-        jax.ShapeDtypeStruct((gw, 1), i32),   # clusters processed / row
-    ]
-    kernel = functools.partial(
-        _visit_kernel, segments=segments, n_clusters=n_clusters,
-        t_min=t_min, has_motion=has_motion, rg=rg, w=w)
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(ids, nvis, tent, tbl, ox, oy, oz, dx, dy, dz, tm)
-    return tuple(o.reshape(g0, LANES) for o in outs[:9]) + (outs[9],)

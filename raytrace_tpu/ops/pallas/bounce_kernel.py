@@ -654,121 +654,3 @@ def shade_megakernel(mtbl, ttbl, hit, medium, lanes, uniforms, *,
         out_shape=out_shape,
         interpret=interpret,
     )(mtbl, ttbl, *hit, *med, *lanes, uniforms)
-
-
-def _culled_kernel(ids, nvis, tent, mtbl, ttbl, ptbl,
-                   ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, al, un,
-                   ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tr_o, tg_o, tb_o,
-                   rr_o, rg_o, rb_o, al_o, ms_o, pi_o, np_o,
-                   *scratch, n_mats: int, n_targets: int,
-                   t_min: float, has_motion: bool,
-                   use_prim_albedo: bool = False,
-                   segments=None, rg: int, w: int):
-    from .allpairs_kernel import _visit_rows
-    n_res = 14 if use_prim_albedo else 10
-
-    def emit(r, res):
-        # store the hit record per row (normals flipped toward the ray,
-        # matching prim_loop's contract for _shade)
-        bt, bi = res[0], res[1]
-        n_x, n_y, n_z, fr = res[2], res[3], res[4], res[5]
-        flip = jnp.where(fr > 0.5, 1.0, -1.0)
-        vals = (bt, bi, n_x * flip, n_y * flip, n_z * flip, fr,
-                res[6], res[7], res[8], res[9]) + res[10:-1]
-        gsl = (pl.ds(r, 1), slice(None))
-        for k in range(n_res):
-            scratch[k][gsl] = vals[k]
-        np_o[r, 0] = res[-1]
-
-    _visit_rows(ids, nvis, tent, ptbl, ox, oy, oz, dx, dy, dz, tm, emit,
-                segments=segments, t_min=t_min, has_motion=has_motion,
-                rg=rg, w=w, with_albedo=use_prim_albedo)
-    hit_res = tuple(s[...] for s in scratch[:n_res])
-    _shade(hit_res, mtbl, ttbl, ox[...], oy[...], oz[...],
-           dx[...], dy[...], dz[...],
-           tr, tg, tb, al, un,
-           ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tr_o, tg_o, tb_o,
-           rr_o, rg_o, rb_o, al_o, ms_o, pi_o,
-           n_mats=n_mats, n_targets=n_targets,
-           use_prim_albedo=use_prim_albedo)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_prims", "n_mats", "n_targets", "t_min",
-                     "has_motion", "use_prim_albedo", "has_box",
-                     "segments", "w", "rg", "interpret"))
-def bounce_megakernel_culled(ptbl, ids, nvis, tent, mtbl, ttbl,
-                             ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, al,
-                             uniforms, *, n_prims: int, n_mats: int,
-                             n_targets: int, t_min: float,
-                             has_motion: bool,
-                             use_prim_albedo: bool = False,
-                             has_box: bool = False, segments=None,
-                             w: int | None = None, rg: int | None = None,
-                             interpret: bool = False):
-    """Visit-list broadcast variant of :func:`bounce_megakernel`: the
-    intersect stage walks per-row (``w``-lane) t-ordered cluster lists
-    from the ops/cull.py prepass with the all-pairs broadcast candidate
-    sweep (allpairs_kernel._visit_rows) and the winner one-hot MXU
-    gather; the shade stage is shared (_shade).  Same 15 outputs plus a
-    16th per-row processed-cluster counter [rows, 1]."""
-    from .allpairs_kernel import VISIT_RG, VISIT_W
-    from .intersect_kernel import CLUSTER
-    w = w or VISIT_W
-    rg = rg or VISIT_RG
-    g0 = ox.shape[0]
-    r_total = g0 * LANES
-    if r_total % w:
-        raise ValueError(f"lanes={r_total} not a multiple of w={w}")
-    gw = r_total // w
-    rg = min(rg, gw)
-    if gw % rg:
-        raise ValueError(f"rows={gw} not a multiple of rg={rg}")
-    n_clusters = -(-n_prims // CLUSTER)
-    rows = n_clusters * CLUSTER
-    if ptbl.shape[0] < rows:
-        pad = jnp.zeros((rows - ptbl.shape[0], ptbl.shape[1]),
-                        jnp.float32).at[:, 16].set(-1.0)
-        ptbl = jnp.concatenate([ptbl, pad])
-    if segments is None:
-        segments = ((None, 0, n_clusters),)
-    resh = lambda x: x.reshape(gw, w)
-    rays = [resh(a) for a in (ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, al)]
-    uk = uniforms.reshape(N_U, gw, w)
-    kw = ids.shape[1]
-    n_seg = nvis.shape[1]
-    grid = (gw // rg,)
-    ray_spec = pl.BlockSpec((rg, w), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    uni_spec = pl.BlockSpec((N_U, rg, w), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-    smem = lambda width: pl.BlockSpec((rg, width), lambda i: (i, 0),
-                                      memory_space=pltpu.SMEM)
-    mt_spec = pl.BlockSpec(mtbl.shape, lambda i: (0, 0),
-                           memory_space=pltpu.SMEM)
-    tt_spec = pl.BlockSpec(ttbl.shape, lambda i: (0, 0),
-                           memory_space=pltpu.SMEM)
-    in_specs = [smem(kw), smem(n_seg), smem(kw), mt_spec, tt_spec,
-                pl.BlockSpec(memory_space=pltpu.VMEM)] \
-        + [ray_spec] * 11 + [uni_spec]
-    out_specs = [pl.BlockSpec((rg, w), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)] * 15 + [
-        pl.BlockSpec((rg, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)]
-    out_shape = [jax.ShapeDtypeStruct((gw, w), jnp.float32)] * 15 + [
-        jax.ShapeDtypeStruct((gw, 1), jnp.int32)]
-    n_res = 14 if use_prim_albedo else 10
-    kernel = functools.partial(
-        _culled_kernel, n_mats=n_mats, n_targets=n_targets, t_min=t_min,
-        has_motion=has_motion, use_prim_albedo=use_prim_albedo,
-        segments=segments, rg=rg, w=w)
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((rg, w), jnp.float32)] * n_res,
-        interpret=interpret,
-    )(ids, nvis, tent, mtbl, ttbl, ptbl, *rays, uk)
-    return tuple(o.reshape(g0, LANES) for o in outs[:15]) + (outs[15],)

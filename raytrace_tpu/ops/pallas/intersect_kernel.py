@@ -1094,340 +1094,3 @@ def pallas_nearest_record(tbl, ctbl, ox, oy, oz, dx, dy, dz, tm, *,
         out_shape=out_shape,
         interpret=interpret,
     )(ctbl, gtbl, tbl, ox, oy, oz, dx, dy, dz, tm)
-
-
-# ---------------------------------------------------------------------------
-# Visit-list streamed engine (round 3): the cluster-consensus decision is
-# hoisted OUT of the kernel into an XLA prepass (ops/cull.py) that gives
-# every kernel block a t-ordered list of clusters to visit, and the
-# primitive table is streamed from HBM per visited cluster with
-# double-buffered DMA — so the table size is unbounded (the reference
-# BVH handles any mesh, Geometry.hs:352-377; the VMEM-resident engines
-# cap at MAX_DENSE_PRIMS) and incoherent mesh-scale wavefronts skip the
-# clusters their block's direction cone cannot reach.
-# ---------------------------------------------------------------------------
-
-def _prim_loop_visited(tbl_hbm, ids_ref, nvis_ref, tent_ref, scratch,
-                       sems, oxv, oyv, ozv, dxv, dyv, dzv, tmv, *,
-                       n_clusters: int, t_min: float, has_motion: bool,
-                       with_albedo: bool = False, has_box: bool = False,
-                       segments=None, stream: bool = True):
-    """Visit-list nearest hit: same return contract as :func:`prim_loop`.
-
-    ``ids_ref``/``nvis_ref``/``tent_ref`` are this block's rows of the
-    ops/cull.py visit lists (SMEM).  ``tbl_hbm`` is the full packed
-    primitive table, padded to ``n_clusters * CLUSTER`` rows, living in
-    HBM (``stream=True``, DMA'd per cluster into ``scratch``
-    [2*CLUSTER, N_COLS] with ``sems`` two DMA semaphores) or VMEM
-    (``stream=False``; scratch/sems unused).
-
-    Phase 1 walks each segment's list in ``t_entry`` order with a
-    candidate-t-only loop and stops as soon as every lane's best t is
-    below the next cluster's ``t_entry`` (the list is sorted, so no
-    later cluster can improve any lane).  Phase 2 revisits listed
-    clusters that own some lane's winner for the hit record.
-    """
-    inf = jnp.float32(jnp.inf)
-    shp = oxv.shape
-    if segments is None:
-        segments = ((None, 0, n_clusters),)
-
-    read_ref = scratch if stream else tbl_hbm
-    cand_t, attrs_of, _ = _make_prim_math(
-        read_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmv, t_min=t_min,
-        has_motion=has_motion, has_box=has_box)
-
-    def get_dma(slot, k):
-        return pltpu.make_async_copy(
-            tbl_hbm.at[pl.ds(k * CLUSTER, CLUSTER), :],
-            scratch.at[pl.ds(slot * CLUSTER, CLUSTER), :],
-            sems.at[slot])
-
-    def seg_sweep(si, k0, visit_cluster, carry, pred, chunk: int = 1):
-        """Shared phase driver: walk segment ``si``'s list while
-        ``pred(j, carry)`` holds, double-buffering cluster DMAs.
-        ``visit_cluster(carry, base, slot) -> carry`` does the work for
-        the cluster whose rows sit at scratch slot ``slot`` (stream) or
-        at rows [base, base+CLUSTER) of the VMEM table.
-
-        ``chunk > 1`` amortizes the (vector-reduction) ``pred`` over
-        ``chunk`` clusters: a bulk while-loop steps ``chunk`` at a time
-        while a full chunk remains, then a per-cluster loop finishes the
-        tail.  The DMA pipeline invariant (the copy for index j has been
-        started iff j < nv) holds across both loops, so the final drain
-        is shared."""
-        nv = nvis_ref[0, 0, si]
-
-        if stream:
-            @pl.when(nv > 0)
-            def _():
-                get_dma(0, ids_ref[0, 0, k0]).start()
-
-        def one(j, carry):
-            if stream:
-                @pl.when(j + 1 < nv)
-                def _():
-                    get_dma((j + 1) % 2, ids_ref[0, 0, k0 + j + 1]).start()
-                get_dma(j % 2, ids_ref[0, 0, k0 + j]).wait()
-                slot = j % 2
-            else:
-                slot = None
-            base = ids_ref[0, 0, k0 + j] * CLUSTER
-            return visit_cluster(carry, base, slot)
-
-        state = (jnp.zeros((), jnp.int32), carry)
-        if chunk > 1:
-            def bulk_cond(c):
-                j = c[0]
-                return (j + chunk <= nv) & pred(j, c[1])
-
-            def bulk_body(c):
-                j, carry = c
-                for i in range(chunk):
-                    carry = one(j + i, carry)
-                return j + chunk, carry
-
-            state = jax.lax.while_loop(bulk_cond, bulk_body, state)
-
-        def cond(c):
-            j = c[0]
-            return (j < nv) & pred(j, c[1])
-
-        def body(c):
-            j, carry = c
-            return j + 1, one(j, carry)
-
-        j_end, carry = jax.lax.while_loop(cond, body, state)
-        if stream:
-            # drain: an early exit (pred went false) leaves the DMA for
-            # j_end in flight — started by the warm-up (j_end == 0) or
-            # when j_end-1 was processed.  It was started iff j_end < nv.
-            @pl.when(j_end < nv)
-            def _():
-                get_dma(j_end % 2, ids_ref[0, 0, k0 + j_end]).wait()
-        return j_end, carry
-
-    # ---- phase 1: winning (t, prim index) ----
-    def visit1_for(mode):
-        def visit1(carry, base, slot):
-            bt, bi = carry
-            off = (slot * CLUSTER - base) if stream else 0
-
-            def prim(ci, c2):
-                bt, bi = c2
-                cand = cand_t(ci + off if stream else ci, mode)
-                better = cand < bt
-                return (jnp.where(better, cand, bt),
-                        jnp.where(better, ci.astype(jnp.float32), bi))
-
-            return jax.lax.fori_loop(base, base + CLUSTER, prim, (bt, bi))
-        return visit1
-
-    carry = (jnp.full(shp, inf, jnp.float32),
-             jnp.full(shp, -1.0, jnp.float32))
-    n_processed = jnp.zeros((), jnp.int32)
-    for si, (mode, k0, _) in enumerate(segments):
-        pred = lambda j, c, k0=k0: jnp.max(c[0]) >= tent_ref[0, 0, k0 + j]
-        j_end, carry = seg_sweep(si, k0, visit1_for(mode), carry, pred,
-                                 chunk=4)
-        n_processed = n_processed + j_end
-    bt, bi = carry
-
-    # ---- phase 2: hit record of the winner (listed clusters that own
-    # some lane's winner only) ----
-    t_safe = jnp.where(bt < inf, bt, 1.0)
-    hx = oxv + t_safe * dxv
-    hy = oyv + t_safe * dyv
-    hz = ozv + t_safe * dzv
-
-    attrs0 = (
-        jnp.zeros(shp, jnp.float32), jnp.zeros(shp, jnp.float32),
-        jnp.ones(shp, jnp.float32),                    # normal
-        jnp.zeros(shp, jnp.float32),                   # front
-        jnp.zeros(shp, jnp.float32), jnp.zeros(shp, jnp.float32),  # uv
-        jnp.zeros(shp, jnp.float32),                   # mat
-        jnp.ones(shp, jnp.float32),                    # is_sphere
-    )
-    if with_albedo:
-        attrs0 = attrs0 + (jnp.zeros(shp, jnp.float32),) * 4
-
-    def visit2_for(mode):
-        def visit2(carry, base, slot):
-            attrs, pending = carry           # pending: f32 mask (Mosaic
-            base_f = base.astype(jnp.float32)  # can't carry i1 vectors)
-            in_cl = (bi >= base_f) & (bi < base_f + jnp.float32(CLUSTER))
-
-            def work(attrs):
-                off = (slot * CLUSTER - base) if stream else 0
-
-                def prim(ci, attrs):
-                    sel = bi == ci.astype(jnp.float32)
-                    ci_r = ci + off if stream else ci
-                    n_x, n_y, n_z, fr, uu, vv, sph_f = attrs_of(
-                        ci_r, mode, hx, hy, hz)
-                    out = (
-                        jnp.where(sel, n_x, attrs[0]),
-                        jnp.where(sel, n_y, attrs[1]),
-                        jnp.where(sel, n_z, attrs[2]),
-                        jnp.where(sel, fr, attrs[3]),
-                        jnp.where(sel, uu, attrs[4]),
-                        jnp.where(sel, vv, attrs[5]),
-                        jnp.where(sel, read_ref[ci_r, 17], attrs[6]),
-                        jnp.where(sel, sph_f, attrs[7]),
-                    )
-                    if with_albedo:
-                        out = out + tuple(
-                            jnp.where(sel, read_ref[ci_r, 31 + q],
-                                      attrs[8 + q])
-                            for q in range(4))
-                    return out
-
-                return jax.lax.fori_loop(base, base + CLUSTER, prim, attrs)
-
-            attrs = jax.lax.cond(jnp.any(in_cl), work, lambda a: a, attrs)
-            return attrs, pending * jnp.where(in_cl, 0.0, 1.0)
-        return visit2
-
-    # phase-2 early exit: a segment's sweep stops once every lane whose
-    # winner lies in THAT segment's cluster range has been reconstructed
-    # (lanes with no winner, bi < 0, start cleared)
-    attrs = attrs0
-    for si, (mode, k0, k1) in enumerate(segments):
-        pending = jnp.where(
-            (bi >= jnp.float32(k0 * CLUSTER))
-            & (bi < jnp.float32(k1 * CLUSTER)), 1.0, 0.0)
-        _, (attrs, _) = seg_sweep(
-            si, k0, visit2_for(mode), (attrs, pending),
-            lambda j, c: jnp.any(c[1] > 0.0))
-    (cnx, cny, cnz, cfr, cu, cv, cm, csp) = attrs[:8]
-
-    flip = jnp.where(cfr > 0.5, 1.0, -1.0)
-    return (bt, bi, cnx * flip, cny * flip, cnz * flip, cfr, cu, cv, cm,
-            csp) + attrs[8:] + (n_processed,)
-
-
-def _pad_table_for_dma(tbl, n_clusters: int, cols: int = 128):
-    """Pad a pack_prims table to [n_clusters * CLUSTER, cols]: row
-    slices cover whole clusters, and the streamed (DMA) path needs the
-    minor dim 128-aligned (Mosaic HBM slice rule; the VMEM-resident
-    path keeps cols = N_COLS).  Pad rows carry kind = -1 (never hit)."""
-    rows = n_clusters * CLUSTER
-    out = jnp.zeros((rows, cols), jnp.float32)
-    out = out.at[:, 16].set(-1.0)
-    return out.at[:tbl.shape[0], :tbl.shape[1]].set(tbl)
-
-
-def _culled_kernel(ids, nvis, tent, tbl, ox, oy, oz, dx, dy, dz, tm,
-                   t_out, i_out, nx_out, ny_out, nz_out, fr_out, u_out,
-                   v_out, m_out, np_out, scratch, sems, *,
-                   n_clusters: int, t_min: float, has_motion: bool,
-                   has_box: bool, segments, stream: bool = True):
-    (bt, bi, nx, ny, nz, cfr, cu, cv, cm, csp, n_proc) = _prim_loop_visited(
-        tbl, ids, nvis, tent, scratch, sems,
-        ox[...], oy[...], oz[...], dx[...], dy[...], dz[...],
-        tm[...] if has_motion else None,
-        n_clusters=n_clusters, t_min=t_min, has_motion=has_motion,
-        has_box=has_box, segments=segments, stream=stream)
-    np_out[0, 0, 0] = n_proc
-    t_out[...] = bt
-    fr_out[...] = ((cfr > 0.5).astype(jnp.int32)
-                   + 2 * (csp > 0.5).astype(jnp.int32))
-    i_out[...] = bi.astype(jnp.int32)
-    nx_out[...] = nx
-    ny_out[...] = ny
-    nz_out[...] = nz
-    u_out[...] = cu
-    v_out[...] = cv
-    m_out[...] = cm.astype(jnp.int32)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_prims", "t_min", "has_motion", "has_box",
-                     "segments", "block_g", "stream", "interpret"))
-def pallas_nearest_record_culled(tbl, ids, nvis, tent, ox, oy, oz, dx, dy,
-                                 dz, tm, *, n_prims: int, t_min: float,
-                                 has_motion: bool, has_box: bool = False,
-                                 segments=None, block_g: int | None = None,
-                                 stream: bool | None = None,
-                                 interpret: bool = False):
-    """Visit-list streamed nearest hit (see :func:`_prim_loop_visited`).
-
-    ``tbl`` is the pack_prims table (padded here to a CLUSTER multiple);
-    ``ids``/``nvis``/``tent`` are the ops/cull.py visit lists built with
-    ``block_lanes = BLOCK_G_CLUSTERED * LANES`` (one list row per kernel
-    block).  The table lives in HBM and is DMA'd per visited cluster, so
-    ``n_prims`` is unbounded — no MAX_DENSE_PRIMS cliff.  Ray components
-    are [G, 128] with G a multiple of BLOCK_G_CLUSTERED.
-
-    Returns (t, idx, nx, ny, nz, front, u, v, mat), all [G, 128].
-    """
-    g = ox.shape[0]
-    bg = BLOCK_G_CLUSTERED if block_g is None else block_g
-    if g % bg:
-        raise ValueError(f"G={g} must be a multiple of {bg}")
-    n_clusters = -(-n_prims // CLUSTER)
-    if stream is None:
-        # default: stream always — the whole-table VMEM variant gets
-        # double-buffered by the pallas pipeline (2x table VMEM) and
-        # OOMs scoped VMEM at mesh scale; the DMA path's working set is
-        # 2 clusters regardless of table size
-        stream = True
-    tbl = _pad_table_for_dma(tbl, n_clusters,
-                             cols=128 if stream else N_COLS)
-    grid = (g // bg,)
-    kw = ids.shape[1]
-    n_seg = nvis.shape[1]
-    ray_spec = pl.BlockSpec((bg, LANES), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    out_specs = [pl.BlockSpec((bg, LANES), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)] * 9 + [
-        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM)]
-    f32 = jnp.float32
-    i32 = jnp.int32
-    out_shape = [
-        jax.ShapeDtypeStruct((g, LANES), f32),   # t
-        jax.ShapeDtypeStruct((g, LANES), i32),   # idx
-        jax.ShapeDtypeStruct((g, LANES), f32),   # nx
-        jax.ShapeDtypeStruct((g, LANES), f32),   # ny
-        jax.ShapeDtypeStruct((g, LANES), f32),   # nz
-        jax.ShapeDtypeStruct((g, LANES), i32),   # front
-        jax.ShapeDtypeStruct((g, LANES), f32),   # u
-        jax.ShapeDtypeStruct((g, LANES), f32),   # v
-        jax.ShapeDtypeStruct((g, LANES), i32),   # mat
-        jax.ShapeDtypeStruct((g // bg, 1, 1), i32),  # clusters processed
-    ]
-    # SMEM tables ride as [B, 1, W] so the per-block (1, 1, W) block
-    # satisfies the TPU block-shape rule (last two dims equal the
-    # array's)
-    ids = ids[:, None, :]
-    nvis = nvis[:, None, :]
-    tent = tent[:, None, :]
-    in_specs = [
-        pl.BlockSpec((1, 1, kw), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, n_seg), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, kw), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.HBM),     # prim table stays in HBM
-    ] + [ray_spec] * 7
-    if not stream:
-        in_specs[3] = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = functools.partial(
-        _culled_kernel, n_clusters=n_clusters, t_min=t_min,
-        has_motion=has_motion, has_box=has_box, segments=segments,
-        stream=stream)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((2 * CLUSTER, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(ids, nvis, tent, tbl, ox, oy, oz, dx, dy, dz, tm)

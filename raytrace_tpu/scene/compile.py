@@ -319,9 +319,8 @@ def compile_scene(root: B.Geom, *, accel: str = "auto", leaf_size: int = 4,
         import jax
         if jax.default_backend() in ("tpu", "axon"):
             # unbounded since round 3: past the VMEM table cap the
-            # dense engines stream primitive chunks from HBM
-            # (ops/pallas/allpairs_kernel.py stream=True,
-            # intersect_kernel pallas_nearest_record_culled)
+            # dense engine streams primitive chunks from HBM
+            # (ops/pallas/allpairs_kernel.py stream=True)
             dense_threshold = 1 << 62
         else:
             from ..ops.pallas.intersect_kernel import MAX_DENSE_PRIMS

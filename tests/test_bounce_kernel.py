@@ -105,38 +105,3 @@ def test_bounce_mega_motion():
     _compare(ref, mega)
 
 
-def test_bounce_mega_culled_matches():
-    """The visit-list streamed bounce (cull prepass + HBM cluster DMA)
-    must match the XLA bounce lane-by-lane, like the consensus kernel."""
-    from raytrace_tpu.render.integrator import bounce_mega_soa
-
-    scene = _scene_all_materials()
-    s = CameraSettings(background=rt.const_background(0.2))
-    s = s.with_redirect_targets([
-        (0.25, [-1, 9, -1], [2, 0, 0], [0, 0, 2]),
-    ])
-    n = 512
-    rg = np.random.default_rng(11)
-    o = jnp.asarray(rg.uniform(-8, 8, (n, 3)), jnp.float32)
-    d = jnp.asarray(rg.normal(size=(n, 3)), jnp.float32)
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    time = jnp.asarray(rg.uniform(0, 1, n), jnp.float32)
-    keys = rng.ray_keys_fast(rng.base_key(7), jnp.arange(n),
-                             jnp.zeros(n, jnp.int32))
-    uniforms = rng.uniform_block(keys, n_bounce_uniforms(scene))
-    radiance = jnp.zeros((n, 3))
-    throughput = jnp.ones((n, 3)) * 0.7
-    alive = jnp.asarray(rg.uniform(0, 1, n) < 0.9)
-
-    ref = bounce(scene, s, o, d, time, uniforms, radiance,
-                 throughput, alive, use_pallas=False)
-    comps = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], time)
-    rad = (radiance[:, 0], radiance[:, 1], radiance[:, 2])
-    thr = (throughput[:, 0], throughput[:, 1], throughput[:, 2])
-    out = bounce_mega_soa(scene, s, comps, uniforms, rad, thr, alive,
-                          interpret=True, culled=True, block_g=4)
-    new_comps, rad_new, thr_new, alive_new, died = out[:5]
-    mega = (jnp.stack(new_comps[0:3], -1), jnp.stack(new_comps[3:6], -1),
-            jnp.stack(rad_new, -1), jnp.stack(thr_new, -1), alive_new,
-            died)
-    _compare(ref, mega)
