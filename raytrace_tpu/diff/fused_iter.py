@@ -160,6 +160,101 @@ def fused_iter_step(scene, s, base_key, spp: int, sample_offset: int,
                   + tuple(outs[7:10]) + tuple(outs[10:13]) + (outs[16],))
         return carry2, (outs[17], outs[18])
 
+    def _f_bwd_pre(params, statics_f, s_in, kt_in, pix2, ints, comps_i,
+                   thr_i, idx2, scale2, cts):
+        """Default <= 64-row backward: XLA one-hot gathers/reduces
+        around the pre-gathered in-kernel-regen replay kernel."""
+        from ..core.vecmath import onehot_rows
+        from ..ops.pallas.bounce_bwd_gather_kernel import (
+            bounce_bwd_regen_pre_megakernel,
+        )
+        from ..ops.pallas.bounce_kernel import pack_targets
+        from .lane_replay import assemble_scene_grads
+
+        _SG = jax.lax.stop_gradient
+        (smp_i, dep_i, al_i) = ints
+        scene_r = rebuild(params, statics_f)
+        p, m, tx = scene_r.prims, scene_r.materials, scene_r.textures
+        n, nm, nt = p.kind.shape[0], m.kind.shape[0], tx.kind.shape[0]
+        has_box = p.has_box
+        g2 = pix2.shape[0]
+        r = g2 * 128
+        fl = lambda x: x.reshape(r)
+        st = lambda x: x.reshape(g2, 128)
+        idx_f = fl(idx2)
+        pi = jnp.maximum(idx_f.astype(jnp.int32), 0)
+        oh_p = _SG(onehot_rows(pi, n))
+        parts = [p.p0, p.e1, p.e2]
+        if has_motion:
+            parts += [p.mv0, p.mv1]
+        n_row = 3 * len(parts)
+        merged = jnp.concatenate(
+            parts + [p.uvs.reshape(n, 6), p.kind.astype(DTYPE)[:, None],
+                     p.mat.astype(DTYPE)[:, None]], axis=1)
+        rows_all = _SG(oh_p @ merged)
+        rows = rows_all[:, :n_row]
+        uvr = rows_all[:, n_row:n_row + 6]
+        kind_p = rows_all[:, n_row + 6]
+        mat_f = rows_all[:, n_row + 7]
+        oh_m = _SG(jax.nn.one_hot(mat_f.astype(jnp.int32), nm,
+                                  dtype=DTYPE))
+        mrows = oh_m @ jnp.concatenate(
+            [m.kind.astype(DTYPE)[:, None], m.tex.astype(DTYPE)[:, None],
+             m.param[:, None]], axis=1)
+        kind_m, tex_f, param = mrows[:, 0], mrows[:, 1], mrows[:, 2]
+        oh_t = _SG(jax.nn.one_hot(tex_f.astype(jnp.int32), nt,
+                                  dtype=DTYPE))
+        trows = oh_t @ jnp.concatenate(
+            [tx.kind.astype(DTYPE)[:, None], tx.f0[:, None],
+             tx.f1[:, None], tx.c0, tx.c1], axis=1)
+        texkind, f0l, f1l = trows[:, 0], trows[:, 1], trows[:, 2]
+        c0 = trows[:, 3:6]
+        c1 = trows[:, 6:9]
+        gath = ([st(_SG(rows[:, k])) for k in range(n_row)]
+                + [st(_SG(c0[:, k])) for k in range(3)]
+                + [st(_SG(c1[:, k])) for k in range(3)]
+                + [st(_SG(param)), st(_SG(kind_p)), st(_SG(kind_m)),
+                   st(_SG(texkind)), st(_SG(f0l)), st(_SG(f1l))]
+                + [st(_SG(uvr[:, k])) for k in range(6)])
+        cam = _SG(pack_cam(s_in, camera_frame(s_in), bg_color))
+        ttbl = _SG(pack_targets(s_in.redirect_prob, s_in.redirect_q,
+                                s_in.redirect_u, s_in.redirect_v))
+        cts13 = tuple(cts[3:10]) + tuple(cts[10:13]) + tuple(cts[13:16])
+        g_rows, g_c0, g_c1, g_param, g_comps_in, g_rad_in, g_thr_in = \
+            bounce_bwd_regen_pre_megakernel(
+                ttbl, kt_in, cam, gath, idx2, (pix2, smp_i, dep_i),
+                al_i, comps_i, thr_i, scale2, cts13,
+                n_targets=int(s_in.n_redirect), has_motion=has_motion,
+                has_box=has_box, t_min=t_min, n_row=n_row, n_u=n_u,
+                width=width, bg_kind=bg_kind, interpret=interpret)
+        # one-hot-transpose reduces (scatter-free, one matmul each)
+        g_ptab = oh_p.T @ jnp.stack([fl(g) for g in g_rows], axis=-1)
+        g_tc0 = oh_t.T @ jnp.stack([fl(g) for g in g_c0], axis=-1)
+        g_tc1 = oh_t.T @ jnp.stack([fl(g) for g in g_c1], axis=-1)
+        g_mparam = fl(g_param) @ oh_m
+        g_scene = assemble_scene_grads(
+            scene_r, g_ptab[:, 0:3], g_ptab[:, 3:6], g_ptab[:, 6:9],
+            g_ptab[:, 9:12] if has_motion else None,
+            g_ptab[:, 12:15] if has_motion else None,
+            g_mparam, g_tc0, g_tc1)
+        g_params = jax.tree_util.tree_map(
+            lambda x: x if (hasattr(x, "dtype") and jnp.issubdtype(
+                x.dtype, jnp.floating)) else None, g_scene)
+
+        import numpy as np
+
+        def zi(x):
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                return jnp.zeros_like(x)
+            return np.zeros(x.shape, jax.dtypes.float0)
+
+        return ((g_params,
+                 jax.tree_util.tree_map(jnp.zeros_like, statics_f),
+                 jax.tree_util.tree_map(jnp.zeros_like, s_in),
+                 zi(kt_in), zi(pix2), zi(smp_i), zi(dep_i),
+                 jnp.zeros_like(al_i))
+                + tuple(g_comps_in) + tuple(g_rad_in) + tuple(g_thr_in))
+
     @jax.custom_vjp
     def f(params, statics_f, s_in, kt_in, pix2, *carry):
         return run_fwd(params, statics_f, s_in, kt_in, pix2, *carry)[0]
@@ -180,11 +275,22 @@ def fused_iter_step(scene, s, base_key, spp: int, sample_offset: int,
         idx2, scale2 = res[18:]
 
         import os as _os
+        n_prims = scene.prims.kind.shape[0]
+        # Default for <= 64-row tables: XLA one-hot gathers/reduces (one
+        # big MXU matmul each) around the PRE-GATHERED regen backward
+        # kernel — the detached regeneration/RNG/camera stage
+        # reconstructs in-kernel from the saved integer coordinates, so
+        # the scan backward's XLA stage shrinks to the gathers.
+        # RT_FUSED_BWD_XLA=1 restores the all-XLA reconstruction path.
+        if (n_prims <= 64 and not _os.environ.get("RT_FUSED_BWD_XLA")
+                and not _os.environ.get("RT_FUSED_BWD_KERNEL")):
+            return _f_bwd_pre(params, statics_f, s_in, kt_in, pix2,
+                              (smp_i, dep_i, al_i), comps_i, thr_i,
+                              idx2, scale2, cts)
         # Opt-in (RT_FUSED_BWD_KERNEL=1): the one-kernel backward's
         # per-row gather/reduce dots are latency-bound at small N —
         # measured 69.9 M vs 91.8 M bench rays/s on Cornell (24 prims)
-        # against the default below (XLA one-hot gathers + replay
-        # kernel + XLA regen reconstruction).  Revisit for mesh-scale
+        # against the XLA-reconstruction path.  Revisit for mesh-scale
         # scenes where the [512, W] chunk dots amortize.
         if _os.environ.get("RT_FUSED_BWD_KERNEL"):
             # ---- one-kernel backward: regen reconstruction + replay
@@ -203,7 +309,10 @@ def fused_iter_step(scene, s, base_key, spp: int, sample_offset: int,
             cam = _SG(pack_cam(s_in, camera_frame(s_in), bg_color))
             ttbl = _SG(pack_targets(s_in.redirect_prob, s_in.redirect_q,
                                     s_in.redirect_u, s_in.redirect_v))
-            bi = jnp.maximum(idx2, 0.0)
+            # UNCLAMPED winner index: the in-kernel one-hots match
+            # nothing at -1 (zero rows / zero grads) and the hashit
+            # flag needs the miss sentinel
+            bi = idx2
             cts13 = tuple(cts[3:10]) + tuple(cts[10:13]) \
                 + tuple(cts[13:16])
             g_comps_in, g_rad_in, g_thr_in, g_tbl, g_mat, g_tex = \

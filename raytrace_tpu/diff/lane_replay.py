@@ -64,10 +64,19 @@ _SG = jax.lax.stop_gradient
 
 
 def replay_eligible(scene) -> bool:
-    """Static check: can the SoA replay backward serve this scene?"""
+    """Static check: can the SoA replay backward serve this scene?
+
+    Past MAX_REPLAY_PRIMS the Pallas path would use the self-gathering
+    kernel — OPT-IN (RT_REPLAY_GATHER=1): its per-(row, chunk) one-hot
+    dots are MXU-latency-bound and lose to the generic XLA replay on
+    the bunny (1.78 vs 2.70 M fwd+bwd rays/s measured at w=512), so
+    mesh-scale scenes default to the generic fallback."""
+    import os
     from ..textures.textures import TEX_CONSTANT
+    cap = REPLAY_GATHER_MAX_PRIMS if os.environ.get("RT_REPLAY_GATHER") \
+        else MAX_REPLAY_PRIMS
     return (scene.volumes is None
-            and scene.prims.kind.shape[0] <= REPLAY_GATHER_MAX_PRIMS
+            and scene.prims.kind.shape[0] <= cap
             and scene.materials.kind.shape[0] <= MAX_REPLAY_MATS
             and scene.textures.kind.shape[0] <= MAX_REPLAY_TEX
             and set(scene.textures.kinds_present) <= {TEX_CONSTANT,

@@ -53,7 +53,7 @@ N_U = 8
 def _kernel(ttbl, tbl_ref, mtbl_ref, xtbl_ref, *refs,
             n_targets: int, has_motion: bool, has_box: bool,
             t_min: float, n_row: int, n_tblc: int, chunks, nm_pad: int,
-            nt_pad: int, bg: int):
+            nt_pad: int, bg: int, w: int = LANES):
     (bi_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
      tr_ref, tg_ref, tb_ref) = refs[:11]
     u_refs = refs[11:11 + N_U]
@@ -92,13 +92,13 @@ def _kernel(ttbl, tbl_ref, mtbl_ref, xtbl_ref, *refs,
     for g in range(bg):
         gsl = (pl.ds(g, 1), slice(None))
         bi_row = bi_ref[gsl]                               # [1, 128]
-        gt = jnp.zeros((n_tblc, LANES), jnp.float32)
+        gt = jnp.zeros((n_tblc, w), jnp.float32)
         for p0c, ln in chunks:
             oh = onehot_tbl(bi_row, p0c, ln)
             gt = gt + jax.lax.dot_general(
                 tbl_ref[pl.ds(p0c, ln), :], oh,
                 (((0,), (0,)), ((), ())), precision=hi,
-                preferred_element_type=jnp.float32)        # [n_tblc, 128]
+                preferred_element_type=jnp.float32)        # [n_tblc, w]
         for j in range(n_tblc):
             sc_rows[j][gsl] = gt[j:j + 1, :]
         mat_f = gt[n_tblc - 1:n_tblc, :]                # [1, 128]
@@ -220,9 +220,23 @@ def bounce_bwd_gather_megakernel(ttbl, tbl, mtbl, xtbl, bi, lane, u_cols,
     chunks = tuple((p0, min(CHUNK_P, np_pad - p0))
                    for p0 in range(0, np_pad, CHUNK_P))
     g = bi.shape[0]
+    # W-relabel: group 4 sublane rows into one 512-wide row (a pure
+    # reshape) so each per-(row, chunk) gather/reduce dot serves 4x the
+    # lanes — the dots are MXU-latency-bound, not flop-bound (bunny
+    # measured 1.67 M rays/s at w=128)
+    w = LANES
+    while w < 512 and g % 2 == 0 and g >= 2:
+        w *= 2
+        g //= 2
+    rl = lambda x: x.reshape(g, w)
+    bi = rl(bi)
+    lane = tuple(rl(x) for x in lane)
+    u_cols = tuple(rl(x) for x in u_cols)
+    flags = tuple(rl(x) for x in flags)
+    cts = tuple(rl(x) for x in cts)
     bg = min(BLOCK_G, g)
     grid = (pl.cdiv(g, bg),)
-    flat = pl.BlockSpec((bg, LANES), lambda i, *_: (i, 0),
+    flat = pl.BlockSpec((bg, w), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
     full = lambda r, c: pl.BlockSpec((r, c), lambda i, *_: (0, 0),
                                      memory_space=pltpu.VMEM)
@@ -232,7 +246,7 @@ def bounce_bwd_gather_megakernel(ttbl, tbl, mtbl, xtbl, bi, lane, u_cols,
     kernel = functools.partial(
         _kernel, n_targets=n_targets, has_motion=has_motion,
         has_box=has_box, t_min=t_min, n_row=n_row, n_tblc=n_tblc,
-        chunks=chunks, nm_pad=nm_pad, nt_pad=nt_pad, bg=bg)
+        chunks=chunks, nm_pad=nm_pad, nt_pad=nt_pad, bg=bg, w=w)
     n_scratch = n_tblc + 12 + (n_row + 7)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -240,21 +254,24 @@ def bounce_bwd_gather_megakernel(ttbl, tbl, mtbl, xtbl, bi, lane, u_cols,
         in_specs=[full(np_pad, n_tblc), full(nm_pad, 3), full(nt_pad, 9)]
         + [flat] * n_lane_in,
         out_specs=[flat] * (N_LANE_DIFF + 1)
-        + [full(np_pad, n_row), full(nm_pad, LANES),
-           full(6 * nt_pad, LANES)],
-        scratch_shapes=[pltpu.VMEM((bg, LANES), jnp.float32)] * n_scratch,
+        + [full(np_pad, n_row), full(nm_pad, w),
+           full(6 * nt_pad, w)],
+        scratch_shapes=[pltpu.VMEM((bg, w), jnp.float32)] * n_scratch,
     )
+    g0 = bi.size // LANES
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((g, LANES), jnp.float32)]
+        out_shape=[jax.ShapeDtypeStruct((g, w), jnp.float32)]
         * (N_LANE_DIFF + 1)
         + [jax.ShapeDtypeStruct((np_pad, n_row), jnp.float32),
-           jax.ShapeDtypeStruct((nm_pad, LANES), jnp.float32),
-           jax.ShapeDtypeStruct((6 * nt_pad, LANES), jnp.float32)],
+           jax.ShapeDtypeStruct((nm_pad, w), jnp.float32),
+           jax.ShapeDtypeStruct((6 * nt_pad, w), jnp.float32)],
         interpret=interpret,
     )(ttbl, tbl, mtbl, xtbl, *lane_in)
-    return (tuple(outs[:N_LANE_DIFF]), outs[N_LANE_DIFF],
+    back = lambda x: x.reshape(g0, LANES)
+    return (tuple(back(o) for o in outs[:N_LANE_DIFF]),
+            back(outs[N_LANE_DIFF]),
             outs[N_LANE_DIFF + 1], outs[N_LANE_DIFF + 2],
             outs[N_LANE_DIFF + 3])
 
@@ -555,3 +572,193 @@ def bounce_bwd_regen_megakernel(ttbl, kt, cam, tbl, mtbl, xtbl, bi, ints,
     )(ttbl, kt, cam, tbl, mtbl, xtbl, *lane_in)
     return (tuple(outs[0:7]), tuple(outs[7:10]), tuple(outs[10:13]),
             outs[13], outs[14], outs[15])
+
+
+def _regen_stage(kt, cam, pixv, smpv, depv, alv, n_u: int, width: int):
+    """Shared in-kernel regeneration/RNG/camera reconstruction
+    (iter_kernel.py semantics, bit-identical int32 counter-hash).
+    Returns ``(can_f, alive_pre_f, us, new7)``."""
+    from .iter_kernel import _divmod_w, _u32c, _uniform_cols_i32
+    import math as _math
+    can = ~alv & (smpv < kt[0, 2])
+    can_f = jnp.where(can, 1.0, 0.0)
+    smp2 = jnp.where(can, smpv + 1, smpv)
+    dep_pre = jnp.where(can, 0, depv)
+    alive_pre_f = jnp.where(alv | can, 1.0, 0.0)
+    k0 = kt[0, 0] ^ (pixv * _u32c(0x9E3779B1)) ^ (smp2 * _u32c(0x632BE5AB))
+    k1 = kt[0, 1] ^ (smp2 * _u32c(0x85EBCA77)) ^ (pixv * _u32c(0xB5297A4D))
+    k0 = k0 + dep_pre * _u32c(0xC2B2AE3D)
+    k1 = k1 ^ (dep_pre * _u32c(0x27D4EB2F))
+    us = _uniform_cols_i32(k0, k1, n_u + 6)
+    i_f, j_f = _divmod_w(pixv.astype(jnp.float32), width)
+    u5 = us[n_u:n_u + 5]
+    r_l = jnp.sqrt(u5[0])
+    th = jnp.float32(2.0 * _math.pi) * u5[1]
+    dr = cam[0, 18]
+    da = r_l * jnp.cos(th) * dr
+    db = r_l * jnp.sin(th) * dr
+    ii = i_f + u5[2]
+    jj = j_f + u5[3]
+    n_o, n_d = [], []
+    for k in range(3):
+        okc = cam[0, 0 + k] + da * cam[0, 12 + k] + db * cam[0, 15 + k]
+        tkc = cam[0, 3 + k] + ii * cam[0, 6 + k] + jj * cam[0, 9 + k]
+        n_o.append(okc)
+        n_d.append(tkc - okc)
+    inv = jax.lax.rsqrt(jnp.maximum(
+        n_d[0] * n_d[0] + n_d[1] * n_d[1] + n_d[2] * n_d[2], 1e-24))
+    new7 = (n_o[0], n_o[1], n_o[2], n_d[0] * inv, n_d[1] * inv,
+            n_d[2] * inv, u5[4])
+    return can_f, alive_pre_f, us, new7
+
+
+def _kernel_regen_pre(ttbl, kt, cam, *refs, n_targets: int,
+                      has_motion: bool, has_box: bool, t_min: float,
+                      n_row: int, n_u: int, width: int, bg_kind: int):
+    """Pre-gathered variant of :func:`_kernel_regen` for small tables:
+    winner/material/texture rows arrive as per-lane operands (gathered
+    outside by the [R, N] one-hot matmuls of the <=64-row path, where
+    one big XLA matmul beats per-row kernel dots), while the detached
+    regeneration/RNG/camera stage reconstructs IN-kernel from the saved
+    integer coordinates — the scan backward's last XLA stage gone."""
+    n_gath = n_row + 7 + 11          # rows + c0/c1/param + det columns
+    rows_refs = refs[:n_row]
+    c0_refs = refs[n_row:n_row + 3]
+    c1_refs = refs[n_row + 3:n_row + 6]
+    param_ref = refs[n_row + 6]
+    det_refs = refs[n_row + 7:n_row + 18]    # kind_p kind_m texkind f0
+    # f1 uvr(6)
+    k = n_gath
+    (bi_ref, pix_ref, smp_ref, dep_ref, al_ref) = refs[k:k + 5]
+    comps_refs = refs[k + 5:k + 12]
+    thr_refs = refs[k + 12:k + 15]
+    scale_ref = refs[k + 15]
+    ct_refs = refs[k + 16:k + 29]
+    out = refs[k + 29:]
+    grows_out = out[:n_row]
+    gc0_out = out[n_row:n_row + 3]
+    gc1_out = out[n_row + 3:n_row + 6]
+    gparam_out = out[n_row + 6]
+    gcomps_out = out[n_row + 7:n_row + 14]
+    grad_out = out[n_row + 14:n_row + 17]
+    gthr_out = out[n_row + 17:n_row + 20]
+
+    can_f, alive_pre_f, us, new7 = _regen_stage(
+        kt, cam, pix_ref[...], smp_ref[...], dep_ref[...],
+        al_ref[...] > 0.5, n_u, width)
+
+    if n_targets > 0:
+        qs = [(ttbl[t, 0], ttbl[t, 1], ttbl[t, 2]) for t in range(n_targets)]
+        tus = [(ttbl[t, 3], ttbl[t, 4], ttbl[t, 5]) for t in range(n_targets)]
+        tvs = [(ttbl[t, 6], ttbl[t, 7], ttbl[t, 8]) for t in range(n_targets)]
+        probs = [ttbl[t, 12] for t in range(n_targets)]
+        tgt = (qs, tus, tvs, probs)
+    else:
+        tgt = ([], [], [], [])
+
+    det_v = (tuple(r[...] for r in det_refs[:5])
+             + tuple(r[...] for r in det_refs[5:11])
+             + tuple(us[:N_U])
+             + (alive_pre_f, jnp.where(bi_ref[...] >= 0.0, 1.0, 0.0)))
+    comps_in_v = tuple(r[...] for r in comps_refs)
+    thr_in_v = tuple(r[...] for r in thr_refs)
+    far = jnp.float32(3e18)
+
+    def f2(*diff):
+        ci = diff[:7]
+        ti = diff[7:10]
+        rows = diff[10:10 + n_row]
+        c0d = diff[10 + n_row:13 + n_row]
+        c1d = diff[13 + n_row:16 + n_row]
+        par = diff[16 + n_row]
+        pre = tuple(can_f * n + (1.0 - can_f) * c
+                    for n, c in zip(new7, ci))
+        ox_n = alive_pre_f * pre[0] + (1.0 - alive_pre_f) * far
+        oy_n = alive_pre_f * pre[1] + (1.0 - alive_pre_f) * far
+        oz_n = alive_pre_f * pre[2] + (1.0 - alive_pre_f) * far
+        thr_pre = tuple(can_f + (1.0 - can_f) * t for t in ti)
+        ld = (rows + c0d + c1d + (par,)
+              + (ox_n, oy_n, oz_n, pre[3], pre[4], pre[5], pre[6])
+              + thr_pre)
+        outs = lane_math(ld, det_v, tgt, has_motion=has_motion,
+                         has_box=has_box, t_min=t_min,
+                         n_targets=n_targets, exact_trig=False)
+        if bg_kind == 1:                      # sky
+            a_sky = 0.5 * (pre[4] + 1.0)
+            bgc = ((1.0 - a_sky) + a_sky * 0.5,
+                   (1.0 - a_sky) + a_sky * 0.7,
+                   (1.0 - a_sky) + a_sky * 1.0)
+        elif bg_kind == 2:                    # gray fade
+            t_g = (pre[4] + 1.0) * 0.5
+            bgc = (t_g, t_g, t_g)
+        else:
+            bgc = (cam[0, 20], cam[0, 21], cam[0, 22])
+        rad = tuple(outs[6 + k2] + outs[12] * tp * bgc[k2]
+                    for k2, tp in enumerate(thr_pre))
+        return outs[:6] + rad + outs[9:12] + (pre[6],)
+
+    diff_v = (comps_in_v + thr_in_v + tuple(r[...] for r in rows_refs)
+              + tuple(r[...] for r in c0_refs)
+              + tuple(r[...] for r in c1_refs) + (param_ref[...],))
+    _, vjp = jax.vjp(f2, *diff_v)
+    scale = scale_ref[...]
+    ct_v = tuple(r[...] for r in ct_refs)
+    cts13 = (ct_v[0:6] + ct_v[7:10]
+             + tuple(c * scale for c in ct_v[10:13]) + (ct_v[6],))
+    grads = vjp(cts13)
+    for k2 in range(7):
+        gcomps_out[k2][...] = grads[k2]
+    for k2 in range(3):
+        grad_out[k2][...] = ct_v[7 + k2] * (1.0 - can_f)
+        gthr_out[k2][...] = grads[7 + k2]
+    for j in range(n_row):
+        grows_out[j][...] = grads[10 + j]
+    for j in range(3):
+        gc0_out[j][...] = grads[10 + n_row + j]
+        gc1_out[j][...] = grads[13 + n_row + j]
+    gparam_out[...] = grads[16 + n_row]
+
+
+def bounce_bwd_regen_pre_megakernel(ttbl, kt, cam, gath, bi, ints, al,
+                                    comps_in, thr_in, scale, cts, *,
+                                    n_targets: int, has_motion: bool,
+                                    has_box: bool, t_min: float,
+                                    n_row: int, n_u: int, width: int,
+                                    bg_kind: int,
+                                    interpret: bool = False):
+    """``gath``: the n_row+18 pre-gathered per-lane columns in kernel
+    operand order (rows, c0, c1, param, kind_p, kind_m, texkind, f0,
+    f1, uvr(6)); ``bi`` the winner index as f32 (clamped >= 0);
+    ``ints`` = (pix, smp, dep) i32 — all [G, 128].
+    Returns ``(g_rows(n_row), g_c0(3), g_c1(3), g_param,
+    g_comps_in(7), g_rad_in(3), g_thr_in(3))``.  Un-jitted for the same
+    reason as :func:`bounce_bwd_regen_megakernel`."""
+    g = al.shape[0]
+    bg = min(BLOCK_G, g)
+    grid = (pl.cdiv(g, bg),)
+    flat = pl.BlockSpec((bg, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)
+    lane_in = tuple(gath) + (bi,) + tuple(ints) + (al,) \
+        + tuple(comps_in) + tuple(thr_in) + (scale,) + tuple(cts)
+    n_out = n_row + 20
+    kernel = functools.partial(
+        _kernel_regen_pre, n_targets=n_targets, has_motion=has_motion,
+        has_box=has_box, t_min=t_min, n_row=n_row, n_u=n_u, width=width,
+        bg_kind=bg_kind)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[flat] * len(lane_in),
+        out_specs=[flat] * n_out,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((g, LANES), jnp.float32)] * n_out,
+        interpret=interpret,
+    )(ttbl, kt, cam, *lane_in)
+    return (tuple(outs[:n_row]), tuple(outs[n_row:n_row + 3]),
+            tuple(outs[n_row + 3:n_row + 6]), outs[n_row + 6],
+            tuple(outs[n_row + 7:n_row + 14]),
+            tuple(outs[n_row + 14:n_row + 17]),
+            tuple(outs[n_row + 17:n_row + 20]))

@@ -43,8 +43,12 @@ def _kernel(jrow, irow, mrow, gr, gg, gb, out, *, n_img: int, h: int,
     def _init():
         out[...] = jnp.zeros_like(out[...])
 
-    ioth = jax.lax.broadcasted_iota(jnp.float32, (h, wide), 0)
-    iotw = jax.lax.broadcasted_iota(jnp.float32, (w, wide), 0)
+    # integer iota + convert: Mosaic's tpu.iota only produces int
+    # vectors (f32 iota fails verification on the real chip)
+    ioth = jax.lax.broadcasted_iota(jnp.int32, (h, wide), 0)\
+        .astype(jnp.float32)
+    iotw = jax.lax.broadcasted_iota(jnp.int32, (w, wide), 0)\
+        .astype(jnp.float32)
 
     def row_body(r, _):
         sl = (pl.ds(r, 1), slice(None))
@@ -107,6 +111,9 @@ def image_grad_pallas(img_id, j, i, g_texel, *, n_img: int, h: int,
 
 def image_grad_eligible(images, lanes: int) -> bool:
     """Static gate: small atlas, 128-aligned flat lanes, TPU backend."""
+    import os
+    if os.environ.get("RT_NO_IMG_GRAD_KERNEL"):
+        return False
     i_, h_, w_, _ = images.shape
     return (jax.default_backend() in ("tpu", "axon")
             and lanes % LANES == 0 and lanes >= LANES

@@ -196,10 +196,11 @@ def _scene_mesh(n_grid: int = 12):
 
 
 @pytest.mark.parametrize("n_targets", [0, 1])
-def test_replay_bwd_gather_kernel_matches_generic(n_targets):
+def test_replay_bwd_gather_kernel_matches_generic(n_targets, monkeypatch):
     from raytrace_tpu.diff.lane_replay import (
         MAX_REPLAY_PRIMS, replay_bwd_pallas,
     )
+    monkeypatch.setenv("RT_REPLAY_GATHER", "1")   # opt-in mesh backward
     scene = _scene_mesh()
     n = scene.prims.kind.shape[0]
     assert n > MAX_REPLAY_PRIMS
