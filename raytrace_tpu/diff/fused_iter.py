@@ -60,18 +60,18 @@ def background_kind(s):
 
 
 def fused_iter_eligible(scene, s, lanes: int,
-                        interpret: bool = False) -> bool:
+                        interpret: bool = False,
+                        need_replay: bool = True) -> bool:
     """Static check: can the fused iteration kernel drive the diff
-    wavefront for this scene?"""
-    from ..ops.pallas.intersect_kernel import MAX_SMEM_PRIMS
+    wavefront (``need_replay=True``: the backward must have a replay
+    path) or the forward-only stationary wavefront for this scene?"""
     from ..render.integrator import bounce_kernel_eligible
     from .lane_replay import replay_eligible
     import os
     if os.environ.get("RT_NO_FUSED_ITER"):
         return False
     return (bounce_kernel_eligible(scene, s, lanes, interpret=interpret)
-            and replay_eligible(scene)
-            and scene.prims.kind.shape[0] <= MAX_SMEM_PRIMS
+            and (not need_replay or replay_eligible(scene))
             and lanes % 128 == 0
             and background_kind(s) is not None
             and not rng.USE_THREEFRY and rng.USE_PAIR16

@@ -269,7 +269,6 @@ def iter_megakernel(ptbl, ctbl, mtbl, ttbl, cam, kt, lane_in, *,
         BLOCK_G_CLUSTERED, CLUSTER, CLUSTER_MIN_PRIMS, GROUP_MIN_CLUSTERS,
         MAX_SMEM_PRIMS, pack_cluster_groups,
     )
-    assert n_prims <= MAX_SMEM_PRIMS
     two_level = (n_prims >= CLUSTER_MIN_PRIMS
                  and -(-n_prims // CLUSTER) >= GROUP_MIN_CLUSTERS)
     gtbl = pack_cluster_groups(ctbl) if two_level \
@@ -287,21 +286,44 @@ def iter_megakernel(ptbl, ctbl, mtbl, ttbl, cam, kt, lane_in, *,
         segments=segments, kinds=kinds, two_level=two_level, n_u=n_u,
         rr_depth=rr_depth, max_depth=max_depth, width=width,
         bg_kind=bg_kind)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
-        grid=grid,
-        in_specs=[spec] * N_LANE_IN,
-        out_specs=[spec] * 19,
-    )
     out_shape = ([jax.ShapeDtypeStruct((g, LANES), jnp.float32)] * 14
                  + [jax.ShapeDtypeStruct((g, LANES), jnp.int32)] * 2
                  + [jax.ShapeDtypeStruct((g, LANES), jnp.float32)] * 3)
+    if n_prims <= MAX_SMEM_PRIMS:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=grid,
+            in_specs=[spec] * N_LANE_IN,
+            out_specs=[spec] * 19,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(ptbl, ctbl, gtbl, mtbl, ttbl, cam, kt, *lane_in)
+
+    # mesh-scale tables (bunny: 4,992 rows): the primitive table lives
+    # whole in VMEM while the small cluster/material/target/camera/key
+    # tables stay scalar-prefetched — the bounce_megakernel layout
+    def kernel_vmem(ctbl_ref, gtbl_ref, mtbl_ref, ttbl_ref, cam_ref,
+                    kt_ref, ptbl_ref, *rest):
+        kernel(ptbl_ref, ctbl_ref, gtbl_ref, mtbl_ref, ttbl_ref,
+               cam_ref, kt_ref, *rest)
+
+    tbl_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=grid,
+        in_specs=[tbl_spec] + [spec] * N_LANE_IN,
+        out_specs=[spec] * 19,
+    )
     return pl.pallas_call(
-        kernel,
+        kernel_vmem,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(ptbl, ctbl, gtbl, mtbl, ttbl, cam, kt, *lane_in)
+    )(ctbl, gtbl, mtbl, ttbl, cam, kt, ptbl, *lane_in)
 
 
 def pack_cam(s, frame, bg_color):

@@ -995,7 +995,8 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
     # int32 counter-hash is bit-identical to core/rng.py) ----
     from ..diff.fused_iter import fused_iter_eligible
     if k_rot == 1 and fused_iter_eligible(scene, s, lanes,
-                                          interpret=fused_interpret):
+                                          interpret=fused_interpret,
+                                          need_replay=False):
         from ..diff.fused_iter import fused_iter_fwd_step
         step = fused_iter_fwd_step(scene, s, base_key, spp, sample_offset,
                                    interpret=fused_interpret)
