@@ -164,3 +164,37 @@ def test_fused_iter_forward_stationary_driver(cornell):
     frac_diff = (np.abs(a - b).max(axis=1) > 1e-5).mean()
     assert frac_diff < 0.02, frac_diff
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=2e-3)
+
+
+def test_fused_iter_vmem_table_variant():
+    """Scenes past MAX_SMEM_PRIMS (primitive table whole in VMEM) must
+    take the fused stationary driver and agree with the XLA path
+    statistically (same RNG stream; ulp-level transcendental
+    differences only — cf. the stationary test above)."""
+    from test_lane_replay import _scene_mesh
+    from raytrace_tpu.ops.pallas.intersect_kernel import MAX_SMEM_PRIMS
+    from raytrace_tpu.render.camera import CameraSettings, sky
+    from raytrace_tpu.render.integrator import trace_wavefront_stationary
+    import jax.numpy as jnp2
+
+    scene = _scene_mesh(n_grid=18)        # 648 tris + extras > 512 rows
+    assert scene.prims.kind.shape[0] > MAX_SMEM_PRIMS
+    s = CameraSettings(center=jnp2.asarray([0.0, 2.0, 8.0]),
+                       look_at=jnp2.zeros(3), image_width=32,
+                       aspect_ratio=1.0, max_depth=6, background=sky)
+    assert fused_iter_eligible(scene, s, 1024, interpret=True,
+                               need_replay=False)
+    n_pix = 32 * 32
+    key = rng.base_key(2)
+    acc_f = trace_wavefront_stationary(scene, s, key, n_pix, 2,
+                                       fused_interpret=True)
+    os.environ["RT_NO_FUSED_ITER"] = "1"
+    try:
+        acc_u = trace_wavefront_stationary(scene, s, key, n_pix, 2,
+                                           fused_interpret=True)
+    finally:
+        os.environ.pop("RT_NO_FUSED_ITER", None)
+    a, b = np.asarray(acc_f), np.asarray(acc_u)
+    frac_diff = (np.abs(a - b).max(axis=1) > 1e-5).mean()
+    assert frac_diff < 0.02, frac_diff
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=2e-3)
