@@ -152,6 +152,7 @@ def main():
         f"({bwd_rays} rays in {dt:.2f}s)  loss={float(loss):.4f} "
         f"samples_completed={float(frac):.4f}")
 
+    from raytrace_tpu.utils.engines import engine_report
     print(json.dumps({
         "metric": "cornell600_200spp_depth50_fwd_bwd_primary_rays_per_sec_per_chip",
         "value": round(bwd_rays_s, 1),
@@ -162,6 +163,8 @@ def main():
             round(fwd_rays_s_exact, 1),
         "samples_completed": round(float(frac), 4),
         "russian_roulette": "depth>=2 (unbiased; exact-estimator numbers also reported)",
+        "engines": engine_report(scene, settings_rr, diff=True),
+        "engines_fwd": engine_report(scene, settings_rr),
     }))
 
 

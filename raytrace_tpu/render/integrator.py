@@ -366,10 +366,15 @@ def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
         tmin = jnp.full((r,), s.t_min, DTYPE)
         nv = scene.volumes.n_volumes
         u_sc = uniforms[:, _N_BASE_U:_N_BASE_U + nv]
+        vol_segs = None
         if use_pallas and not diff:
             from .volumes import volume_candidates_pallas
             t_vol, _ = volume_candidates_pallas(
                 scene.volumes, o, d, time, tmin, u_sc, float(s.t_min))
+        elif diff:
+            t_vol, _, seg_entry, seg_exit, seg_has = volume_candidates(
+                scene.volumes, o, d, time, tmin, u_sc, with_segments=True)
+            vol_segs = (seg_entry, seg_exit, seg_has)
         else:
             t_vol, _ = volume_candidates(scene.volumes, o, d, time, tmin,
                                          u_sc)
@@ -377,12 +382,53 @@ def bounce(scene: Scene, s: CameraSettings, o, d, time, uniforms,
         # volumes — argmin + gather costs ~1 ms per 100k lanes on TPU
         t_med = jnp.full((r,), INF, DTYPE)
         vol_mat = jnp.zeros((r,), mat_id.dtype)
+        vol_win = jnp.full((r,), -1, jnp.int32)
         for v in range(nv):
             better = t_vol[:, v] < t_med
             t_med = jnp.where(better, t_vol[:, v], t_med)
             vol_mat = jnp.where(better, scene.volumes.mat[v], vol_mat)
+            vol_win = jnp.where(better, v, vol_win)
         in_medium = t_med < t_srf
         t_hit = jnp.where(in_medium, t_med, t_srf)
+        if diff:
+            # --- density gradients: score-function (likelihood-ratio)
+            # weight, value exactly 1 (Geometry.hs:298-330 density is a
+            # first-class scene parameter; the reparameterized position
+            # gradient vanishes under detached sampling, so the event
+            # probability carries the gradient instead).  Per volume:
+            #   scattered here: pdf = rho * exp(-rho * s)
+            #   passed through L of it: P = exp(-rho * L)
+            # w = exp(logp - sg(logp)) == 1.0 multiplies throughput, so
+            # d loss/d rho = E[loss * d logp/d rho] — the standard
+            # unbiased estimator; u draws stay detached.
+            # All lengths are DETACHED — only the densities are attached
+            # in logp, so the weight's gradient is purely d logp/d rho
+            # (geometry keeps its reparameterized path through t_hit).
+            _sg = jax.lax.stop_gradient
+            seg_entry, seg_exit, seg_has = vol_segs
+            t_evt = _sg(jnp.where(jnp.isfinite(t_hit), t_hit,
+                                  jnp.float32(3e18)))
+            logp = jnp.zeros((r,), DTYPE)
+            for v in range(nv):
+                rho = scene.volumes.density[v]
+                scat_v = in_medium & (vol_win == v) & alive
+                entry_v = _sg(seg_entry[:, v])
+                exit_v = _sg(seg_exit[:, v])
+                has_v = seg_has[:, v] & alive
+                # finite masked lengths: INF in an unselected where-branch
+                # still poisons the VJP (0 * inf = NaN)
+                seg_len = jnp.clip(jnp.minimum(t_evt, exit_v) - entry_v,
+                                   0.0, None)
+                seg_len = jnp.where(has_v & jnp.isfinite(seg_len),
+                                    seg_len, 0.0)
+                s_v = jnp.clip(_sg(t_med) - entry_v, 0.0, None)
+                s_v = jnp.where(scat_v & jnp.isfinite(s_v), s_v, 0.0)
+                lf = jnp.where(
+                    scat_v, jnp.log(jnp.maximum(rho, 1e-20)) - rho * s_v,
+                    jnp.where(has_v, -rho * seg_len, 0.0))
+                logp = logp + lf
+            w_score = jnp.exp(logp - _sg(logp))
+            throughput = throughput * w_score[:, None]
     else:
         in_medium = jnp.zeros((r,), bool)
         t_hit = t_srf

@@ -99,20 +99,31 @@ def _candidate_from_crossings(volumes: Volumes, v: int, t1, front1, t2,
     exit_t = jnp.where(front1, t2, t1)
     has_segment = jnp.isfinite(t1) & jnp.isfinite(exit_t)
     dist_in = exit_t - entry
-    neg_inv_density = -1.0 / volumes.density[v]
+    # density is DETACHED here: its gradient flows through the
+    # score-function weight (integrator.bounce diff path), not the
+    # reparameterized flight distance — carrying both would double-count.
+    # Geometry gradients (entry/exit via the boundary crossings) stay
+    # attached (reparameterized, like surface hits).
+    neg_inv_density = jax.lax.stop_gradient(-1.0 / volumes.density[v])
     hit_dist = neg_inv_density * jnp.log(jnp.maximum(u_v, 1e-38))
     scatter = has_segment & (hit_dist < dist_in)
     return jnp.where(scatter, entry + hit_dist, INF), scatter
 
 
-def volume_candidates(volumes: Volumes, o, d, time, t_min, u_scatter):
+def volume_candidates(volumes: Volumes, o, d, time, t_min, u_scatter,
+                      with_segments: bool = False):
     """Scatter candidate per volume: returns (t_cand[R, V], valid[R, V]).
 
     ``u_scatter[R, V]`` are uniform draws for the exponential free-flight
     distance (Geometry.hs:316-319: ``-log U / density``).
-    """
+
+    ``with_segments=True`` additionally returns ``(entry[R, V],
+    exit[R, V], has_segment[R, V])`` — the medium segment each ray
+    traverses, needed by the score-function density gradient
+    (integrator._volume_density_score)."""
     cands = []
     valids = []
+    segs = []
     for v in range(volumes.n_volumes):
         start = volumes.starts[v]
         count = volumes.counts[v]
@@ -122,7 +133,17 @@ def volume_candidates(volumes: Volumes, o, d, time, t_min, u_scatter):
                                              t_min, u_scatter[:, v])
         cands.append(c)
         valids.append(valid)
-    return jnp.stack(cands, axis=1), jnp.stack(valids, axis=1)
+        if with_segments:
+            entry = jnp.where(front1, t1, t_min)
+            exit_t = jnp.where(front1, t2, t1)
+            has_segment = jnp.isfinite(t1) & jnp.isfinite(exit_t)
+            segs.append((entry, exit_t, has_segment))
+    out = jnp.stack(cands, axis=1), jnp.stack(valids, axis=1)
+    if with_segments:
+        return out + (jnp.stack([s[0] for s in segs], axis=1),
+                      jnp.stack([s[1] for s in segs], axis=1),
+                      jnp.stack([s[2] for s in segs], axis=1))
+    return out
 
 
 def volume_candidates_pallas(volumes: Volumes, o, d, time, t_min,

