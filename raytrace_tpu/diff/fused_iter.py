@@ -64,14 +64,23 @@ def fused_iter_eligible(scene, s, lanes: int,
                         need_replay: bool = True) -> bool:
     """Static check: can the fused iteration kernel drive the diff
     wavefront (``need_replay=True``: the backward must have a replay
-    path) or the forward-only stationary wavefront for this scene?"""
+    path) or the forward-only stationary wavefront for this scene?
+
+    The DIFF driver (``need_replay=True``) accepts rich textures via
+    albedo deferral — the kernel shades them at 1.0 and the driver
+    multiplies the real texel into throughput per iteration
+    (:func:`fused_iter_step`); the forward-only driver has no
+    per-iteration XLA stage to host the multiply, so it stays
+    constant/checker-only."""
     from ..render.integrator import bounce_kernel_eligible
     from .lane_replay import replay_eligible
     import os
     if os.environ.get("RT_NO_FUSED_ITER"):
         return False
-    return (bounce_kernel_eligible(scene, s, lanes, interpret=interpret)
-            and (not need_replay or replay_eligible(scene))
+    return (bounce_kernel_eligible(scene, s, lanes, interpret=interpret,
+                                   defer_rich=need_replay)
+            and (not need_replay
+                 or replay_eligible(scene, defer_rich=True))
             and lanes % 128 == 0
             and background_kind(s) is not None
             and not rng.USE_THREEFRY and rng.USE_PAIR16
@@ -93,9 +102,19 @@ def fused_iter_step(scene, s, base_key, spp: int, sample_offset: int,
     from ..ops.pallas.intersect_kernel import pack_clusters, pack_prims
     from ..ops.pallas.iter_kernel import iter_megakernel, pack_cam, pack_kt
     from ..render.integrator import _n_scan_prims, n_bounce_uniforms
-    from ..textures.textures import TEX_CONSTANT
+    from ..textures.textures import TEX_CHECKER, TEX_CONSTANT
     from .lane_replay import replay_bwd_soa
 
+    # rich textures (image/noise/marble/custom): the kernel shades them
+    # at albedo 1.0 and the step multiplies the real texel into
+    # throughput OUTSIDE the custom-VJP boundary — plain differentiable
+    # XLA, so atlas/noise-param gradients flow through eval_texture's
+    # own backward (scatter-free image_grad_kernel included) and the
+    # point chain rides the existing o2 cotangent.  uv feeds only
+    # floor()-lookups (Texture.hs:36-56), so its gradient is exactly
+    # zero and the kernel's uv outputs stay detached.
+    has_rich = not (set(scene.textures.kinds_present)
+                    <= {TEX_CONSTANT, TEX_CHECKER})
     params, statics = partition(scene)
     st_dtypes = jax.tree_util.tree_map(lambda x: x.dtype, statics)
     statics_f = jax.tree_util.tree_map(
@@ -153,11 +172,14 @@ def fused_iter_step(scene, s, base_key, spp: int, sample_offset: int,
             segments=scene_r.prims.kind_segments,
             kinds=scene_r.prims.kinds_present, n_u=n_u,
             rr_depth=rr_depth, max_depth=max_depth, width=width,
-            bg_kind=bg_kind, interpret=interpret)
+            bg_kind=bg_kind, with_uv=has_rich, interpret=interpret)
         # carry2 = (smp, dep, al, comps(7), rad(3), thr(3)) + died_f;
-        # residuals = (idx, rr_scale)
+        # residuals = (idx, rr_scale); rich scenes append (uu, vv, idx)
+        # outputs for the deferred texel multiply in step()
         carry2 = ((outs[14], outs[15], outs[13]) + tuple(outs[0:7])
                   + tuple(outs[7:10]) + tuple(outs[10:13]) + (outs[16],))
+        if has_rich:
+            carry2 = carry2 + (outs[19], outs[20], outs[17])
         return carry2, (outs[17], outs[18])
 
     def _f_bwd_pre(params, statics_f, s_in, kt_in, pix2, ints, comps_i,
@@ -435,6 +457,46 @@ def fused_iter_step(scene, s, base_key, spp: int, sample_offset: int,
                 + g_comps_in + g_rad_in + g_thr_in)
 
     f.defvjp(f_fwd, f_bwd)
+
+    if has_rich:
+        from ..core.vecmath import onehot_rows
+        from ..textures.textures import eval_texture
+        n_pr = scene.prims.kind.shape[0]
+        # static per-prim texture routing (<= MAX_REPLAY_PRIMS rows by
+        # replay_eligible(defer_rich=True))
+        tex_of_prim = scene.textures.kind[
+            scene.materials.tex[scene.prims.mat]]
+
+        def apply_rich(carry2, uu2, vv2, idxf):
+            thr = carry2[13:16]
+            g2 = uu2.shape[0]
+            r = g2 * 128
+            fl = lambda x: x.reshape(r)
+            _SGl = jax.lax.stop_gradient
+            pi = jnp.maximum(fl(_SGl(idxf)).astype(jnp.int32), 0)
+            oh_p = onehot_rows(pi, n_pr)
+            tid_f = oh_p @ scene.materials.tex[scene.prims.mat] \
+                .astype(DTYPE)
+            tkind = oh_p @ tex_of_prim.astype(DTYPE)
+            rich_l = tkind > 1.5                    # > TEX_CHECKER
+            point = jnp.stack([fl(c) for c in carry2[3:6]], axis=-1)
+            uv = _SGl(jnp.stack([fl(uu2), fl(vv2)], axis=-1))
+            alb = eval_texture(scene.textures, tid_f.astype(jnp.int32),
+                               point, uv, onehot=True)
+            live = (fl(carry2[2]) > 0.5) & (fl(_SGl(idxf)) >= 0.0) \
+                & rich_l
+            mult = jnp.where(live[:, None], alb, 1.0)
+            thr2 = tuple((fl(t) * mult[:, k]).reshape(g2, 128)
+                         for k, t in enumerate(thr))
+            return carry2[:13] + thr2 + carry2[16:]
+
+        def step(pix2, carry):
+            out = f(params, statics_f, s, kt, pix2, *carry)
+            carry2 = apply_rich(out[:N_CARRY - 1], out[N_CARRY],
+                                out[N_CARRY + 1], out[N_CARRY + 2])
+            return carry2, out[N_CARRY - 1]             # carry2, died_f
+
+        return step
 
     def step(pix2, carry):
         out = f(params, statics_f, s, kt, pix2, *carry)

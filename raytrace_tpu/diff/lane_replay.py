@@ -63,24 +63,38 @@ MAX_REPLAY_TEX = 64
 _SG = jax.lax.stop_gradient
 
 
-def replay_eligible(scene) -> bool:
+def replay_eligible(scene, defer_rich: bool = False) -> bool:
     """Static check: can the SoA replay backward serve this scene?
 
     Past MAX_REPLAY_PRIMS the Pallas path would use the self-gathering
     kernel — OPT-IN (RT_REPLAY_GATHER=1): its per-(row, chunk) one-hot
     dots are MXU-latency-bound and lose to the generic XLA replay on
     the bunny (1.78 vs 2.70 M fwd+bwd rays/s measured at w=512), so
-    mesh-scale scenes default to the generic fallback."""
+    mesh-scale scenes default to the generic fallback.
+
+    ``defer_rich=True`` (the fused-iteration diff driver): rich
+    textures are allowed on non-light materials — :func:`lane_math`
+    shades them at albedo 1.0 and the driver multiplies the real texel
+    into throughput outside the kernel; light emission happens
+    in-kernel, so LIGHT textures must stay constant/checker."""
     import os
     from ..textures.textures import TEX_CONSTANT
     cap = REPLAY_GATHER_MAX_PRIMS if os.environ.get("RT_REPLAY_GATHER") \
         else MAX_REPLAY_PRIMS
+    base_tex = {TEX_CONSTANT, TEX_CHECKER}
+    if defer_rich:
+        tex_ok = (set(scene.materials.light_tex_kinds) <= base_tex
+                  # the deferred post-multiply recovers the winner's
+                  # texture through a [R, n_prims] one-hot — only viable
+                  # at small-table scale (the fast backward's own cap)
+                  and scene.prims.kind.shape[0] <= MAX_REPLAY_PRIMS)
+    else:
+        tex_ok = set(scene.textures.kinds_present) <= base_tex
     return (scene.volumes is None
             and scene.prims.kind.shape[0] <= cap
             and scene.materials.kind.shape[0] <= MAX_REPLAY_MATS
             and scene.textures.kind.shape[0] <= MAX_REPLAY_TEX
-            and set(scene.textures.kinds_present) <= {TEX_CONSTANT,
-                                                      TEX_CHECKER})
+            and tex_ok)
 
 
 def _dot3(ax, ay, az, bx, by, bz):
@@ -337,6 +351,15 @@ def lane_math(diff, det, tgt, *, has_motion: bool, has_box: bool,
     alr = jnp.where(use_c1, c1r, c0r)
     alg = jnp.where(use_c1, c1g, c0g)
     alb = jnp.where(use_c1, c1b, c0b)
+    # rich textures (image/noise/marble/custom) are DEFERRED: albedo 1.0
+    # here, texel multiplied into throughput outside the kernel by the
+    # fused-iteration driver (diff/fused_iter.py) — mirrors the forward
+    # megakernel's deferral (bounce_kernel._shade_values).  The where
+    # also zeroes c0/c1 cotangents for rich rows.
+    rich_tex = texkind > float(TEX_CHECKER)
+    alr = jnp.where(rich_tex, 1.0, alr)
+    alg = jnp.where(rich_tex, 1.0, alg)
+    alb = jnp.where(rich_tex, 1.0, alb)
 
     live_hit = alive & valid
     miss_f = jnp.where(alive & ~valid, 1.0, 0.0)

@@ -216,13 +216,16 @@ def _shade_values(hit_res, mtbl, ttbl, oxv, oyv, ozv, dxv, dyv, dzv,
                   trv, tgv, tbv, alive, u_all,
                   *, n_mats: int, n_targets: int,
                   use_prim_albedo: bool = False,
-                  tmed=None, vmat=None, sphere_rots=()):
+                  tmed=None, vmat=None, sphere_rots=(),
+                  with_uv: bool = False):
     """Value-in/value-out core of :func:`_shade` (same math, no refs) —
     also called directly by the fused-iteration kernel
     (ops/pallas/iter_kernel.py), whose shade outputs feed further
     in-kernel stages instead of output refs.  Returns the 15 outputs in
     _kernel's output order: o2 (3), d2 (3), thr2 (3), emitted radiance
-    (3), alive', miss_f, winner index."""
+    (3), alive', miss_f, winner index.  ``with_uv=True`` appends the
+    winner's (uu, vv) — the deferred rich-texture post-multiply of the
+    DIFF fused-iteration path needs them outside the kernel."""
     (t, bi, nx, ny, nz, fr_f, uu, vv, mat_f, sph_f) = hit_res[:10]
 
     if tmed is not None:
@@ -496,17 +499,20 @@ def _shade_values(hit_res, mtbl, ttbl, oxv, oyv, ozv, dxv, dyv, dzv,
     # winner primitive index (-1 on miss) — the residual that lets the
     # differentiable wrapper (diff/mega_bounce.py) recompute the bounce
     # without re-running the prim loop in the backward pass
-    return (jnp.where(next_alive, px, oxv),
-            jnp.where(next_alive, py, oyv),
-            jnp.where(next_alive, pz, ozv),
-            jnp.where(next_alive, ndx, dxv),
-            jnp.where(next_alive, ndy, dyv),
-            jnp.where(next_alive, ndz, dzv),
-            jnp.where(next_alive, trv * w_r, trv),
-            jnp.where(next_alive, tgv * w_g, tgv),
-            jnp.where(next_alive, tbv * w_b, tbv),
-            emit_r, emit_g, emit_b,
-            na, jnp.where(alive & ~hit, 1.0, 0.0), bi)
+    out = (jnp.where(next_alive, px, oxv),
+           jnp.where(next_alive, py, oyv),
+           jnp.where(next_alive, pz, ozv),
+           jnp.where(next_alive, ndx, dxv),
+           jnp.where(next_alive, ndy, dyv),
+           jnp.where(next_alive, ndz, dzv),
+           jnp.where(next_alive, trv * w_r, trv),
+           jnp.where(next_alive, tgv * w_g, tgv),
+           jnp.where(next_alive, tbv * w_b, tbv),
+           emit_r, emit_g, emit_b,
+           na, jnp.where(alive & ~hit, 1.0, 0.0), bi)
+    if with_uv:
+        out = out + (uu, vv)
+    return out
 
 
 @functools.partial(

@@ -110,12 +110,15 @@ def _iter_kernel(ptbl, ctbl, gtbl, mtbl, ttbl, cam, kt, *refs,
                  n_prims: int, n_mats: int, n_targets: int, t_min: float,
                  has_motion: bool, use_prim_albedo: bool, has_box: bool,
                  segments, kinds, two_level: bool, n_u: int,
-                 rr_depth, max_depth: int, width: int, bg_kind: int):
+                 rr_depth, max_depth: int, width: int, bg_kind: int,
+                 with_uv: bool = False):
     (pix, smp, dep, al, ox, oy, oz, dx, dy, dz, tm,
      rr, rg, rb, tr, tg, tb) = refs[:N_LANE_IN]
     (ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tm_o, rr_o, rg_o, rb_o,
      tr_o, tg_o, tb_o, al_o, smp_o, dep_o, dd_o, pi_o, sc_o) \
         = refs[N_LANE_IN:N_LANE_IN + 19]
+    if with_uv:
+        uu_o, vv_o = refs[N_LANE_IN + 19:N_LANE_IN + 21]
 
     pixv = pix[...]
     smpv = smp[...]
@@ -189,9 +192,9 @@ def _iter_kernel(ptbl, ctbl, gtbl, mtbl, ttbl, cam, kt, *refs,
         hit_res, mtbl, ttbl, box, boy, boz, dxv, dyv, dzv,
         thr_r, thr_g, thr_b, alive_pre, us[:N_U],
         n_mats=n_mats, n_targets=n_targets,
-        use_prim_albedo=use_prim_albedo)
+        use_prim_albedo=use_prim_albedo, with_uv=with_uv)
     (o2x, o2y, o2z, d2x, d2y, d2z, t2r, t2g, t2b,
-     emr, emg, emb, na_f, miss_f, bi) = sh
+     emr, emg, emb, na_f, miss_f, bi) = sh[:15]
 
     # ---- background on miss (in-kernel kinds only) ----
     if bg_kind == BG_SKY:
@@ -247,6 +250,9 @@ def _iter_kernel(ptbl, ctbl, gtbl, mtbl, ttbl, cam, kt, *refs,
     dd_o[...] = jnp.where(died, 1.0, 0.0)
     pi_o[...] = bi
     sc_o[...] = scale
+    if with_uv:
+        uu_o[...] = sh[15]
+        vv_o[...] = sh[16]
 
 
 @functools.partial(
@@ -254,17 +260,19 @@ def _iter_kernel(ptbl, ctbl, gtbl, mtbl, ttbl, cam, kt, *refs,
     static_argnames=("n_prims", "n_mats", "n_targets", "t_min",
                      "has_motion", "use_prim_albedo", "has_box",
                      "segments", "kinds", "n_u", "rr_depth", "max_depth",
-                     "width", "bg_kind", "interpret"))
+                     "width", "bg_kind", "with_uv", "interpret"))
 def iter_megakernel(ptbl, ctbl, mtbl, ttbl, cam, kt, lane_in, *,
                     n_prims: int, n_mats: int, n_targets: int,
                     t_min: float, has_motion: bool, use_prim_albedo: bool,
                     has_box: bool, segments, kinds, n_u: int, rr_depth,
                     max_depth: int, width: int, bg_kind: int,
-                    interpret: bool = False):
+                    with_uv: bool = False, interpret: bool = False):
     """``lane_in``: 17 [G, 128] arrays (pix/smp/dep i32, al f32, comps 7,
     rad 3, thr 3).  Returns the 19 [G, 128] outputs of ``_iter_kernel``
     (comps2 7, rad2 3, thr2 3, alive2, smp2 i32, dep2 i32, died_f,
-    winner idx f32, rr_scale)."""
+    winner idx f32, rr_scale); ``with_uv`` appends the winner's
+    (uu, vv) for the deferred rich-texture post-multiply
+    (diff/fused_iter.py)."""
     from .intersect_kernel import (
         BLOCK_G_CLUSTERED, CLUSTER, CLUSTER_MIN_PRIMS, GROUP_MIN_CLUSTERS,
         MAX_SMEM_PRIMS, pack_cluster_groups,
@@ -285,16 +293,18 @@ def iter_megakernel(ptbl, ctbl, mtbl, ttbl, cam, kt, lane_in, *,
         use_prim_albedo=use_prim_albedo, has_box=has_box,
         segments=segments, kinds=kinds, two_level=two_level, n_u=n_u,
         rr_depth=rr_depth, max_depth=max_depth, width=width,
-        bg_kind=bg_kind)
+        bg_kind=bg_kind, with_uv=with_uv)
+    n_out = 19 + (2 if with_uv else 0)
     out_shape = ([jax.ShapeDtypeStruct((g, LANES), jnp.float32)] * 14
                  + [jax.ShapeDtypeStruct((g, LANES), jnp.int32)] * 2
-                 + [jax.ShapeDtypeStruct((g, LANES), jnp.float32)] * 3)
+                 + [jax.ShapeDtypeStruct((g, LANES), jnp.float32)]
+                 * (n_out - 16))
     if n_prims <= MAX_SMEM_PRIMS:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=7,
             grid=grid,
             in_specs=[spec] * N_LANE_IN,
-            out_specs=[spec] * 19,
+            out_specs=[spec] * n_out,
         )
         return pl.pallas_call(
             kernel,
@@ -316,7 +326,7 @@ def iter_megakernel(ptbl, ctbl, mtbl, ttbl, cam, kt, lane_in, *,
         num_scalar_prefetch=6,
         grid=grid,
         in_specs=[tbl_spec] + [spec] * N_LANE_IN,
-        out_specs=[spec] * 19,
+        out_specs=[spec] * n_out,
     )
     return pl.pallas_call(
         kernel_vmem,

@@ -629,12 +629,19 @@ MEGA_MAX_PRIMS = 8192
 
 
 def bounce_kernel_eligible(scene: Scene, s: CameraSettings,
-                           n_rays: int, interpret: bool = False) -> bool:
+                           n_rays: int, interpret: bool = False,
+                           defer_rich: bool = False) -> bool:
     """Static check for the full-bounce megakernel: dense scene, no
     volumes, only constant/checker textures, few targets and few
     material *behaviors* (constant-color materials collapse to one
     behavior row however many colors the scene interns — see
-    materials.MaterialTable.behavior_of)."""
+    materials.MaterialTable.behavior_of).
+
+    ``defer_rich=True`` (the DIFF fused-iteration driver only): rich
+    textures on non-light materials are allowed — the kernel shades
+    them at albedo 1.0 (bounce_kernel._shade_values) and the driver
+    multiplies the real texel into throughput outside per iteration.
+    Light textures stay constant/checker (emission is in-kernel)."""
     import os
     if os.environ.get("RT_NO_MEGA"):
         return False
@@ -645,10 +652,14 @@ def bounce_kernel_eligible(scene: Scene, s: CameraSettings,
     m = scene.materials
     n_rows = m.n_behaviors if getattr(m, "n_behaviors", 0) > 0 \
         else m.kind.shape[0]
+    base_tex = {TEX_CONSTANT, TEX_CHECKER}
+    if defer_rich:
+        tex_ok = set(m.light_tex_kinds) <= base_tex
+    else:
+        tex_ok = set(scene.textures.kinds_present) <= base_tex
     return (pallas_eligible(scene, n_rays, interpret=interpret)
             and scene.volumes is None
-            and set(scene.textures.kinds_present) <= {TEX_CONSTANT,
-                                                      TEX_CHECKER}
+            and tex_ok
             and s.n_redirect <= 8
             and n_rows <= 16
             and scene.ellipsoids is None

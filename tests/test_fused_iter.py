@@ -198,3 +198,88 @@ def test_fused_iter_vmem_table_variant():
     frac_diff = (np.abs(a - b).max(axis=1) > 1e-5).mean()
     assert frac_diff < 0.02, frac_diff
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Deferred rich-texture albedo (VERDICT r4 weak #5): image/noise scenes
+# stay on the fused-iteration kernel; the texel multiplies into
+# throughput OUTSIDE the kernel, so gradients (atlas included) must
+# equal the generic XLA diff path's.
+# ---------------------------------------------------------------------------
+
+def _rich_scene():
+    import raytrace_tpu as rt
+    img = np.linspace(0.1, 0.9, 8 * 16 * 3).astype(np.float32) \
+        .reshape(8, 16, 3)
+    world = rt.group([
+        rt.with_material(rt.lambertian(rt.image_texture(img)),
+                         rt.parallelogram([-2, -1, -4], [4, 0, 0],
+                                          [0, 2, 0])),
+        rt.with_material(rt.lambertian(
+            rt.noise_texture(2, 4.0, [0, 0, 0], [0.1, 0.1, 0.4],
+                             [0.9, 0.9, 1.0])),
+            rt.sphere([0, -51, -4], 50.0)),
+        rt.with_material(rt.light_source(rt.constant_texture(3.0)),
+                         rt.parallelogram([-2, 4, -5], [4, 0, 0],
+                                          [0, 0, 4])),
+    ])
+    scene = rt.compile_scene(world)
+    # NO Russian roulette: the kernel's RR survival test uses the
+    # pre-multiply (albedo-1) throughput, so kill decisions differ from
+    # the XLA oracle's (both unbiased; not seed-comparable)
+    s = rt.CameraSettings(image_width=64, samples_per_pixel=8,
+                          max_depth=6,
+                          background=rt.const_background(0.2))
+    return scene, s
+
+
+def test_fused_iter_rich_texture_eligible_and_matches():
+    scene, s = _rich_scene()
+    assert fused_iter_eligible(scene, s, R, interpret=True)
+    # forward-only driver must NOT claim rich scenes (no multiply there)
+    assert not fused_iter_eligible(scene, s, R, interpret=True,
+                                   need_replay=False)
+    pix = jnp.arange(R, dtype=jnp.int32) % N_PIX
+    mean_f, done_f = trace_wavefront_diff(
+        scene, s, rng.base_key(0), pix, 8, n_iters=40, remat=False,
+        mega_interpret=True)
+    mean_u, done_u = trace_wavefront_diff(
+        scene, s, rng.base_key(0), pix, 8, n_iters=40, remat=False,
+        use_mega=False)
+    assert bool(jnp.all(done_f == done_u))
+    # sphere uv in-kernel uses polynomial atan2; only the noise texture
+    # (point-driven) sits on the sphere, so agreement is tight
+    np.testing.assert_allclose(np.asarray(mean_f), np.asarray(mean_u),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_iter_rich_texture_gradients_match_generic():
+    scene, s = _rich_scene()
+    params, statics = partition(scene)
+    pix = jnp.arange(R, dtype=jnp.int32) % N_PIX
+    target = jnp.full((R, 3), 0.2, jnp.float32)
+
+    def loss(params, fused):
+        from raytrace_tpu.diff.gradients import combine
+        sc = combine(params, statics)
+        img, done = trace_wavefront_diff(
+            sc, s, rng.base_key(0), pix, 8, n_iters=40, remat=False,
+            mega_interpret=fused, use_mega=None if fused else False)
+        return jnp.mean((img - target) ** 2), jnp.mean(done / 8)
+
+    (l_f, fr_f), g_f = jax.value_and_grad(loss, has_aux=True)(params, True)
+    (l_u, fr_u), g_u = jax.value_and_grad(loss, has_aux=True)(params,
+                                                              False)
+    assert float(fr_f) == float(fr_u) == 1.0
+    np.testing.assert_allclose(float(l_f), float(l_u), rtol=1e-4)
+    # atlas gradient present and equal to the generic path's
+    ga_f = np.asarray(g_f.textures.images)
+    ga_u = np.asarray(g_u.textures.images)
+    assert np.sum(np.abs(ga_f)) > 0.0
+    np.testing.assert_allclose(ga_f, ga_u, rtol=2e-3, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_u)):
+        if a is None or not hasattr(a, "dtype"):
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-5)
