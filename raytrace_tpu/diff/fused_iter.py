@@ -460,12 +460,16 @@ def fused_iter_step(scene, s, base_key, spp: int, sample_offset: int,
 
     if has_rich:
         from ..core.vecmath import onehot_rows
-        from ..textures.textures import eval_texture
+        from ..textures.textures import (
+            TEX_IMAGE, _image_gather, eval_texture,
+        )
         n_pr = scene.prims.kind.shape[0]
         # static per-prim texture routing (<= MAX_REPLAY_PRIMS rows by
         # replay_eligible(defer_rich=True))
-        tex_of_prim = scene.textures.kind[
-            scene.materials.tex[scene.prims.mat]]
+        tex_of_prim_ids = scene.materials.tex[scene.prims.mat]
+        tex_of_prim = scene.textures.kind[tex_of_prim_ids]
+        image_only = (set(scene.textures.kinds_present)
+                      <= {0, 1, TEX_IMAGE})
 
         def apply_rich(carry2, uu2, vv2, idxf):
             thr = carry2[13:16]
@@ -475,16 +479,57 @@ def fused_iter_step(scene, s, base_key, spp: int, sample_offset: int,
             _SGl = jax.lax.stop_gradient
             pi = jnp.maximum(fl(_SGl(idxf)).astype(jnp.int32), 0)
             oh_p = onehot_rows(pi, n_pr)
-            tid_f = oh_p @ scene.materials.tex[scene.prims.mat] \
-                .astype(DTYPE)
-            tkind = oh_p @ tex_of_prim.astype(DTYPE)
-            rich_l = tkind > 1.5                    # > TEX_CHECKER
-            point = jnp.stack([fl(c) for c in carry2[3:6]], axis=-1)
-            uv = _SGl(jnp.stack([fl(uu2), fl(vv2)], axis=-1))
-            alb = eval_texture(scene.textures, tid_f.astype(jnp.int32),
-                               point, uv, onehot=True)
-            live = (fl(carry2[2]) > 0.5) & (fl(_SGl(idxf)) >= 0.0) \
-                & rich_l
+            live0 = (fl(carry2[2]) > 0.5) & (fl(_SGl(idxf)) >= 0.0)
+            if image_only:
+                # SoA fast path: per-lane atlas indices computed on 1-D
+                # columns ([R, 3]/[R, 2] stacks tile terribly — CLAUDE.md)
+                # and ONE flat gather; everything but the texel fetch is
+                # a [R, n<=64] one-hot matmul.
+                tx = scene.textures
+                pstat = jnp.stack(
+                    [tex_of_prim.astype(DTYPE),
+                     tx.i0[tex_of_prim_ids].astype(DTYPE),
+                     tx.image_hw[tx.i0[tex_of_prim_ids], 0].astype(DTYPE),
+                     tx.image_hw[tx.i0[tex_of_prim_ids], 1].astype(DTYPE)],
+                    axis=-1)                          # [n, 4] static-ish
+                lane_stat = oh_p @ pstat
+                tkind = lane_stat[:, 0]
+                img_f = lane_stat[:, 1]
+                h_l = jnp.maximum(lane_stat[:, 2], 1.0)
+                w_l = jnp.maximum(lane_stat[:, 3], 1.0)
+                rich_l = tkind > 1.5
+                uu_l = _SGl(fl(uu2))
+                vv_l = _SGl(fl(vv2))
+                live = live0 & rich_l
+                live_f = jnp.where(live, 1.0, 0.0)
+                # non-contributing lanes fetch texel (0, 0): a mostly-
+                # constant index stream keeps XLA's per-call gather
+                # index handling cheap
+                i_l = live_f * jnp.mod(jnp.floor(uu_l * w_l), w_l)
+                j_l = live_f * jnp.mod(jnp.floor((1.0 - vv_l) * h_l),
+                                       h_l)
+                alb = _image_gather(tx.images,
+                                    (live_f * img_f).astype(jnp.int32),
+                                    j_l.astype(jnp.int32),
+                                    i_l.astype(jnp.int32))
+                # back to SoA immediately: a [R, 3] array persisting as
+                # a scan residual pays ~40x tile write amplification
+                # (minor dim 3 in (8, 128) tiles — CLAUDE.md)
+                thr2 = tuple(
+                    (fl(t) * (1.0 + live_f * (alb[:, k] - 1.0)))
+                    .reshape(g2, 128)
+                    for k, t in enumerate(thr))
+                return carry2[:13] + thr2 + carry2[16:]
+            else:
+                tid_f = oh_p @ tex_of_prim_ids.astype(DTYPE)
+                tkind = oh_p @ tex_of_prim.astype(DTYPE)
+                rich_l = tkind > 1.5                # > TEX_CHECKER
+                point = jnp.stack([fl(c) for c in carry2[3:6]], axis=-1)
+                uv = _SGl(jnp.stack([fl(uu2), fl(vv2)], axis=-1))
+                alb = eval_texture(scene.textures,
+                                   tid_f.astype(jnp.int32),
+                                   point, uv, onehot=True)
+            live = live0 & rich_l
             mult = jnp.where(live[:, None], alb, 1.0)
             thr2 = tuple((fl(t) * mult[:, k]).reshape(g2, 128)
                          for k, t in enumerate(thr))

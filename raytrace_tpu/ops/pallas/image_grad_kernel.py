@@ -55,22 +55,51 @@ def _kernel(jrow, irow, mrow, gr, gg, gb, out, *, n_img: int, h: int,
         jv = jrow[sl]                       # [1, wide]
         iv = irow[sl]
         mv = mrow[sl]
-        oj = jnp.where(ioth == jv, 1.0, 0.0)      # [h, wide]
-        oi = jnp.where(iotw == iv, 1.0, 0.0)      # [w, wide]
-        for m in range(n_img):
-            mask = mv == jnp.float32(m)
+        # zero-cotangent skip: lanes that didn't hit this texture carry
+        # an exactly-zero cotangent (the multiply is masked by `live` in
+        # the caller), and pixel-stationary tiles are coherent, so whole
+        # 512-lane rows frequently have nothing to contribute
+        nz = (gr[sl] != 0.0) | (gg[sl] != 0.0) | (gb[sl] != 0.0)
+
+        def work():
+          oj = jnp.where(ioth == jv, 1.0, 0.0)    # [h, wide]
+          oi = jnp.where(iotw == iv, 1.0, 0.0)    # [w, wide]
+          for m in range(n_img):
+            mask = (mv == jnp.float32(m)) & nz
 
             def add(m=m, mask=mask):
                 mf = jnp.where(mask, 1.0, 0.0)
-                for c, gref in enumerate((gr, gg, gb)):
-                    gv = gref[sl] * mf            # [1, wide]
-                    acc = jax.lax.dot_general(
-                        oj * gv, oi, (((1,), (1,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)   # [h, w]
-                    out[m, c] = out[m, c] + acc
+                # ONE (channel x split-term)-stacked NATIVE-bf16 dot per
+                # (row, image).  The f32 cotangent is decomposed into
+                # three bf16 terms (hi + mid + lo covers the full 24-bit
+                # mantissa), the one-hot is bf16-exact, and the MXU
+                # accumulates in f32 — exact to f32 rounding like a
+                # 3-pass Precision.HIGH dot (which Mosaic can't lower)
+                # at a third of HIGHEST's passes.
+                ojb = oj.astype(jnp.bfloat16)
+                parts = []
+                for gref in (gr, gg, gb):
+                    gv = gref[sl] * mf            # [1, wide] f32
+                    g1 = gv.astype(jnp.bfloat16)
+                    r1 = gv - g1.astype(jnp.float32)
+                    g2 = r1.astype(jnp.bfloat16)
+                    g3 = (r1 - g2.astype(jnp.float32)) \
+                        .astype(jnp.bfloat16)
+                    parts += [ojb * g1, ojb * g2, ojb * g3]
+                ojg = jnp.concatenate(parts, axis=0)      # [9h, wide]
+                acc = jax.lax.dot_general(
+                    ojg, oi.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [9h, w]
+                for c in range(3):
+                    out[m, c] = out[m, c] + (
+                        acc[3 * c * h:(3 * c + 1) * h]
+                        + acc[(3 * c + 1) * h:(3 * c + 2) * h]
+                        + acc[(3 * c + 2) * h:(3 * c + 3) * h])
 
             pl.when(jnp.any(mask))(add)
+
+        pl.when(jnp.any(nz))(work)
         return 0
 
     jax.lax.fori_loop(0, rg, row_body, 0)

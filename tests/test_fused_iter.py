@@ -283,3 +283,50 @@ def test_fused_iter_rich_texture_gradients_match_generic():
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-5)
+
+
+def test_fused_iter_image_only_soa_path_matches():
+    """The image-only SoA texel path (no noise/marble in scene) must
+    match the generic XLA diff path in values and atlas gradients."""
+    import raytrace_tpu as rt
+    img = (np.arange(4 * 8 * 3, dtype=np.float32) % 7 / 7.0) \
+        .reshape(4, 8, 3)
+    world = rt.group([
+        rt.with_material(rt.lambertian(rt.image_texture(img)),
+                         rt.parallelogram([-2, -1, -4], [4, 0, 0],
+                                          [0, 2, 0])),
+        rt.with_material(rt.lambertian(rt.constant_texture(0.5)),
+                         rt.parallelogram([-9, -1, -9], [18, 0, 0],
+                                          [0, 0, 18])),
+        rt.with_material(rt.light_source(rt.constant_texture(3.0)),
+                         rt.parallelogram([-2, 4, -5], [4, 0, 0],
+                                          [0, 0, 4])),
+    ])
+    scene = rt.compile_scene(world)
+    s = rt.CameraSettings(image_width=64, samples_per_pixel=8,
+                          max_depth=6,
+                          background=rt.const_background(0.2))
+    assert fused_iter_eligible(scene, s, R, interpret=True)
+    params, statics = partition(scene)
+    pix = jnp.arange(R, dtype=jnp.int32) % N_PIX
+    target = jnp.full((R, 3), 0.2, jnp.float32)
+
+    def loss(params, fused):
+        from raytrace_tpu.diff.gradients import combine
+        sc = combine(params, statics)
+        img2, done = trace_wavefront_diff(
+            sc, s, rng.base_key(0), pix, 8, n_iters=40, remat=False,
+            mega_interpret=fused, use_mega=None if fused else False)
+        return jnp.mean((img2 - target) ** 2), jnp.mean(done / 8)
+
+    (l_f, fr_f), g_f = jax.value_and_grad(loss, has_aux=True)(params, True)
+    (l_u, fr_u), g_u = jax.value_and_grad(loss, has_aux=True)(params,
+                                                              False)
+    assert float(fr_f) == float(fr_u) == 1.0
+    # planar-only geometry: uv is exact barycentric/membership math in
+    # both paths, so values agree to transcendental-lowering noise
+    np.testing.assert_allclose(float(l_f), float(l_u), rtol=1e-5)
+    ga_f = np.asarray(g_f.textures.images)
+    ga_u = np.asarray(g_u.textures.images)
+    assert np.sum(np.abs(ga_f)) > 0.0
+    np.testing.assert_allclose(ga_f, ga_u, rtol=1e-3, atol=1e-6)

@@ -48,6 +48,7 @@ settings = rt.CameraSettings(image_width=512, aspect_ratio=1.0,
 R = 1 << 17
 SPP = 16
 N_ITERS = 80
+REMAT = bool(int(__import__("os").environ.get("RT_PROF_REMAT", "0")))
 key = rng.base_key(0)
 pix = jnp.arange(R, dtype=jnp.int32) % (512 * 512)
 target = jnp.zeros((R, 3), jnp.float32)
@@ -58,13 +59,13 @@ for textured in (False, True):
     vg = jax.jit(jax.value_and_grad(render_loss_wavefront, has_aux=True),
                  static_argnames=("spp", "n_iters", "remat"))
     (l, f), g = vg(params, statics, settings, key, pix, target, spp=SPP,
-                   n_iters=N_ITERS, remat=True)
+                   n_iters=N_ITERS, remat=REMAT)
     jax.block_until_ready(g)
     best = float("inf")
     for r in range(3):
         t0 = time.time()
         (l, f), g = vg(params, statics, settings, rng.base_key(r + 1), pix,
-                       target, spp=SPP, n_iters=N_ITERS, remat=True)
+                       target, spp=SPP, n_iters=N_ITERS, remat=REMAT)
         jax.block_until_ready(g)
         assert float(l) == float(l)     # value fetch (CLAUDE.md)
         best = min(best, time.time() - t0)
