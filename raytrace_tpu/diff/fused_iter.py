@@ -77,10 +77,10 @@ def fused_iter_eligible(scene, s, lanes: int,
     import os
     if os.environ.get("RT_NO_FUSED_ITER"):
         return False
+    from .lane_replay import replay_pre_eligible
     return (bounce_kernel_eligible(scene, s, lanes, interpret=interpret,
                                    defer_rich=need_replay)
-            and (not need_replay
-                 or replay_eligible(scene, defer_rich=True))
+            and (not need_replay or replay_pre_eligible(scene))
             and lanes % 128 == 0
             and background_kind(s) is not None
             and not rng.USE_THREEFRY and rng.USE_PAIR16
@@ -298,13 +298,17 @@ def fused_iter_step(scene, s, base_key, spp: int, sample_offset: int,
 
         import os as _os
         n_prims = scene.prims.kind.shape[0]
-        # Default for <= 64-row tables: XLA one-hot gathers/reduces (one
-        # big MXU matmul each) around the PRE-GATHERED regen backward
-        # kernel — the detached regeneration/RNG/camera stage
-        # reconstructs in-kernel from the saved integer coordinates, so
-        # the scan backward's XLA stage shrinks to the gathers.
-        # RT_FUSED_BWD_XLA=1 restores the all-XLA reconstruction path.
-        if (n_prims <= 64 and not _os.environ.get("RT_FUSED_BWD_XLA")
+        # DEFAULT backward at every eligible scale: XLA one-hot
+        # gathers/reduces (one big MXU matmul each — measured faster
+        # than take/scatter even at 4,992 rows, ops/diff_intersect.py)
+        # around the PRE-GATHERED regen backward kernel — the detached
+        # regeneration/RNG/camera stage reconstructs in-kernel from the
+        # saved integer coordinates, so the scan backward's XLA stage
+        # shrinks to the gathers.  The kernel itself is table-size-
+        # independent (replay_pre_eligible caps at the forward's
+        # MEGA_MAX_PRIMS).  RT_FUSED_BWD_XLA=1 restores the all-XLA
+        # reconstruction path.
+        if (not _os.environ.get("RT_FUSED_BWD_XLA")
                 and not _os.environ.get("RT_FUSED_BWD_KERNEL")):
             return _f_bwd_pre(params, statics_f, s_in, kt_in, pix2,
                               (smp_i, dep_i, al_i), comps_i, thr_i,
@@ -407,8 +411,11 @@ def fused_iter_step(scene, s, base_key, spp: int, sample_offset: int,
         comps_pre = tuple(jnp.where(can, jax.lax.stop_gradient(n), c)
                           for n, c in zip(new_comps, comps_in))
         thr_pre = tuple(jnp.where(can, 1.0, t) for t in thr_in)
-        # dead-lane origin nulling, exactly as the forward kernel
-        far = jnp.float32(3e18)
+        # dead-lane origin nulling, but at 3e9 (not the forward's
+        # 3e18): masked-out grads tolerate any value, and 3e18
+        # overflows the record math for small-edge rows (NaN via
+        # 0 * inf in the transpose)
+        far = jnp.float32(3e9)
         comps_pre = tuple(
             jnp.where(alive_pre, c, far) if k < 3 else c
             for k, c in enumerate(comps_pre))

@@ -51,12 +51,12 @@ from ..textures.textures import TEX_CHECKER
 INF = float("inf")
 
 # One-hot row caps: the [R, N] selector of the OUTSIDE-gather path grows
-# linearly in N; past MAX_REPLAY_PRIMS the Pallas backward switches to
-# the self-gathering kernel (bounce_bwd_gather_kernel.py) whose one-hots
-# stay in VMEM, up to the forward megakernel's own prim cap.  Material /
-# texture tables stay hard-capped (per-row [nm, 128] one-hot gathers).
+# linearly in N; past MAX_REPLAY_PRIMS only the fused-iteration driver's
+# pre-gathered backward serves (replay_pre_eligible — the round-4
+# self-gathering kernel lost its bunny A/B to it and was deleted, like
+# the visit-list subsystem before it).  Material / texture tables stay
+# hard-capped (per-row [nm, 128] one-hot gathers).
 MAX_REPLAY_PRIMS = 64
-REPLAY_GATHER_MAX_PRIMS = 8192     # == integrator.MEGA_MAX_PRIMS
 MAX_REPLAY_MATS = 64
 MAX_REPLAY_TEX = 64
 
@@ -64,34 +64,46 @@ _SG = jax.lax.stop_gradient
 
 
 def replay_eligible(scene, defer_rich: bool = False) -> bool:
-    """Static check: can the SoA replay backward serve this scene?
-
-    Past MAX_REPLAY_PRIMS the Pallas path would use the self-gathering
-    kernel — OPT-IN (RT_REPLAY_GATHER=1): its per-(row, chunk) one-hot
-    dots are MXU-latency-bound and lose to the generic XLA replay on
-    the bunny (1.78 vs 2.70 M fwd+bwd rays/s measured at w=512), so
-    mesh-scale scenes default to the generic fallback.
+    """Static check: can the SoA replay backward serve this scene
+    (the <= 64-row one-hot paths — mesh scale is served by the fused
+    driver's pre-gathered backward, :func:`replay_pre_eligible`)?
 
     ``defer_rich=True`` (the fused-iteration diff driver): rich
     textures are allowed on non-light materials — :func:`lane_math`
     shades them at albedo 1.0 and the driver multiplies the real texel
     into throughput outside the kernel; light emission happens
     in-kernel, so LIGHT textures must stay constant/checker."""
-    import os
     from ..textures.textures import TEX_CONSTANT
-    cap = REPLAY_GATHER_MAX_PRIMS if os.environ.get("RT_REPLAY_GATHER") \
-        else MAX_REPLAY_PRIMS
     base_tex = {TEX_CONSTANT, TEX_CHECKER}
     if defer_rich:
-        tex_ok = (set(scene.materials.light_tex_kinds) <= base_tex
-                  # the deferred post-multiply recovers the winner's
-                  # texture through a [R, n_prims] one-hot — only viable
-                  # at small-table scale (the fast backward's own cap)
-                  and scene.prims.kind.shape[0] <= MAX_REPLAY_PRIMS)
+        tex_ok = set(scene.materials.light_tex_kinds) <= base_tex
     else:
         tex_ok = set(scene.textures.kinds_present) <= base_tex
     return (scene.volumes is None
-            and scene.prims.kind.shape[0] <= cap
+            and scene.prims.kind.shape[0] <= MAX_REPLAY_PRIMS
+            and scene.materials.kind.shape[0] <= MAX_REPLAY_MATS
+            and scene.textures.kind.shape[0] <= MAX_REPLAY_TEX
+            and tex_ok)
+
+
+def replay_pre_eligible(scene, defer_rich: bool = True) -> bool:
+    """Eligibility for the PRE-GATHERED fused-iteration backward
+    (diff/fused_iter.py:_f_bwd_pre): the replay kernel itself is
+    table-size-independent (it sees per-lane gathered operands), so the
+    prim cap is the forward megakernel's — winner rows gather by one-hot
+    matmul below RT_DIFF_ONEHOT_MAX rows and by direct take/scatter-add
+    above (ops/diff_intersect.py measured the crossover)."""
+    from ..render.integrator import MEGA_MAX_PRIMS
+    from ..textures.textures import TEX_CONSTANT
+    base_tex = {TEX_CONSTANT, TEX_CHECKER}
+    if defer_rich:
+        tex_ok = (set(scene.materials.light_tex_kinds) <= base_tex
+                  and (scene.prims.kind.shape[0] <= MAX_REPLAY_PRIMS
+                       or set(scene.textures.kinds_present) <= base_tex))
+    else:
+        tex_ok = set(scene.textures.kinds_present) <= base_tex
+    return (scene.volumes is None
+            and scene.prims.kind.shape[0] <= MEGA_MAX_PRIMS
             and scene.materials.kind.shape[0] <= MAX_REPLAY_MATS
             and scene.textures.kind.shape[0] <= MAX_REPLAY_TEX
             and tex_ok)
@@ -672,11 +684,6 @@ def replay_bwd_soa(scene, s, comps, u_cols, thr, alive, idx, ct12, *,
     from ..ops.pallas.bounce_kernel import pack_targets
     from ..core.vecmath import onehot_rows
 
-    if p.kind.shape[0] > MAX_REPLAY_PRIMS:
-        return _replay_bwd_gather(scene, s, comps, u_cols, thr, alive,
-                                  idx, ct12, has_motion=has_motion,
-                                  t_min=t_min, interpret=interpret)
-
     g = r // 128
     # ONE [R, N] one-hot matmul gathers everything per-prim (rows, uvs,
     # kind, mat) — oh_p is 25 MB at 2^18 lanes/24 prims, so every extra
@@ -798,99 +805,6 @@ def build_bwd_tables(scene, has_motion: bool):
     xtbl = jnp.concatenate(
         [xtbl, jnp.zeros((nt_pad - nt, 9), DTYPE)], axis=0)
     return tbl, mtbl, xtbl, n, n_row, nm, nt
-
-
-def _replay_bwd_gather(scene, s, comps, u_cols, thr, alive, idx, ct12, *,
-                       has_motion: bool, t_min: float,
-                       interpret: bool = False):
-    """Pallas backward for scenes past ``MAX_REPLAY_PRIMS``: the winner
-    gather and the table-gradient reduction happen INSIDE the kernel as
-    per-(row, chunk) MXU one-hot matmuls (bounce_bwd_gather_kernel.py),
-    so the [R, N] selector never materializes.  Numerically equal to
-    the <=64-prim path / XLA oracle (tests/test_lane_replay.py)."""
-    from ..ops.pallas.bounce_bwd_gather_kernel import (
-        CHUNK_P, bounce_bwd_gather_megakernel,
-    )
-    from ..ops.pallas.bounce_kernel import pack_targets
-
-    p, m, tx = scene.prims, scene.materials, scene.textures
-    n, nm, nt = p.kind.shape[0], m.kind.shape[0], tx.kind.shape[0]
-    n_targets = int(s.n_redirect)
-    has_box = p.has_box
-    ox, oy, oz, dx, dy, dz, time = comps
-    tr, tg, tb = thr
-    r = ox.shape[0]
-    g = r // 128
-
-    parts = [p.p0, p.e1, p.e2]
-    if has_motion:
-        parts += [p.mv0, p.mv1]
-    n_row = 3 * len(parts)
-    tbl = jnp.concatenate(
-        parts + [p.uvs.reshape(n, 6), p.kind.astype(DTYPE)[:, None],
-                 p.mat.astype(DTYPE)[:, None]], axis=1)
-    np_pad = max(-(-n // CHUNK_P) * CHUNK_P, 8) if n > CHUNK_P \
-        else -(-n // 8) * 8
-    pad_row = jnp.zeros((np_pad - n, tbl.shape[1]), DTYPE).at[:, n_row + 6]\
-        .set(-1.0)                                  # kind=-1: no prim
-    tbl = _SG(jnp.concatenate([tbl, pad_row], axis=0))
-    nm_pad = -(-nm // 8) * 8
-    mtbl = jnp.concatenate(
-        [m.kind.astype(DTYPE)[:, None], m.tex.astype(DTYPE)[:, None],
-         m.param[:, None]], axis=1)
-    mtbl = jnp.concatenate(
-        [mtbl, jnp.zeros((nm_pad - nm, 3), DTYPE)], axis=0)
-    nt_pad = -(-nt // 8) * 8
-    xtbl = jnp.concatenate(
-        [tx.kind.astype(DTYPE)[:, None], tx.f0[:, None], tx.f1[:, None],
-         tx.c0, tx.c1], axis=1)
-    xtbl = jnp.concatenate(
-        [xtbl, jnp.zeros((nt_pad - nt, 9), DTYPE)], axis=0)
-
-    st = lambda x: x.reshape(g, 128)
-    bi = _SG(st(jnp.maximum(idx, 0).astype(DTYPE)))
-    lane = tuple(st(x) for x in (ox, oy, oz, dx, dy, dz, time, tr, tg, tb))
-    flags = (st(jnp.where(alive, 1.0, 0.0).astype(DTYPE)),
-             st(jnp.where(idx >= 0, 1.0, 0.0).astype(DTYPE)))
-    ttbl = pack_targets(s.redirect_prob, s.redirect_q, s.redirect_u,
-                        s.redirect_v)
-    gdiff, miss, g_tbl, g_mat, g_tex = bounce_bwd_gather_megakernel(
-        _SG(ttbl), tbl, _SG(mtbl), _SG(xtbl), bi, lane,
-        tuple(st(_SG(u)) for u in u_cols), flags,
-        _SG(tuple(st(c) for c in ct12)), n_targets=n_targets,
-        has_motion=has_motion, has_box=has_box, t_min=t_min,
-        interpret=interpret)
-    g_lane = tuple(x.reshape(r) for x in gdiff)
-    miss_f = miss.reshape(r)
-    g_ptab = g_tbl[:n]
-    g_mparam = jnp.sum(g_mat[:nm], axis=1)
-    g_tc0 = jnp.stack([jnp.sum(g_tex[j * nt_pad:j * nt_pad + nt], axis=1)
-                       for j in range(3)], axis=-1)
-    g_tc1 = jnp.stack([jnp.sum(g_tex[j * nt_pad:j * nt_pad + nt], axis=1)
-                       for j in range(3, 6)], axis=-1)
-
-    # miss-background term (kept in XLA: arbitrary jittable backgrounds)
-    def bgf(o3, d3, thr3):
-        return _bg_term(s, o3, d3, thr3, miss_f)
-
-    o3 = jnp.stack([ox, oy, oz], axis=-1)
-    d3 = jnp.stack([dx, dy, dz], axis=-1)
-    thr3 = jnp.stack([tr, tg, tb], axis=-1)
-    ct_rad3 = jnp.stack(ct12[6:9], axis=-1)
-    _, bg_vjp = jax.vjp(bgf, o3, d3, thr3)
-    go_bg, gd_bg, gthr_bg = bg_vjp(ct_rad3)
-    g_lane = (g_lane[0] + go_bg[:, 0], g_lane[1] + go_bg[:, 1],
-              g_lane[2] + go_bg[:, 2],
-              g_lane[3] + gd_bg[:, 0], g_lane[4] + gd_bg[:, 1],
-              g_lane[5] + gd_bg[:, 2], g_lane[6],
-              g_lane[7] + gthr_bg[:, 0], g_lane[8] + gthr_bg[:, 1],
-              g_lane[9] + gthr_bg[:, 2])
-
-    g_scene = assemble_scene_grads(
-        scene, g_ptab[:, 0:3], g_ptab[:, 3:6], g_ptab[:, 6:9],
-        g_ptab[:, 9:12] if has_motion else None,
-        g_ptab[:, 12:15] if has_motion else None, g_mparam, g_tc0, g_tc1)
-    return g_scene, g_lane
 
 
 def replay_bwd(scene, s, o, d, time, uniforms, throughput, alive, idx,

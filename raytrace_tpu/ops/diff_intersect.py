@@ -37,15 +37,25 @@ def _winner_record(floats, ints, o, d, time, idx, has_motion, t_min,
     Returns ``(t_safe, valid, rec)`` where ``t_safe`` is 1.0 on
     miss/invalid lanes (NaN-free grads) and ``rec`` the full HitRecord.
     """
+    import os
     p0, e1, e2, uvs, mv0, mv1 = floats
     kind, mat = ints
     n = kind.shape[0]
     pi = jnp.maximum(idx, 0)
-    oh = onehot_rows(pi, n)
     parts = [p0, e1, e2, uvs.reshape(n, 6)]
     if has_motion:
         parts += [mv0, mv1]
-    allf = gather_rows(oh, jnp.concatenate(parts, axis=1))
+    # Measured on the bunny (4,992 rows, 2^17 lanes): the [R, N] one-hot
+    # matmul still BEATS a direct gather + scatter-add backward (2.71 vs
+    # 2.63 M fwd+bwd rays/s) — XLA does not materialize the full one-hot.
+    # The take path exists for far larger tables where it must win on
+    # bandwidth; crossover not yet reached at mega scale.
+    onehot_max = int(os.environ.get("RT_DIFF_ONEHOT_MAX", "8192"))
+    if n <= onehot_max:
+        oh = onehot_rows(pi, n)
+        allf = gather_rows(oh, jnp.concatenate(parts, axis=1))
+    else:
+        allf = jnp.concatenate(parts, axis=1)[pi]
     g_p0, g_e1, g_e2 = allf[:, 0:3], allf[:, 3:6], allf[:, 6:9]
     g_uvs = allf[:, 9:15].reshape(-1, 3, 2)
     g_mv0 = allf[:, 15:18] if has_motion else None
@@ -114,6 +124,9 @@ def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,
                            kind_segments=kind_segments,
                            sphere_rots=sphere_rots)
         if use_pallas:
+            from .pallas.allpairs_kernel import (
+                MIN_PRIMS, allpairs_nearest_record,
+            )
             from .pallas.intersect_kernel import (
                 pack_clusters, pack_prims, pallas_nearest_record,
             )
@@ -121,12 +134,27 @@ def make_diff_surface_hit(has_motion: bool, t_min: float, use_pallas: bool,
             g = r // 128
             resh = lambda x: x.reshape(g, 128)
             tbl = pack_prims(prims)
-            ctbl = pack_clusters(prims) if clustered else None
-            t, idx, nx, ny, nz, fr, uu, vv, m = pallas_nearest_record(
-                tbl, ctbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
-                resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
-                n_prims=kind.shape[0], t_min=t_min, has_motion=has_motion,
-                has_box=has_box, segments=kind_segments, kinds=kinds)
+            # mesh-scale forward rides the all-pairs broadcast engine
+            # exactly like the non-diff path (integrator._surface_hit) —
+            # the custom-VJP backward reconstructs from the winner index
+            # and is engine-independent
+            if kind_segments is not None and MIN_PRIMS <= kind.shape[0]:
+                t, idx, nx, ny, nz, fr, uu, vv, m = \
+                    allpairs_nearest_record(
+                        tbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
+                        resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]),
+                        resh(time), n_prims=kind.shape[0], t_min=t_min,
+                        has_motion=has_motion, segments=kind_segments,
+                        ctbl=pack_clusters(prims))
+            else:
+                ctbl = pack_clusters(prims) if clustered else None
+                t, idx, nx, ny, nz, fr, uu, vv, m = pallas_nearest_record(
+                    tbl, ctbl,
+                    resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),
+                    resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]),
+                    resh(time), n_prims=kind.shape[0], t_min=t_min,
+                    has_motion=has_motion, has_box=has_box,
+                    segments=kind_segments, kinds=kinds)
             fl = lambda x: x.reshape(r)
             flags = fl(fr)
             front = (flags & 1).astype(bool)

@@ -182,7 +182,14 @@ def _kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tm, *outs,
 # (shared mesh edges) collapse via the strict > in the second-min.
 # ---------------------------------------------------------------------------
 
-BCAST_CHUNK = 512
+import os as _os
+
+# 256 (not 512): at chunk 512 the ~24 live [CHUNK, W] intermediates of
+# _crossing_cand cap the row relabel at W=256 (14 MB VMEM budget);
+# halving the chunk doubles the chunk count but unlocks W=512 — half
+# the (row x chunk) cond/slab overhead AND tighter chunk AABBs, measured
+# pawn volumes 7.0 -> 4.9 ms/iter at 131k lanes (tools/profile_pawn.py)
+BCAST_CHUNK = int(_os.environ.get("RT_VOL_CHUNK", "256"))
 BCAST_MIN_ROWS = 64     # below this the scalar loop's overhead is noise
 
 

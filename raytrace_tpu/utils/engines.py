@@ -103,16 +103,16 @@ def engine_report(scene, s, *, n_pix: int | None = None,
     backward = None
     if diff:
         if forward == "fused-iter-megakernel":
-            if (n_prims <= MAX_REPLAY_PRIMS
-                    and not os.environ.get("RT_FUSED_BWD_XLA")
-                    and not os.environ.get("RT_FUSED_BWD_KERNEL")):
-                backward = "fused-regen-pre"
-            elif os.environ.get("RT_FUSED_BWD_KERNEL"):
+            if os.environ.get("RT_FUSED_BWD_KERNEL"):
                 backward = "fused-regen-kernel"
-            elif n_prims <= MAX_REPLAY_PRIMS:
-                backward = "replay-pallas"       # RT_FUSED_BWD_XLA path
+            elif os.environ.get("RT_FUSED_BWD_XLA"):
+                backward = ("replay-pallas"
+                            if n_prims <= MAX_REPLAY_PRIMS
+                            else "replay-gather-kernel")
             else:
-                backward = "replay-gather-kernel"
+                # round 5: the pre-gathered regen kernel serves every
+                # fused-eligible scale (replay_pre_eligible)
+                backward = "fused-regen-pre"
         elif use_mega and replay_eligible(scene):
             backward = ("replay-pallas" if n_prims <= MAX_REPLAY_PRIMS
                         else "replay-gather-kernel")

@@ -70,17 +70,18 @@ def test_mesh_class_engines():
     # 300 rows: below SORT_MIN_PRIMS -> stationary; megakernel serves
     assert rep["driver"] == "stationary"
     assert rep["forward"] == "fused-iter-megakernel"
-    # diff path at >64 prims: replay ineligible by default -> generic
+    # diff path at >64 prims (round 5): the fused driver + the
+    # pre-gathered regen backward serve mesh scale too
     rep_d = engine_report(scene, _CAM, diff=True, interpret=True)
-    assert rep_d["backward"] == "generic-xla-replay"
-    assert rep_d["forward"] == "bounce-megakernel"
+    assert rep_d["backward"] == "fused-regen-pre"
+    assert rep_d["forward"] == "fused-iter-megakernel"
 
 
-def test_mesh_class_engines_gather_env(monkeypatch):
-    monkeypatch.setenv("RT_REPLAY_GATHER", "1")
+def test_mesh_class_engines_kernel_env(monkeypatch):
+    monkeypatch.setenv("RT_FUSED_BWD_KERNEL", "1")
     scene = _mesh_scene()
     rep_d = engine_report(scene, _CAM, diff=True, interpret=True)
-    assert rep_d["backward"] == "replay-gather-kernel"
+    assert rep_d["backward"] == "fused-regen-kernel"
 
 
 def test_fog_class_engines():

@@ -194,71 +194,3 @@ def _scene_mesh(n_grid: int = 12):
     ]
     return rt.compile_scene(rt.group(geoms))
 
-
-@pytest.mark.parametrize("n_targets", [0, 1])
-def test_replay_bwd_gather_kernel_matches_generic(n_targets, monkeypatch):
-    from raytrace_tpu.diff.lane_replay import (
-        MAX_REPLAY_PRIMS, replay_bwd_pallas,
-    )
-    monkeypatch.setenv("RT_REPLAY_GATHER", "1")   # opt-in mesh backward
-    scene = _scene_mesh()
-    n = scene.prims.kind.shape[0]
-    assert n > MAX_REPLAY_PRIMS
-    assert replay_eligible(scene)
-    s = _settings(n_targets)
-    t_min = float(s.t_min)
-
-    r = 512
-    rng = np.random.RandomState(3)
-    o = jnp.asarray(rng.uniform(-4, 4, (r, 3)), jnp.float32)
-    d_np = rng.normal(size=(r, 3))
-    d = jnp.asarray(d_np / np.linalg.norm(d_np, axis=1, keepdims=True),
-                    jnp.float32)
-    time = jnp.zeros((r,), jnp.float32)
-    n_u = n_bounce_uniforms(scene)
-    uniforms = jnp.asarray(rng.uniform(0, 1, (r, n_u + 1)), jnp.float32)
-    radiance = jnp.asarray(rng.uniform(0, 1, (r, 3)), jnp.float32)
-    thr = jnp.asarray(rng.uniform(0.1, 1, (r, 3)), jnp.float32)
-    alive = jnp.asarray(rng.uniform(0, 1, r) > 0.15)
-    idx = jnp.asarray(rng.randint(-1, n, r), jnp.int32)
-    cts = tuple(jnp.asarray(rng.normal(size=(r, 3)), jnp.float32)
-                for _ in range(4))
-    params, statics = partition(scene)
-
-    def g(params, o, d, time, thr):
-        sc = combine(params, statics)
-        p = sc.prims
-        hit = winner_surface_hit(
-            (p.p0, p.e1, p.e2, p.uvs, p.mv0, p.mv1), (p.kind, p.mat),
-            o, d, time, idx, False, t_min, has_box=p.has_box)
-        o2, d2, rad2, thr2, _a, _dd = bounce(
-            sc, s, o, d, time, uniforms, radiance, thr, alive, diff=True,
-            hit_override=hit)
-        return o2, d2, rad2, thr2
-
-    _, vjp = jax.vjp(g, params, o, d, time, thr)
-    g_params_ref, g_o_ref, g_d_ref, g_time_ref, g_thr_ref = vjp(cts)
-
-    pk = jax.jit(lambda: replay_bwd_pallas(
-        scene, s, o, d, time, uniforms, thr, alive, idx, cts,
-        has_motion=False, t_min=t_min, interpret=True))()
-
-    def close(a, b, name):
-        a = np.asarray(a, np.float64)
-        b = np.asarray(b, np.float64)
-        scale = max(np.abs(b).max(), 1e-3)
-        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4 * scale,
-                                   err_msg=name)
-
-    for got, want, nm in zip(pk[1:4], (g_o_ref, g_d_ref, g_time_ref),
-                             ("g_o", "g_d", "g_time")):
-        close(got, want, f"gather {nm}")
-    close(pk[5], g_thr_ref, "gather g_thr")
-    leaves_new = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
-        lambda x: x if (hasattr(x, "dtype") and jnp.issubdtype(
-            x.dtype, jnp.floating)) else None, pk[0]))
-    leaves_ref, _ = jax.tree_util.tree_flatten(g_params_ref)
-    paths = [str(p) for p, _ in jax.tree_util.tree_flatten_with_path(
-        g_params_ref)[0]]
-    for ln, lr, path in zip(leaves_new, leaves_ref, paths):
-        close(ln, lr, f"gather param leaf {path}")

@@ -95,3 +95,52 @@ def test_mega_diff_albedo_gradient_matches_fd():
     g_fd = float((f(0.5 + eps) - f(0.5 - eps)) / (2 * eps))
     assert np.isfinite(g_auto)
     np.testing.assert_allclose(g_auto, g_fd, rtol=0.05)
+
+
+def test_winner_record_gather_matches_onehot(monkeypatch):
+    """Past RT_DIFF_ONEHOT_MAX the winner reconstruction switches from
+    the [R, N] one-hot matmul to a direct gather (backward: one row
+    scatter-add); gradients must be identical."""
+    import numpy as np
+    import raytrace_tpu as rt
+    from raytrace_tpu.core import rng as _rng
+    from raytrace_tpu.diff.gradients import (
+        combine, partition, render_loss_wavefront,
+    )
+
+    rs = np.random.RandomState(3)
+    p0 = rs.uniform(-2, 2, (80, 3))
+    tris = [rt.triangle(p, p + [0.3, 0, 0], p + [0, 0.3, 0]) for p in p0]
+    world = rt.group([
+        rt.with_material(rt.lambertian(rt.constant_texture(0.6)),
+                         rt.group(tris)),
+        rt.with_material(rt.light_source(rt.constant_texture(3.0)),
+                         rt.parallelogram([-3, 4, -3], [6, 0, 0],
+                                          [0, 0, 6])),
+    ])
+    scene = rt.compile_scene(world, accel="dense")
+    assert scene.prims.kind.shape[0] > 64   # generic replay fallback
+    s = rt.CameraSettings(image_width=32, samples_per_pixel=4,
+                          max_depth=4, center=np.asarray([0., 0., 6.]),
+                          look_at=np.zeros(3), vfov=0.9,
+                          background=rt.const_background(0.3))
+    params, statics = partition(scene)
+    pix = jnp.arange(1024, dtype=jnp.int32)
+    target = jnp.zeros((1024, 3), jnp.float32)
+    vg = jax.value_and_grad(render_loss_wavefront, has_aux=True)
+
+    def go():
+        return vg(params, statics, s, _rng.base_key(0), pix, target,
+                  spp=4, n_iters=20, remat=False)
+
+    monkeypatch.setenv("RT_DIFF_ONEHOT_MAX", "100000")
+    (l0, _), g0 = go()
+    monkeypatch.setenv("RT_DIFF_ONEHOT_MAX", "16")
+    (l1, _), g1 = go()
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        if a is None or not hasattr(a, "dtype"):
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

@@ -1,6 +1,8 @@
 """Mesh-scale differentiable rendering rate: fwd+bwd rays/s on the
-4,968-tri bunny (VERDICT r3 item 3 — target >= 10 M rays/s with the
-self-gathering backward kernel, vs the generic XLA replay it replaces).
+4,968-tri bunny.  Default path (round 5): fused-iteration forward +
+pre-gathered regen backward (diff/fused_iter.py) — measured 3.99 M
+fwd+bwd rays/s vs 2.71 M generic XLA replay (--generic) and 1.78 M for
+the deleted round-4 self-gathering kernel.
 
 Usage: python tools/prof_bunny_grad.py [--generic]
 """
@@ -33,10 +35,9 @@ def main():
     args = ap.parse_args()
 
     if args.generic:
-        # drop the gather-kernel prim cap so replay_eligible fails and
-        # mega_bounce falls back to the generic XLA replay
-        import raytrace_tpu.diff.lane_replay as lr
-        lr.REPLAY_GATHER_MAX_PRIMS = 64
+        # disable the fused driver so the wavefront falls back to the
+        # unfused mega forward + generic XLA replay backward
+        os.environ["RT_NO_FUSED_ITER"] = "1"
 
     import argparse as _ap
     sys.path.insert(0, os.path.join(
@@ -45,14 +46,14 @@ def main():
     import bunny_test
     from raytrace_tpu.core import rng
     from raytrace_tpu.diff.gradients import partition, render_loss_wavefront
-    from raytrace_tpu.diff.lane_replay import replay_eligible
 
     sargs = _ap.Namespace(width=600, spp=args.spp, depth=10)
     scene, settings, _ = bunny_test.build(sargs)
     settings = settings.replace(rr_depth=2)
     n = scene.prims.kind.shape[0]
-    print(f"prims={n} replay_eligible={replay_eligible(scene)}",
-          file=sys.stderr, flush=True)
+    from raytrace_tpu.utils.engines import engine_report
+    eng = engine_report(scene, settings, diff=True)
+    print(f"prims={n} engines={eng}", file=sys.stderr, flush=True)
 
     params, statics = partition(scene)
     n_pix = settings.image_width * settings.image_height
@@ -78,7 +79,7 @@ def main():
         best = min(best, time.time() - t0)
         frac = min(frac, float(f))
     rays = args.lanes * args.spp
-    label = "generic-XLA-replay" if args.generic else "gather-kernel"
+    label = "generic-XLA-replay" if args.generic else "fused-pre"
     print(f"bunny fwd+bwd [{label}]: {rays/best/1e6:.2f}M rays/s "
           f"({best:.3f}s, frac={frac:.4f})", flush=True)
 
