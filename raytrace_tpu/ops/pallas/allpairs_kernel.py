@@ -503,11 +503,12 @@ def broadcast_cand(col, gkind, ox, oy, oz, dx, dy, dz, tm, inv,
     return out
 
 
-def _dyn_kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-                dz_ref, tm_ref, t_out, i_out, nx_out, ny_out, nz_out,
-                fr_out, u_out, v_out, m_out, *scratch, seg_plan,
-                n_prims: int, t_min: float, has_motion: bool, rg: int,
-                w: int, stream: bool = False):
+def _dyn_kernel(tbl_ref, cbox_ref, clbox_ref, ox_ref, oy_ref, oz_ref,
+                dx_ref, dy_ref, dz_ref, tm_ref, t_out, i_out, nx_out,
+                ny_out, nz_out, fr_out, u_out, v_out, m_out, *scratch,
+                seg_plan, n_prims: int, t_min: float, has_motion: bool,
+                rg: int, w: int, stream: bool = False,
+                subc: bool = False):
     """Dynamic-chunk variant for mesh-scale tables.
 
     The static kernel unrolls one code section per chunk — at 100 chunks
@@ -552,6 +553,10 @@ def _dyn_kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
 
             def cols(p0):
                 return lambda c: sc_ref[:, pl.ds(c, 1)]
+
+            def cols_sub(p0, s):
+                return lambda c: sc_ref[pl.ds(s * CLUSTER, CLUSTER),
+                                        pl.ds(c, 1)]
         else:
             def fetch(p0):
                 pass
@@ -559,10 +564,40 @@ def _dyn_kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
             def cols(p0):
                 return lambda c: tbl_ref[pl.ds(p0, CHUNK), pl.ds(c, 1)]
 
+            def cols_sub(p0, s):
+                return lambda c: tbl_ref[pl.ds(p0 + s * CLUSTER, CLUSTER),
+                                         pl.ds(c, 1)]
+
         def cand_for(gkind, p0):
             return broadcast_cand(
                 cols(p0), gkind, ox, oy, oz, dx, dy, dz, tm,
                 (ivx, ivy, ivz), tmn, has_motion)
+
+        def slab_of(box_ref, k, bt):
+            t0x = (box_ref[k, 0] - ox) * ivx
+            t1x = (box_ref[k, 3] - ox) * ivx
+            t0y = (box_ref[k, 1] - oy) * ivy
+            t1y = (box_ref[k, 4] - oy) * ivy
+            t0z = (box_ref[k, 2] - oz) * ivz
+            t1z = (box_ref[k, 5] - oz) * ivz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), tmn))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.minimum(jnp.maximum(t0z, t1z), bt))
+            return tn, tf
+
+        def merge_best(t_c, base_f, ln, bt, bi):
+            piota = (base_f + jax.lax.broadcasted_iota(
+                jnp.int32, (ln, 1), 0).astype(jnp.float32))
+            tmin = jnp.min(t_c, axis=0, keepdims=True)
+            pi = jnp.min(jnp.where(t_c == tmin, piota, inf),
+                         axis=0, keepdims=True)
+            better = tmin < bt
+            return (jnp.where(better, tmin, bt),
+                    jnp.where(better,
+                              jnp.where(tmin < inf, pi, -1.0), bi))
 
         # ---- phase 1 ----
         carry = (bt0, bi0)
@@ -571,34 +606,37 @@ def _dyn_kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                 bt, bi = c2
                 p0 = row0 + k * CHUNK
                 cb = cbase + k
-                t0x = (cbox_ref[cb, 0] - ox) * ivx
-                t1x = (cbox_ref[cb, 3] - ox) * ivx
-                t0y = (cbox_ref[cb, 1] - oy) * ivy
-                t1y = (cbox_ref[cb, 4] - oy) * ivy
-                t0z = (cbox_ref[cb, 2] - oz) * ivz
-                t1z = (cbox_ref[cb, 5] - oz) * ivz
-                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                             jnp.minimum(t0y, t1y)),
-                                 jnp.maximum(jnp.minimum(t0z, t1z), tmn))
-                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                             jnp.maximum(t0y, t1y)),
-                                 jnp.minimum(jnp.maximum(t0z, t1z), bt))
+                tn, tf = slab_of(cbox_ref, cb, bt)
 
                 def eval_chunk(c3):
                     bt, bi = c3
                     fetch(p0)
-                    t_c = cand_for(gkind, p0)              # [CHUNK, W]
-                    piota = (p0.astype(jnp.float32)
-                             + jax.lax.broadcasted_iota(
-                                 jnp.int32, (CHUNK, 1), 0)
-                             .astype(jnp.float32))
-                    tmin = jnp.min(t_c, axis=0, keepdims=True)
-                    pi = jnp.min(jnp.where(t_c == tmin, piota, inf),
-                                 axis=0, keepdims=True)
-                    better = tmin < bt
-                    return (jnp.where(better, tmin, bt),
-                            jnp.where(better,
-                                      jnp.where(tmin < inf, pi, -1.0), bi))
+                    if not subc:
+                        t_c = cand_for(gkind, p0)          # [CHUNK, W]
+                        return merge_best(t_c, p0.astype(jnp.float32),
+                                          CHUNK, bt, bi)
+                    # second consensus level: 64-prim sub-clusters
+                    # (pack_clusters granularity) — a visited chunk
+                    # usually needs only a few of its 8 sub-sweeps, and
+                    # the tighter AABBs reject what the chunk box can't
+                    for s in range(CHUNK // CLUSTER):
+                        kcl = p0 // CLUSTER + s
+
+                        def eval_sub(c4, s=s):
+                            bt, bi = c4
+                            t_c = broadcast_cand(
+                                cols_sub(p0, s), gkind, ox, oy, oz,
+                                dx, dy, dz, tm, (ivx, ivy, ivz), tmn,
+                                has_motion)                # [64, W]
+                            base_f = (p0 + s * CLUSTER) \
+                                .astype(jnp.float32)
+                            return merge_best(t_c, base_f, CLUSTER,
+                                              bt, bi)
+
+                        tn_s, tf_s = slab_of(clbox_ref, kcl, c3[0])
+                        c3 = jax.lax.cond(jnp.any(tn_s <= tf_s),
+                                          eval_sub, lambda c4: c4, c3)
+                    return c3
 
                 return jax.lax.cond(jnp.any(tn <= tf), eval_chunk,
                                     lambda c3: c3, c2)
@@ -723,16 +761,25 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
             tbl = out.at[:tbl.shape[0], :tbl.shape[1]].set(tbl)
     else:
         cbox = jnp.zeros((1, 8), jnp.float32)
+    # second consensus level inside visited chunks (dyn kernel): 64-prim
+    # sub-cluster AABB conds (pack_clusters granularity) — visited
+    # chunks usually need only a few of their 8 sub-sweeps (bigmesh
+    # intersect 96 -> 88 ms per 2^18 primary rays)
+    subc = (dyn and ctbl is not None and CHUNK % CLUSTER == 0
+            and not os.environ.get("RT_AP_NO_SUBC"))
     # Row width: regroup the [G, 128] components into [G', W] rows so one
     # row iteration intersects W rays (fewer iterations + reductions for
     # the same arithmetic).  Pure relabeling — every lane is independent.
     # Mesh-scale tables shrink W so the whole-table VMEM residency plus
     # ~12 live [CHUNK, W] phase-1 intermediates stay under the ~16 MB
-    # scoped-vmem limit (50944 rows at W=512 measured 25.5 MB: OOM).
-    w_cap = WIDE_LANES
+    # scoped-vmem limit (50944 rows at W=512 measured 25.5 MB: OOM);
+    # with sub-cluster sweeps the live intermediates are [CLUSTER, W],
+    # so wider rows fit (fewer rows = fewer cond/slab fixed costs).
+    w_cap = max(WIDE_LANES, 1024) if subc else WIDE_LANES
     tbl_vmem = 0 if (dyn and stream) else tbl.shape[0] * N_COLS * 4
+    sweep_rows = CLUSTER if subc else CHUNK
     while w_cap > LANES and (tbl_vmem
-                             + CHUNK * w_cap * 4 * 12) > 14_000_000:
+                             + sweep_rows * w_cap * 4 * 12) > 14_000_000:
         w_cap //= 2
     w = LANES
     while w < w_cap and g % 2 == 0 and g >= 2:
@@ -761,23 +808,44 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
         jax.ShapeDtypeStruct((g, w), i32),   # mat
     ]
     if dyn:
+        clbox = ctbl if ctbl is not None \
+            else jnp.zeros((1, 8), jnp.float32)
+        need = rows_needed // CLUSTER
+        if clbox.shape[0] < need:
+            pad = jnp.zeros((need - clbox.shape[0], clbox.shape[1]),
+                            jnp.float32)
+            # pad clusters: inverted boxes never pass a slab test
+            pad = pad.at[:, 0:3].set(jnp.inf).at[:, 3:6].set(-jnp.inf)
+            clbox = jnp.concatenate([clbox, pad])
         kernel = functools.partial(_dyn_kernel, seg_plan=seg_plan,
                                    n_prims=n_prims, t_min=t_min,
                                    has_motion=has_motion, rg=rg, w=w,
-                                   stream=stream)
+                                   stream=stream, subc=subc)
         scratch = [pltpu.VMEM((CHUNK, 128), jnp.float32),
                    pltpu.SemaphoreType.DMA(())] if stream else []
-    else:
-        kernel = functools.partial(_kernel, plan=plan, n_prims=n_prims,
-                                   t_min=t_min, has_motion=has_motion,
-                                   rg=rg, w=w, skip=False)
-        scratch = [pltpu.VMEM((rg, w), f32), pltpu.VMEM((rg, w), f32)]
-    tbl_spec = pl.BlockSpec(memory_space=pltpu.HBM) if (dyn and stream) \
-        else pl.BlockSpec(memory_space=pltpu.VMEM)
+        tbl_spec = pl.BlockSpec(memory_space=pltpu.HBM) if stream \
+            else pl.BlockSpec(memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[tbl_spec]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            + [ray_spec] * 7,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(tbl, cbox, clbox, ox, oy, oz, dx, dy, dz, tm)
+        g0 = ox.size // LANES
+        return tuple(o.reshape(g0, LANES) for o in outs)
+    kernel = functools.partial(_kernel, plan=plan, n_prims=n_prims,
+                               t_min=t_min, has_motion=has_motion,
+                               rg=rg, w=w, skip=False)
+    scratch = [pltpu.VMEM((rg, w), f32), pltpu.VMEM((rg, w), f32)]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[tbl_spec, pl.BlockSpec(memory_space=pltpu.VMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [ray_spec] * 7,
         out_specs=out_specs,
         out_shape=out_shape,

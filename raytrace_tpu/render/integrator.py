@@ -1321,7 +1321,7 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
         x = (x | (x << 2)) & jnp.int32(0x09249249)
         return x
 
-    def sort_perm(comps, alive):
+    def sort_key(comps, alive):
         ox, oy, oz, dx, dy, dz, _ = comps
         oct_ = ((dx < 0).astype(jnp.int32) * 4
                 + (dy < 0).astype(jnp.int32) * 2
@@ -1335,8 +1335,20 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
         # dead lanes sort together at the end (stable, so their queue
         # ranks are consecutive -> consecutive tile-ordered work items)
         dead_key = jnp.int32(1 << 25)
-        return jnp.argsort(jnp.where(alive, live_key, dead_key),
-                           stable=True)
+        return jnp.where(alive, live_key, dead_key)
+
+    def sort_perm(comps, alive):
+        return jnp.argsort(sort_key(comps, alive), stable=True)
+
+    # Block-granularity rebin (RT_SORT_BLOCKS=1): sort whole 128-lane
+    # blocks by their minimum live key instead of every lane.  The
+    # argsort shrinks from R to R/128 elements and the takes become
+    # whole-tile row gathers (~2-3 ms saved of the ~22 ms sort+take at
+    # 360k lanes) at the cost of intra-block coherence, which only the
+    # initial camera tiling provides.  Queue regeneration is unaffected
+    # (rank = cumsum(dead) never required contiguity; a fully-dead
+    # block still receives 128 consecutive tile-ordered work items).
+    _SORT_BLOCKS = int(_os.environ.get("RT_SORT_BLOCKS", "0"))
 
     def rebin(state):
         # --- re-bin lanes (permutation travels with ALL lane state) ---
@@ -1350,9 +1362,20 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
         fpack = jnp.stack(comps + rad + thr, axis=0)          # [13, R]
         ipack = jnp.stack(
             [lane_pixel, sample, depth, alive.astype(jnp.int32)], axis=0)
-        perm = sort_perm(comps, alive)
-        fpack = jnp.take(fpack, perm, axis=1)
-        ipack = jnp.take(ipack, perm, axis=1)
+        if _SORT_BLOCKS:
+            key = sort_key(comps, alive)
+            gb = key.shape[0] // 128
+            bperm = jnp.argsort(key.reshape(gb, 128).min(axis=1),
+                                stable=True)
+            r_tot = key.shape[0]
+            fpack = jnp.take(fpack.reshape(13, gb, 128), bperm,
+                             axis=1).reshape(13, r_tot)
+            ipack = jnp.take(ipack.reshape(4, gb, 128), bperm,
+                             axis=1).reshape(4, r_tot)
+        else:
+            perm = sort_perm(comps, alive)
+            fpack = jnp.take(fpack, perm, axis=1)
+            ipack = jnp.take(ipack, perm, axis=1)
         comps = tuple(fpack[k] for k in range(7))
         rad = tuple(fpack[7 + k] for k in range(3))
         thr = tuple(fpack[10 + k] for k in range(3))
