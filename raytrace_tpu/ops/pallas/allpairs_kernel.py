@@ -838,9 +838,10 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
         )(tbl, cbox, clbox, ox, oy, oz, dx, dy, dz, tm)
         g0 = ox.size // LANES
         return tuple(o.reshape(g0, LANES) for o in outs)
-    kernel = functools.partial(_kernel, plan=plan, n_prims=n_prims,
-                               t_min=t_min, has_motion=has_motion,
-                               rg=rg, w=w, skip=False)
+    kernel = functools.partial(
+        _kernel, plan=plan, n_prims=n_prims, t_min=t_min,
+        has_motion=has_motion, rg=rg, w=w,
+        skip=bool(os.environ.get("RT_AP_STATIC_SKIP")))
     scratch = [pltpu.VMEM((rg, w), f32), pltpu.VMEM((rg, w), f32)]
     outs = pl.pallas_call(
         kernel,

@@ -274,15 +274,16 @@ def _crossing_cand(col, ox, oy, oz, dx, dy, dz, tm, inv, tmn,
     return c1, cf1, c2
 
 
-def _bcast_kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref,
-                  dy_ref, dz_ref, tm_ref, *outs, slices: tuple,
+def _bcast_kernel(tbl_ref, cbox_ref, sbox_ref, ox_ref, oy_ref, oz_ref,
+                  dx_ref, dy_ref, dz_ref, tm_ref, *outs, slices: tuple,
                   t_min: float, has_motion: bool, has_box: bool, rg: int,
-                  w: int):
+                  w: int, subc: bool = False):
     inf = jnp.float32(INF)
     tmn = jnp.float32(t_min)
 
     # chunk plan per volume: sublane-aligned starts, masked to the slice
     plans = _chunk_plans(slices)
+    subs = _sub_plans(slices) if subc else None
 
     def row(ref, g):
         return ref[pl.ds(g, 1), :]
@@ -294,6 +295,21 @@ def _bcast_kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref,
         safe = lambda dd: jnp.where(jnp.abs(dd) < 1e-20,
                                     jnp.where(dd < 0, -1e-20, 1e-20), dd)
         inv = (1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz))
+
+        def box_test(box_ref, k, b2):
+            t0x = (box_ref[k, 0] - ox) * inv[0]
+            t1x = (box_ref[k, 3] - ox) * inv[0]
+            t0y = (box_ref[k, 1] - oy) * inv[1]
+            t1y = (box_ref[k, 4] - oy) * inv[1]
+            t0z = (box_ref[k, 2] - oz) * inv[2]
+            t1z = (box_ref[k, 5] - oz) * inv[2]
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), tmn))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.minimum(jnp.maximum(t0z, t1z), b2))
+            return tn, tf
 
         for v, (start, count) in enumerate(slices):
             b1 = jnp.full((1, w), inf, jnp.float32)
@@ -347,20 +363,29 @@ def _bcast_kernel(tbl_ref, cbox_ref, ox_ref, oy_ref, oz_ref, dx_ref,
                 # lax.cond genuinely skips it (CLAUDE.md).  Rays outside
                 # the volume skip the whole sweep; rays inside skip the
                 # chunks behind them and beyond their two crossings.
-                t0x = (cbox_ref[ci + _plan_base(plans, v), 0] - ox) * inv[0]
-                t1x = (cbox_ref[ci + _plan_base(plans, v), 3] - ox) * inv[0]
-                t0y = (cbox_ref[ci + _plan_base(plans, v), 1] - oy) * inv[1]
-                t1y = (cbox_ref[ci + _plan_base(plans, v), 4] - oy) * inv[1]
-                t0z = (cbox_ref[ci + _plan_base(plans, v), 2] - oz) * inv[2]
-                t1z = (cbox_ref[ci + _plan_base(plans, v), 5] - oz) * inv[2]
-                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                             jnp.minimum(t0y, t1y)),
-                                 jnp.maximum(jnp.minimum(t0z, t1z), tmn))
-                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                             jnp.maximum(t0y, t1y)),
-                                 jnp.minimum(jnp.maximum(t0z, t1z), b2))
+                if subc and ln > VOL_SUB and ln % VOL_SUB == 0:
+                    # second level: 64-row sub-pieces with their own
+                    # (tighter) AABB conds — a ray through a mesh
+                    # boundary only crosses triangles near its path, so
+                    # a visited chunk rarely needs all its sub-sweeps
+                    def visit_subs(carry, ci=ci, p0=p0, ln=ln):
+                        sbase = _sub_base(subs, plans, v, ci)
+                        for si in range(ln // VOL_SUB):
+                            tn_s, tf_s = box_test(sbox_ref, sbase + si,
+                                                  carry[2])
+                            carry = jax.lax.cond(
+                                jnp.any(tn_s <= tf_s),
+                                lambda c, si=si: visit(
+                                    c, p0=p0 + si * VOL_SUB, ln=VOL_SUB),
+                                lambda c: c, carry)
+                        return carry
+
+                    body = visit_subs
+                else:
+                    body = visit
+                tn, tf = box_test(cbox_ref, ci + _plan_base(plans, v), b2)
                 b1, f1, b2 = jax.lax.cond(
-                    jnp.any(tn <= tf), visit, lambda c: c, (b1, f1, b2))
+                    jnp.any(tn <= tf), body, lambda c: c, (b1, f1, b2))
             gsl = (pl.ds(g, 1), slice(None))
             outs[3 * v][gsl] = b1
             outs[3 * v + 1][gsl] = f1
@@ -390,12 +415,33 @@ def _plan_base(plans, v: int) -> int:
     return sum(len(p) for p in plans[:v])
 
 
-def pack_chunk_boxes(prims, slices):
-    """[n_chunks, 8] chunk AABBs aligned with :func:`_chunk_plans` —
-    pack_clusters' per-prim boxes (intersect_kernel.py) reduced over
-    each BCAST_CHUNK piece; pad rows contribute nothing."""
-    # pack_clusters' per-prim box math (intersect_kernel.py:119-162),
-    # reduced at chunk granularity instead of CLUSTER
+VOL_SUB = 64   # second consensus level: rows per sub-piece AABB
+
+
+def _sub_plans(slices):
+    """Per-(volume, chunk) tuple of (start, VOL_SUB) sub-pieces; chunks
+    too small (or unaligned) contribute none."""
+    out = []
+    for plan in _chunk_plans(slices):
+        subs = []
+        for p0, ln in plan:
+            if ln > VOL_SUB and ln % VOL_SUB == 0:
+                subs.append(tuple((p0 + si * VOL_SUB, VOL_SUB)
+                                  for si in range(ln // VOL_SUB)))
+            else:
+                subs.append(())
+        out.append(tuple(subs))
+    return tuple(out)
+
+
+def _sub_base(subs, plans, v: int, ci: int) -> int:
+    base = sum(len(s) for vv in range(v) for s in subs[vv])
+    return base + sum(len(s) for s in subs[v][:ci])
+
+
+def _prim_lo_hi(prims):
+    """Per-prim AABBs (pack_clusters' box math, intersect_kernel.py:
+    119-162); pad rows get inverted boxes that never pass a slab."""
     from ...scene.types import PRIM_BOX, PRIM_SPHERE
     kind = prims.kind
     p0, e1, e2 = prims.p0, prims.e1, prims.e2
@@ -419,18 +465,46 @@ def pack_chunk_boxes(prims, slices):
     pad = (kind == -1)[:, None]
     lo = jnp.where(pad, jnp.inf, lo)
     hi = jnp.where(pad, -jnp.inf, hi)
-    plans = _chunk_plans(slices)
-    n = kind.shape[0]
+    return lo, hi
+
+
+def _reduce_boxes(prims, slices, pieces):
+    lo, hi = _prim_lo_hi(prims)
+    n = prims.kind.shape[0]
     rows = []
-    for v, plan in enumerate(plans):
+    for v, plan in enumerate(pieces):
         start, count = slices[v]
         for p, ln in plan:
             a = max(p, start)
             b = min(p + ln, start + count, n)
+            if b <= a:
+                rows.append(jnp.concatenate([
+                    jnp.full((3,), jnp.inf, jnp.float32),
+                    jnp.full((3,), -jnp.inf, jnp.float32),
+                    jnp.zeros((2,), jnp.float32)]))
+                continue
             rows.append(jnp.concatenate([
                 jnp.min(lo[a:b], axis=0), jnp.max(hi[a:b], axis=0),
                 jnp.zeros((2,), jnp.float32)]))
     return jnp.stack(rows)
+
+
+def pack_chunk_boxes(prims, slices):
+    """[n_chunks, 8] chunk AABBs aligned with :func:`_chunk_plans` —
+    per-prim boxes reduced over each BCAST_CHUNK piece."""
+    return _reduce_boxes(prims, slices, _chunk_plans(slices))
+
+
+def pack_sub_boxes(prims, slices):
+    """[n_subs, 8] VOL_SUB-granularity AABBs aligned with
+    :func:`_sub_plans` (the kernel's second consensus level); None when
+    no chunk is big enough to split."""
+    subs = _sub_plans(slices)
+    pieces = tuple(tuple(s for chunk in plan for s in chunk)
+                   for plan in subs)
+    if not any(pieces):
+        return None
+    return _reduce_boxes(prims, slices, pieces)
 
 
 @functools.partial(
@@ -440,14 +514,20 @@ def pack_chunk_boxes(prims, slices):
 def pallas_volume_crossings_bcast(vtbl, cbox, ox, oy, oz, dx, dy, dz,
                                   tm, *, slices: tuple, t_min: float,
                                   has_motion: bool, has_box: bool = False,
-                                  interpret: bool = False):
+                                  sbox=None, interpret: bool = False):
     """Broadcast variant of :func:`pallas_volume_crossings` (same
     contract).  Rays regroup into [g, W] rows (W up to 512) so each
     chunk sweep amortizes over more lanes, exactly like
     allpairs_nearest_record.  ``cbox`` (pack_chunk_boxes) drives the
     per-(row, chunk) slab consensus: rays outside a chunk's AABB — or
-    whose two crossings already bound it out — skip its whole sweep."""
+    whose two crossings already bound it out — skip its whole sweep.
+    ``sbox`` (pack_sub_boxes) adds a second 64-row consensus level
+    inside visited chunks."""
+    import os as _os2
     g = ox.shape[0]
+    subc = sbox is not None and not _os2.environ.get("RT_NO_VOL_SUBC")
+    if sbox is None:
+        sbox = jnp.zeros((1, 8), jnp.float32)
     # pad the table to a sublane multiple; pad rows kind=-1 never match
     rows = vtbl.shape[0]
     rows_pad = -(-rows // 8) * 8
@@ -481,16 +561,16 @@ def pallas_volume_crossings_bcast(vtbl, cbox, ox, oy, oz, dx, dy, dz,
     out_shape = [jax.ShapeDtypeStruct((g, w), jnp.float32)] * n_out
     kernel = functools.partial(_bcast_kernel, slices=slices, t_min=t_min,
                                has_motion=has_motion, has_box=has_box,
-                               rg=rg, w=w)
+                               rg=rg, w=w, subc=subc)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
         + [ray_spec] * 7,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(vtbl, cbox, ox, oy, oz, dx, dy, dz, tm)
+    )(vtbl, cbox, sbox, ox, oy, oz, dx, dy, dz, tm)
     g0 = ox.size // LANES
     return [o.reshape(g0, LANES) for o in outs]
 

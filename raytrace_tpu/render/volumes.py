@@ -19,6 +19,8 @@ second crossing without materializing an [R, all-crossings] buffer.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -163,8 +165,8 @@ def volume_candidates_pallas(volumes: Volumes, o, d, time, t_min,
     pawn's 1200-tri boundary.  ``use_bcast`` forces the choice (tests)."""
     from ..ops.pallas.intersect_kernel import pack_prims
     from ..ops.pallas.volume_kernel import (
-        BCAST_MIN_ROWS, pack_chunk_boxes, pallas_volume_crossings,
-        pallas_volume_crossings_bcast,
+        BCAST_MIN_ROWS, pack_chunk_boxes, pack_sub_boxes,
+        pallas_volume_crossings, pallas_volume_crossings_bcast,
     )
     r = o.shape[0]
     g = r // 128
@@ -172,7 +174,6 @@ def volume_candidates_pallas(volumes: Volumes, o, d, time, t_min,
     vtbl = pack_prims(volumes.prims)
     slices = tuple(zip(volumes.starts, volumes.counts))
     if use_bcast is None:
-        import os
         use_bcast = (volumes.prims.kind.shape[0] >= BCAST_MIN_ROWS
                      and not os.environ.get("RT_NO_VOL_BCAST"))
     if use_bcast:
@@ -182,7 +183,14 @@ def volume_candidates_pallas(volumes: Volumes, o, d, time, t_min,
             resh(d[:, 0]), resh(d[:, 1]), resh(d[:, 2]), resh(time),
             slices=slices, t_min=t_min_scalar,
             has_motion=volumes.prims.has_motion,
-            has_box=volumes.prims.has_box, interpret=interpret)
+            has_box=volumes.prims.has_box,
+            # 64-row sub-consensus: wins the coherent primary-ray probe
+            # (21.3 -> 18.0 ms/360k) but LOSES pawn end-to-end (12.7 vs
+            # 11.9 s — in-medium bounce rays visit most sub-pieces, so
+            # the cond tax nets negative); opt-in for A/B re-runs
+            sbox=(pack_sub_boxes(volumes.prims, slices)
+                  if os.environ.get("RT_VOL_SUBC") else None),
+            interpret=interpret)
     else:
         outs = pallas_volume_crossings(
             vtbl, resh(o[:, 0]), resh(o[:, 1]), resh(o[:, 2]),

@@ -147,3 +147,60 @@ def test_pallas_volume_candidates_motion():
     assert (np.asarray(v_x) == np.asarray(v_p)).all()
     np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_bcast_volume_subcluster_level(monkeypatch):
+    """A mesh boundary big enough to split into 64-row sub-pieces: the
+    second consensus level (round 5, pack_sub_boxes; opt-in
+    RT_VOL_SUBC=1 — lost its pawn e2e A/B) must reproduce the XLA scan
+    exactly (same strict-merge tie rules per sub-piece)."""
+    monkeypatch.setenv("RT_VOL_SUBC", "1")
+    from raytrace_tpu.scene.builder import Mesh
+    from raytrace_tpu.ops.pallas.volume_kernel import (
+        VOL_SUB, _sub_plans, pack_sub_boxes,
+    )
+
+    # a 288-tri uv-sphere boundary (> BCAST_CHUNK rows after padding)
+    n_lat, n_lon = 12, 16
+    th = np.linspace(0, np.pi, n_lat + 1)
+    ph = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    v = np.stack([np.sin(tt) * np.cos(pp), np.cos(tt),
+                  np.sin(tt) * np.sin(pp)], -1).reshape(-1, 3)
+    vid = np.arange((n_lat + 1) * n_lon).reshape(n_lat + 1, n_lon)
+    f = []
+    for i in range(n_lat):
+        a, b = vid[i], vid[i + 1]
+        an, bn = np.roll(a, -1), np.roll(b, -1)
+        if i > 0:
+            f.append(np.stack([a, b, an], -1))
+        if i < n_lat - 1:
+            f.append(np.stack([an, b, bn], -1))
+    f = np.concatenate(f).astype(np.int64)
+    mesh = Mesh(vertices=v * 1.3, uv=np.zeros((0, 2)), faces=f,
+                uv_faces=np.full_like(f, -1))
+    world = rt.with_material(
+        rt.isotropic(rt.constant_texture(0.5)),
+        rt.constant_medium(1.5, rt.triangle_mesh(mesh)))
+    scene = rt.compile_scene(world, accel="dense")
+    vols = scene.volumes
+    slices = tuple(zip(vols.starts, vols.counts))
+    assert pack_sub_boxes(vols.prims, slices) is not None
+    assert any(len(c) > 1 for plan in _sub_plans(slices) for c in plan)
+
+    rg = np.random.default_rng(9)
+    n = 384
+    o = jnp.asarray(rg.uniform(-3, 3, (n, 3)), jnp.float32)
+    d = jnp.asarray(rg.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = o.at[:64].set(0.0)   # inside the sphere boundary
+    time = jnp.zeros((n,), jnp.float32)
+    t_min = jnp.full((n,), 1e-3, jnp.float32)
+    u = jnp.asarray(rg.uniform(0, 1, (n, 1)), jnp.float32)
+    t_x, v_x = volume_candidates(vols, o, d, time, t_min, u)
+    t_b, v_b = volume_candidates_pallas(vols, o, d, time, t_min, u, 1e-3,
+                                        interpret=True, use_bcast=True)
+    assert (np.asarray(v_x) == np.asarray(v_b)).all()
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_x),
+                               rtol=1e-5, atol=1e-5)
+    assert int(np.asarray(v_x).sum()) > 0
