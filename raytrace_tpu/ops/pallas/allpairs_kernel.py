@@ -760,7 +760,14 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
                             jnp.float32).at[:, 16].set(-1.0)
             tbl = out.at[:tbl.shape[0], :tbl.shape[1]].set(tbl)
     else:
-        cbox = jnp.zeros((1, 8), jnp.float32)
+        # chunk-AABB row skipping DEFAULT-ON for the static kernel since
+        # round 5: pawn e2e 8.49 -> 7.83 s, demo2 5.81 -> 5.12 s (the
+        # round-4 "+1.5 ms/iter" measurement predates the W-relabel lane
+        # padding).  RT_AP_NO_STATIC_SKIP=1 restores the full sweep.
+        static_skip = (ctbl is not None
+                       and not os.environ.get("RT_AP_NO_STATIC_SKIP"))
+        cbox = chunk_boxes(ctbl, plan) if static_skip \
+            else jnp.zeros((1, 8), jnp.float32)
     # second consensus level inside visited chunks (dyn kernel): 64-prim
     # sub-cluster AABB conds (pack_clusters granularity) — visited
     # chunks usually need only a few of their 8 sub-sweeps (bigmesh
@@ -781,6 +788,21 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
     while w_cap > LANES and (tbl_vmem
                              + sweep_rows * w_cap * 4 * 12) > 14_000_000:
         w_cap //= 2
+    # pad the lane-row count to the relabel multiple: an odd G (e.g.
+    # 360064 lanes = 2813 rows) would otherwise pin W at 128 — measured
+    # 4x the per-row fixed costs on the pawn e2e shape.  Pad rays park
+    # far away pointing +x; their outputs are sliced off.
+    g_orig = g
+    mult = w_cap // LANES
+    pad_rows = (-g) % mult
+    if pad_rows:
+        def pad(a, fill):
+            return jnp.concatenate(
+                [a, jnp.full((pad_rows, LANES), fill, a.dtype)])
+        ox, oy, oz = pad(ox, 3e18), pad(oy, 3e18), pad(oz, 3e18)
+        dx, dy, dz = pad(dx, 1.0), pad(dy, 0.0), pad(dz, 0.0)
+        tm = pad(tm, 0.0)
+        g += pad_rows
     w = LANES
     while w < w_cap and g % 2 == 0 and g >= 2:
         w *= 2
@@ -836,12 +858,10 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
             scratch_shapes=scratch,
             interpret=interpret,
         )(tbl, cbox, clbox, ox, oy, oz, dx, dy, dz, tm)
-        g0 = ox.size // LANES
-        return tuple(o.reshape(g0, LANES) for o in outs)
+        return tuple(o.reshape(-1, LANES)[:g_orig] for o in outs)
     kernel = functools.partial(
         _kernel, plan=plan, n_prims=n_prims, t_min=t_min,
-        has_motion=has_motion, rg=rg, w=w,
-        skip=bool(os.environ.get("RT_AP_STATIC_SKIP")))
+        has_motion=has_motion, rg=rg, w=w, skip=static_skip)
     scratch = [pltpu.VMEM((rg, w), f32), pltpu.VMEM((rg, w), f32)]
     outs = pl.pallas_call(
         kernel,
@@ -853,5 +873,4 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
         scratch_shapes=scratch,
         interpret=interpret,
     )(tbl, cbox, ox, oy, oz, dx, dy, dz, tm)
-    g0 = ox.size // LANES
-    return tuple(o.reshape(g0, LANES) for o in outs)
+    return tuple(o.reshape(-1, LANES)[:g_orig] for o in outs)

@@ -544,6 +544,19 @@ def pallas_volume_crossings_bcast(vtbl, cbox, ox, oy, oz, dx, dy, dz,
     while w_cap > LANES and (tbl_vmem
                              + BCAST_CHUNK * w_cap * 4 * 24) > 14_000_000:
         w_cap //= 2
+    # pad the row count to the relabel multiple (an odd G pins W at 128
+    # — the pawn e2e shape, 2813 rows; see allpairs_kernel.py): pad
+    # rays park far away pointing +x and their outputs are sliced off
+    g_orig = g
+    pad_rows = (-g) % (w_cap // LANES)
+    if pad_rows:
+        def _pad(a, fill):
+            return jnp.concatenate(
+                [a, jnp.full((pad_rows, LANES), fill, a.dtype)])
+        ox, oy, oz = _pad(ox, 3e18), _pad(oy, 3e18), _pad(oz, 3e18)
+        dx, dy, dz = _pad(dx, 1.0), _pad(dy, 0.0), _pad(dz, 0.0)
+        tm = _pad(tm, 0.0)
+        g += pad_rows
     w = LANES
     while w < w_cap and g % 2 == 0 and g >= 2:
         w *= 2
@@ -571,8 +584,7 @@ def pallas_volume_crossings_bcast(vtbl, cbox, ox, oy, oz, dx, dy, dz,
         out_shape=out_shape,
         interpret=interpret,
     )(vtbl, cbox, sbox, ox, oy, oz, dx, dy, dz, tm)
-    g0 = ox.size // LANES
-    return [o.reshape(g0, LANES) for o in outs]
+    return [o.reshape(-1, LANES)[:g_orig] for o in outs]
 
 
 @functools.partial(
