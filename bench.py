@@ -69,7 +69,12 @@ def main():
     # no-RR number (the reference's exact estimator) is also reported.
     from raytrace_tpu.render.render import render_accumulate
 
-    fwd_spp = 64
+    # time the forward at the metric's OWN spp (200): the per-launch
+    # drain tail (long-path lanes finishing last) amortizes over the
+    # sample count, and a 64-spp probe under-reports the 200-spp
+    # config's true rate by ~25% (97 vs 122 M measured round 5) —
+    # consistent with tools/bench_scenes.py's end-to-end cornell row
+    fwd_spp = SPP
 
     def time_fwd(s):
         acc, _ = render_accumulate(scene, s, spp=fwd_spp, spp_chunk=fwd_spp)
