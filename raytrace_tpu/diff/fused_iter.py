@@ -79,7 +79,8 @@ def fused_iter_eligible(scene, s, lanes: int,
         return False
     from .lane_replay import replay_pre_eligible
     return (bounce_kernel_eligible(scene, s, lanes, interpret=interpret,
-                                   defer_rich=need_replay)
+                                   defer_rich=need_replay,
+                                   forward_only=not need_replay)
             and (not need_replay or replay_pre_eligible(scene))
             and lanes % 128 == 0
             and background_kind(s) is not None

@@ -626,11 +626,21 @@ def pallas_eligible(scene: Scene, n_rays: int,
 # 4096-lane block consensus once bounce rays dominate.  At small scenes
 # the megakernel's fused shade still wins (Cornell ~80x).
 MEGA_MAX_PRIMS = 8192
+# FORWARD-only cap (round 5): after the static chunk skip + W-relabel
+# lane padding, the split path (all-pairs intersect + fused shade)
+# beats the megakernel's embedded 4096-lane-consensus intersect far
+# below MEGA_MAX_PRIMS — bunny (4,992 tris) e2e measured 2.75 s split
+# vs 9.92 s mega.  The DIFF driver keeps MEGA_MAX_PRIMS: its split
+# alternative pays per-iteration XLA shade glue and loses (2.17 vs
+# 2.63 M on bunny).  Env-tunable for A/B.
+MEGA_MAX_PRIMS_FWD = int(__import__("os").environ.get(
+    "RT_MEGA_MAX_PRIMS_FWD", "512"))
 
 
 def bounce_kernel_eligible(scene: Scene, s: CameraSettings,
                            n_rays: int, interpret: bool = False,
-                           defer_rich: bool = False) -> bool:
+                           defer_rich: bool = False,
+                           forward_only: bool = False) -> bool:
     """Static check for the full-bounce megakernel: dense scene, no
     volumes, only constant/checker textures, few targets and few
     material *behaviors* (constant-color materials collapse to one
@@ -645,7 +655,11 @@ def bounce_kernel_eligible(scene: Scene, s: CameraSettings,
     import os
     if os.environ.get("RT_NO_MEGA"):
         return False
-    if scene.prims.kind.shape[0] > MEGA_MAX_PRIMS \
+    # env read per-call so tests/A-B runs can re-pin the forward cap
+    cap = int(os.environ.get("RT_MEGA_MAX_PRIMS_FWD",
+                             str(MEGA_MAX_PRIMS_FWD))) \
+        if forward_only else MEGA_MAX_PRIMS
+    if scene.prims.kind.shape[0] > cap \
             and not os.environ.get("RT_FORCE_MEGA"):
         return False
     from ..textures.textures import TEX_CHECKER, TEX_CONSTANT
@@ -783,7 +797,8 @@ def trace(scene: Scene, s: CameraSettings, o, d, time, keys,
     r = o.shape[0]
     n_u = n_bounce_uniforms(scene)
     use_pallas = pallas_eligible(scene, r) and scene.bvh is None
-    use_mega = (not differentiable) and bounce_kernel_eligible(scene, s, r)
+    use_mega = (not differentiable) and bounce_kernel_eligible(
+        scene, s, r, forward_only=True)
 
     def body(state):
         depth, o, d, radiance, throughput, alive, time = state
@@ -845,7 +860,7 @@ def trace_wavefront(scene: Scene, s: CameraSettings, base_key, n_pix: int,
         acc = jnp.zeros((n_pix, 3), DTYPE)
     lanes = min(n_lanes, -(-total_work // 128) * 128)
     use_pallas = pallas_eligible(scene, lanes)
-    use_mega = bounce_kernel_eligible(scene, s, lanes)
+    use_mega = bounce_kernel_eligible(scene, s, lanes, forward_only=True)
 
     # State is fully SoA: 1-D lane arrays only ([R, 3] carries tile
     # catastrophically on TPU — minor dim 3 in an (8, 128) tile).
@@ -1014,7 +1029,7 @@ def trace_wavefront_stationary(scene: Scene, s: CameraSettings, base_key,
     if acc is None:
         acc = jnp.zeros((n_pix, 3), DTYPE)
     use_pallas = pallas_eligible(scene, lanes)
-    use_mega = bounce_kernel_eligible(scene, s, lanes)
+    use_mega = bounce_kernel_eligible(scene, s, lanes, forward_only=True)
     last_sample = sample_offset + spp - 1
 
     # Tile-order the pixel<->lane map when this launch covers the full
@@ -1282,7 +1297,7 @@ def trace_wavefront_sorted(scene: Scene, s: CameraSettings, base_key,
     if acc is None:
         acc = jnp.zeros((n_pix, 3), DTYPE)
     use_pallas = pallas_eligible(scene, lanes)
-    use_mega = bounce_kernel_eligible(scene, s, lanes)
+    use_mega = bounce_kernel_eligible(scene, s, lanes, forward_only=True)
     total_work = n_pix * spp
 
     # loose scene bbox for origin quantization (traced once per compile)
@@ -1529,7 +1544,7 @@ def lane_cost_estimate(scene: Scene, s: CameraSettings, base_key,
     n_u = n_bounce_uniforms(scene)
     frame = camera_frame(s)
     use_pallas = pallas_eligible(scene, lanes) and scene.bvh is None
-    use_mega = bounce_kernel_eligible(scene, s, lanes)
+    use_mega = bounce_kernel_eligible(scene, s, lanes, forward_only=True)
     last = sample_offset + spp_est - 1
 
     def body(st):

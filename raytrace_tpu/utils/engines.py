@@ -56,7 +56,10 @@ def engine_report(scene, s, *, n_pix: int | None = None,
         lanes = -(-n_pix // LANE_ALIGN) * LANE_ALIGN
     n_prims = scene.prims.kind.shape[0]
     use_pallas = pallas_eligible(scene, lanes, interpret=interpret)
-    use_mega = bounce_kernel_eligible(scene, s, lanes, interpret=interpret)
+    # forward drivers cap the megakernel at MEGA_MAX_PRIMS_FWD (the
+    # split path wins well below the diff cap since round 5)
+    use_mega = bounce_kernel_eligible(scene, s, lanes, interpret=interpret,
+                                      forward_only=not diff)
 
     # ---- driver (render/render.py:_stationary_fn) ----
     if diff:

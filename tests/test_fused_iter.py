@@ -166,17 +166,21 @@ def test_fused_iter_forward_stationary_driver(cornell):
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=2e-3)
 
 
-def test_fused_iter_vmem_table_variant():
+def test_fused_iter_vmem_table_variant(monkeypatch):
     """Scenes past MAX_SMEM_PRIMS (primitive table whole in VMEM) must
     take the fused stationary driver and agree with the XLA path
     statistically (same RNG stream; ulp-level transcendental
-    differences only — cf. the stationary test above)."""
+    differences only — cf. the stationary test above).  The forward
+    driver caps the megakernel at MEGA_MAX_PRIMS_FWD since round 5
+    (the split path wins at mesh scale), so pin the cap up to keep
+    covering the VMEM-table kernel variant the DIFF path still uses."""
     from test_lane_replay import _scene_mesh
     from raytrace_tpu.ops.pallas.intersect_kernel import MAX_SMEM_PRIMS
     from raytrace_tpu.render.camera import CameraSettings, sky
     from raytrace_tpu.render.integrator import trace_wavefront_stationary
     import jax.numpy as jnp2
 
+    monkeypatch.setenv("RT_MEGA_MAX_PRIMS_FWD", "8192")
     scene = _scene_mesh(n_grid=18)        # 648 tris + extras > 512 rows
     assert scene.prims.kind.shape[0] > MAX_SMEM_PRIMS
     s = CameraSettings(center=jnp2.asarray([0.0, 2.0, 8.0]),
