@@ -61,18 +61,19 @@ MAX_PRIMS = int(os.environ.get("RT_AP_MAX", "65536"))
 _SKIP_ATTRS = bool(os.environ.get("RT_AP_SKIP_ATTRS"))   # profiling only
 
 
-def chunk_plan(segments, n_prims: int):
+def chunk_plan(segments, n_prims: int, chunk: int | None = None):
     """Static (kind, row0, length) chunks from compile_scene's
     kind_segments (cluster units).  Rows within a segment are split into
-    <= CHUNK pieces; segment rows are CLUSTER-aligned so every length is
-    a sublane multiple."""
+    <= ``chunk`` (default CHUNK) pieces; segment rows are CLUSTER-aligned
+    so every length is a sublane multiple."""
+    chunk = CHUNK if chunk is None else chunk
     plan = []
     for gkind, k0, k1 in segments:
         row0 = k0 * CLUSTER
         row1 = min(k1 * CLUSTER, n_prims)
         p = row0
         while p < row1:
-            ln = min(CHUNK, row1 - p)
+            ln = min(chunk, row1 - p)
             plan.append((int(gkind), p, ln))
             p += ln
     return tuple(plan)
@@ -764,10 +765,20 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
         # round 5: pawn e2e 8.49 -> 7.83 s, demo2 5.81 -> 5.12 s (the
         # round-4 "+1.5 ms/iter" measurement predates the W-relabel lane
         # padding).  RT_AP_NO_STATIC_SKIP=1 restores the full sweep.
+        # RT_AP_STATIC_CHUNK re-chunks the skip plan at a finer
+        # granularity for A/B runs — measured LOSING at 128/64 rows on
+        # both pawn (7.83 -> 7.89/8.38 s) and demo2 (5.14 -> 5.75/7.04
+        # s): these scenes' visited fraction at 512-lane-row consensus
+        # is already high, so tighter boxes only add cond tax.
         static_skip = (ctbl is not None
                        and not os.environ.get("RT_AP_NO_STATIC_SKIP"))
-        cbox = chunk_boxes(ctbl, plan) if static_skip \
-            else jnp.zeros((1, 8), jnp.float32)
+        if static_skip:
+            sc = int(os.environ.get("RT_AP_STATIC_CHUNK", str(CHUNK)))
+            if sc != CHUNK:
+                plan = chunk_plan(segments, n_prims, chunk=sc)
+            cbox = chunk_boxes(ctbl, plan)
+        else:
+            cbox = jnp.zeros((1, 8), jnp.float32)
     # second consensus level inside visited chunks (dyn kernel): 64-prim
     # sub-cluster AABB conds (pack_clusters granularity) — visited
     # chunks usually need only a few of their 8 sub-sweeps (bigmesh
