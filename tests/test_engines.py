@@ -117,3 +117,17 @@ def test_report_tracks_no_fused_env(monkeypatch):
     scene = _cornell_like()
     rep = engine_report(scene, _CAM, interpret=True)
     assert rep["forward"] == "bounce-megakernel"
+
+
+def test_forward_cap_splits_forward_and_diff_engines():
+    """Round 5: forward drivers cap the megakernel at MEGA_MAX_PRIMS_FWD
+    (the split path wins at mesh scale — bunny 2.75 vs 9.92 s) while the
+    diff driver keeps the megakernel up to MEGA_MAX_PRIMS."""
+    scene = _mesh_scene(n=700)           # > 512 rows after padding
+    assert scene.prims.kind.shape[0] > 512
+    rep_f = engine_report(scene, _CAM, interpret=True)
+    assert rep_f["forward"] in ("fused-shade", "xla-split")
+    assert rep_f["intersect"] in ("allpairs-dynamic", "pallas-clustered")
+    rep_d = engine_report(scene, _CAM, diff=True, interpret=True)
+    assert rep_d["forward"] == "fused-iter-megakernel"
+    assert rep_d["backward"] == "fused-regen-pre"
