@@ -1,8 +1,9 @@
 """Mesh-scale differentiable rendering rate: fwd+bwd rays/s on the
 4,968-tri bunny.  Default path (round 5): fused-iteration forward +
-pre-gathered regen backward (diff/fused_iter.py) — measured 3.99 M
-fwd+bwd rays/s vs 2.71 M generic XLA replay (--generic) and 1.78 M for
-the deleted round-4 self-gathering kernel.
+pre-gathered regen backward (diff/fused_iter.py) + two-phase completion
+— measured 5.3-5.4 M fwd+bwd rays/s (group consensus at 48 clusters,
+schedule sweep) vs 2.71 M generic XLA replay (--generic) and 1.78 M
+for the deleted round-4 self-gathering kernel.
 
 Usage: python tools/prof_bunny_grad.py [--generic]
 """
@@ -31,7 +32,10 @@ def main():
                          "pre-round-4 mesh-scale path) for the A/B")
     ap.add_argument("--lanes", type=int, default=1 << 17)
     ap.add_argument("--spp", type=int, default=16)
-    ap.add_argument("--iters", type=int, default=110)
+    # two-phase completion: 50 full-width + compacted tail phases keeps
+    # frac = 1.0 with ~2x margin (round-5 sweep: 46+3-phase measured
+    # 5.44 M, 50+2-phase 5.34 M, unscheduled n_iters=110 4.69 M)
+    ap.add_argument("--iters", type=int, default=50)
     args = ap.parse_args()
 
     if args.generic:
@@ -60,11 +64,13 @@ def main():
     pix = jnp.arange(args.lanes, dtype=jnp.int32) % n_pix
     target = jnp.zeros((args.lanes, 3), jnp.float32)
     vg = jax.jit(jax.value_and_grad(render_loss_wavefront, has_aux=True),
-                 static_argnames=("spp", "n_iters", "remat"))
+                 static_argnames=("spp", "n_iters", "remat", "schedule"))
+    schedule = ((30, 1 << 15), (70, 1 << 13)) if args.iters <= 64 else None
 
     def go(seed):
         return vg(params, statics, settings, rng.base_key(seed), pix,
-                  target, spp=args.spp, n_iters=args.iters, remat=False)
+                  target, spp=args.spp, n_iters=args.iters, remat=False,
+                  schedule=schedule)
 
     (l, f), g = go(0)
     jax.block_until_ready((l, g))
