@@ -101,7 +101,9 @@ def fused_iter_step(scene, s, base_key, spp: int, sample_offset: int,
         N_U, pack_behaviors, pack_materials, pack_targets,
     )
     from ..ops.pallas.intersect_kernel import pack_clusters, pack_prims
-    from ..ops.pallas.iter_kernel import iter_megakernel, pack_cam, pack_kt
+    from ..ops.pallas.iter_kernel import (
+        iter_megakernel, pack_cam, pack_kt, resolve_use_ap,
+    )
     from ..render.integrator import _n_scan_prims, n_bounce_uniforms
     from ..textures.textures import TEX_CHECKER, TEX_CONSTANT
     from .lane_replay import replay_bwd_soa
@@ -160,6 +162,9 @@ def fused_iter_step(scene, s, base_key, spp: int, sample_offset: int,
                             s.redirect_v)
         return ptbl, ctbl, mtbl, ttbl, n_mats, use_beh
 
+    use_ap = resolve_use_ap(_n_scan_prims(scene.prims),
+                            scene.prims.kind_segments)
+
     def run_fwd(params, statics_f, s_in, kt_in, pix2, *carry):
         scene_r = rebuild(params, statics_f)
         ptbl, ctbl, mtbl, ttbl, n_mats, use_beh = kernel_tables(scene_r)
@@ -173,7 +178,8 @@ def fused_iter_step(scene, s, base_key, spp: int, sample_offset: int,
             segments=scene_r.prims.kind_segments,
             kinds=scene_r.prims.kinds_present, n_u=n_u,
             rr_depth=rr_depth, max_depth=max_depth, width=width,
-            bg_kind=bg_kind, with_uv=has_rich, interpret=interpret)
+            bg_kind=bg_kind, with_uv=has_rich, use_ap=use_ap,
+            interpret=interpret)
         # carry2 = (smp, dep, al, comps(7), rad(3), thr(3)) + died_f;
         # residuals = (idx, rr_scale); rich scenes append (uu, vv, idx)
         # outputs for the deferred texel multiply in step()
@@ -569,7 +575,9 @@ def fused_iter_fwd_step(scene, s, base_key, spp: int, sample_offset: int,
         pack_behaviors, pack_materials, pack_targets,
     )
     from ..ops.pallas.intersect_kernel import pack_clusters, pack_prims
-    from ..ops.pallas.iter_kernel import iter_megakernel, pack_cam, pack_kt
+    from ..ops.pallas.iter_kernel import (
+        iter_megakernel, pack_cam, pack_kt, resolve_use_ap,
+    )
     from ..render.integrator import _n_scan_prims, n_bounce_uniforms
     from ..textures.textures import TEX_CONSTANT
 
@@ -599,6 +607,8 @@ def fused_iter_fwd_step(scene, s, base_key, spp: int, sample_offset: int,
     ttbl = pack_targets(s.redirect_prob, s.redirect_q, s.redirect_u,
                         s.redirect_v)
     cam = pack_cam(s, camera_frame(s), bg_color)
+    use_ap = resolve_use_ap(_n_scan_prims(scene.prims),
+                            scene.prims.kind_segments)
 
     def step(pix2, carry):
         outs = iter_megakernel(
@@ -610,7 +620,7 @@ def fused_iter_fwd_step(scene, s, base_key, spp: int, sample_offset: int,
             segments=scene.prims.kind_segments,
             kinds=scene.prims.kinds_present, n_u=n_u, rr_depth=rr_depth,
             max_depth=int(s.max_depth), width=int(s.image_width),
-            bg_kind=bg_kind, interpret=interpret)
+            bg_kind=bg_kind, use_ap=use_ap, interpret=interpret)
         carry2 = ((outs[14], outs[15], outs[13]) + tuple(outs[0:7])
                   + tuple(outs[7:10]) + tuple(outs[10:13]))
         return carry2, tuple(outs[7:10]), outs[16]

@@ -504,6 +504,168 @@ def broadcast_cand(col, gkind, ox, oy, oz, dx, dy, dz, tm, inv,
     return out
 
 
+def row_phases(tbl_ref, cbox_ref, clbox_ref, ox, oy, oz, dx, dy, dz, tm,
+               *, seg_plan, t_min: float, has_motion: bool,
+               subc: bool, stream: bool = False, scratch=()):
+    """Phases 1+2 of the dynamic all-pairs sweep for ONE ray row.
+
+    ``ox..tm`` are [1, W] values; returns ``(bt, bi, gt)`` — the row's
+    best t / winner index ([1, W]) and the winner's gathered table
+    columns ([n_cols, W], every packed column).  Shared by the
+    standalone dynamic kernel (:func:`_dyn_kernel`) and the fused
+    iteration megakernel's mesh-scale intersect stage
+    (ops/pallas/iter_kernel.py) — per-(chunk, row) AABB skipping plus
+    the 64-prim sub-cluster consensus level when ``subc``."""
+    inf = jnp.float32(jnp.inf)
+    tmn = jnp.float32(t_min)
+    w = ox.shape[1]
+    safe = lambda dd: jnp.where(jnp.abs(dd) < 1e-20,
+                                jnp.where(dd < 0, -1e-20, 1e-20), dd)
+    ivx, ivy, ivz = 1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz)
+
+    bt0 = jnp.full((1, w), inf, jnp.float32)
+    bi0 = jnp.full((1, w), -1.0, jnp.float32)
+
+    if stream:
+        # HBM table: pull the chunk into VMEM scratch on demand.
+        # ~0.3 us transfer + ~1 us latency per visited (row, chunk)
+        # vs the ~8 us [CHUNK, W] sweep it feeds.
+        sc_ref, sem = scratch
+
+        def fetch(p0):
+            dma = pltpu.make_async_copy(
+                tbl_ref.at[pl.ds(p0, CHUNK), :], sc_ref, sem)
+            dma.start()
+            dma.wait()
+
+        def cols(p0):
+            return lambda c: sc_ref[:, pl.ds(c, 1)]
+
+        def cols_sub(p0, s):
+            return lambda c: sc_ref[pl.ds(s * CLUSTER, CLUSTER),
+                                    pl.ds(c, 1)]
+    else:
+        def fetch(p0):
+            pass
+
+        def cols(p0):
+            return lambda c: tbl_ref[pl.ds(p0, CHUNK), pl.ds(c, 1)]
+
+        def cols_sub(p0, s):
+            return lambda c: tbl_ref[pl.ds(p0 + s * CLUSTER, CLUSTER),
+                                     pl.ds(c, 1)]
+
+    def cand_for(gkind, p0):
+        return broadcast_cand(
+            cols(p0), gkind, ox, oy, oz, dx, dy, dz, tm,
+            (ivx, ivy, ivz), tmn, has_motion)
+
+    def slab_of(box_ref, k, bt):
+        t0x = (box_ref[k, 0] - ox) * ivx
+        t1x = (box_ref[k, 3] - ox) * ivx
+        t0y = (box_ref[k, 1] - oy) * ivy
+        t1y = (box_ref[k, 4] - oy) * ivy
+        t0z = (box_ref[k, 2] - oz) * ivz
+        t1z = (box_ref[k, 5] - oz) * ivz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), tmn))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.minimum(jnp.maximum(t0z, t1z), bt))
+        return tn, tf
+
+    def merge_best(t_c, base_f, ln, bt, bi):
+        piota = (base_f + jax.lax.broadcasted_iota(
+            jnp.int32, (ln, 1), 0).astype(jnp.float32))
+        tmin = jnp.min(t_c, axis=0, keepdims=True)
+        pi = jnp.min(jnp.where(t_c == tmin, piota, inf),
+                     axis=0, keepdims=True)
+        better = tmin < bt
+        return (jnp.where(better, tmin, bt),
+                jnp.where(better,
+                          jnp.where(tmin < inf, pi, -1.0), bi))
+
+    # ---- phase 1 ----
+    carry = (bt0, bi0)
+    for gkind, row0, row1, n_chunks, cbase in seg_plan:
+        def chunk_body(k, c2, gkind=gkind, row0=row0, cbase=cbase):
+            bt, bi = c2
+            p0 = row0 + k * CHUNK
+            cb = cbase + k
+            tn, tf = slab_of(cbox_ref, cb, bt)
+
+            def eval_chunk(c3):
+                bt, bi = c3
+                fetch(p0)
+                if not subc:
+                    t_c = cand_for(gkind, p0)          # [CHUNK, W]
+                    return merge_best(t_c, p0.astype(jnp.float32),
+                                      CHUNK, bt, bi)
+                # second consensus level: 64-prim sub-clusters
+                # (pack_clusters granularity) — a visited chunk
+                # usually needs only a few of its 8 sub-sweeps, and
+                # the tighter AABBs reject what the chunk box can't
+                for s in range(CHUNK // CLUSTER):
+                    kcl = p0 // CLUSTER + s
+
+                    def eval_sub(c4, s=s):
+                        bt, bi = c4
+                        t_c = broadcast_cand(
+                            cols_sub(p0, s), gkind, ox, oy, oz,
+                            dx, dy, dz, tm, (ivx, ivy, ivz), tmn,
+                            has_motion)                # [64, W]
+                        base_f = (p0 + s * CLUSTER) \
+                            .astype(jnp.float32)
+                        return merge_best(t_c, base_f, CLUSTER,
+                                          bt, bi)
+
+                    tn_s, tf_s = slab_of(clbox_ref, kcl, c3[0])
+                    c3 = jax.lax.cond(jnp.any(tn_s <= tf_s),
+                                      eval_sub, lambda c4: c4, c3)
+                return c3
+
+            return jax.lax.cond(jnp.any(tn <= tf), eval_chunk,
+                                lambda c3: c3, c2)
+        carry = jax.lax.fori_loop(0, n_chunks, chunk_body, carry)
+    bt, bi = carry
+
+    # ---- phase 2: winner one-hot gather, winner chunks only ----
+    gt = jnp.zeros((N_COLS, w), jnp.float32)
+    for gkind, row0, row1, n_chunks, cbase in seg_plan:
+        row1f = jnp.float32(row1)
+
+        def chunk2(k, gt, row0=row0, row1f=row1f):
+            p0 = row0 + k * CHUNK
+            p0f = p0.astype(jnp.float32)
+            in_c = (bi >= p0f) & (bi < jnp.minimum(p0f + CHUNK, row1f))
+
+            def add(gt):
+                fetch(p0)
+                piota = (p0f + jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK, 1), 0).astype(jnp.float32))
+                # clamp to the segment: overrun rows belong to the
+                # NEXT segment's chunks (no double gather)
+                oh = ((piota == bi)
+                      & (piota < row1f)).astype(jnp.float32)
+                # streamed scratch is [CHUNK, 128]; slice the RESULT
+                # to N_COLS (a 36-wide lane slice of the operand is
+                # not tile-aligned)
+                rows = scratch[0][...] if stream \
+                    else tbl_ref[pl.ds(p0, CHUNK), :]
+                g_c = jax.lax.dot_general(
+                    rows, oh, (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                if stream:
+                    g_c = g_c[:N_COLS]
+                return gt + g_c
+
+            return jax.lax.cond(jnp.any(in_c), add, lambda x: x, gt)
+        gt = jax.lax.fori_loop(0, n_chunks, chunk2, gt)
+    return bt, bi, gt
+
+
 def _dyn_kernel(tbl_ref, cbox_ref, clbox_ref, ox_ref, oy_ref, oz_ref,
                 dx_ref, dy_ref, dz_ref, tm_ref, t_out, i_out, nx_out,
                 ny_out, nz_out, fr_out, u_out, v_out, m_out, *scratch,
@@ -527,159 +689,17 @@ def _dyn_kernel(tbl_ref, cbox_ref, clbox_ref, ox_ref, oy_ref, oz_ref,
     an overrun region are never double-gathered.
     """
     inf = jnp.float32(jnp.inf)
-    tmn = jnp.float32(t_min)
 
     def row_body(g, _):
         ox, oy, oz = _row(ox_ref, g), _row(oy_ref, g), _row(oz_ref, g)
         dx, dy, dz = _row(dx_ref, g), _row(dy_ref, g), _row(dz_ref, g)
         tm = _row(tm_ref, g) if has_motion else None
-        safe = lambda dd: jnp.where(jnp.abs(dd) < 1e-20,
-                                    jnp.where(dd < 0, -1e-20, 1e-20), dd)
-        ivx, ivy, ivz = 1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz)
 
-        bt0 = jnp.full((1, w), inf, jnp.float32)
-        bi0 = jnp.full((1, w), -1.0, jnp.float32)
-
-        if stream:
-            # HBM table: pull the chunk into VMEM scratch on demand.
-            # ~0.3 us transfer + ~1 us latency per visited (row, chunk)
-            # vs the ~8 us [CHUNK, W] sweep it feeds.
-            sc_ref, sem = scratch
-
-            def fetch(p0):
-                dma = pltpu.make_async_copy(
-                    tbl_ref.at[pl.ds(p0, CHUNK), :], sc_ref, sem)
-                dma.start()
-                dma.wait()
-
-            def cols(p0):
-                return lambda c: sc_ref[:, pl.ds(c, 1)]
-
-            def cols_sub(p0, s):
-                return lambda c: sc_ref[pl.ds(s * CLUSTER, CLUSTER),
-                                        pl.ds(c, 1)]
-        else:
-            def fetch(p0):
-                pass
-
-            def cols(p0):
-                return lambda c: tbl_ref[pl.ds(p0, CHUNK), pl.ds(c, 1)]
-
-            def cols_sub(p0, s):
-                return lambda c: tbl_ref[pl.ds(p0 + s * CLUSTER, CLUSTER),
-                                         pl.ds(c, 1)]
-
-        def cand_for(gkind, p0):
-            return broadcast_cand(
-                cols(p0), gkind, ox, oy, oz, dx, dy, dz, tm,
-                (ivx, ivy, ivz), tmn, has_motion)
-
-        def slab_of(box_ref, k, bt):
-            t0x = (box_ref[k, 0] - ox) * ivx
-            t1x = (box_ref[k, 3] - ox) * ivx
-            t0y = (box_ref[k, 1] - oy) * ivy
-            t1y = (box_ref[k, 4] - oy) * ivy
-            t0z = (box_ref[k, 2] - oz) * ivz
-            t1z = (box_ref[k, 5] - oz) * ivz
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                         jnp.minimum(t0y, t1y)),
-                             jnp.maximum(jnp.minimum(t0z, t1z), tmn))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                         jnp.maximum(t0y, t1y)),
-                             jnp.minimum(jnp.maximum(t0z, t1z), bt))
-            return tn, tf
-
-        def merge_best(t_c, base_f, ln, bt, bi):
-            piota = (base_f + jax.lax.broadcasted_iota(
-                jnp.int32, (ln, 1), 0).astype(jnp.float32))
-            tmin = jnp.min(t_c, axis=0, keepdims=True)
-            pi = jnp.min(jnp.where(t_c == tmin, piota, inf),
-                         axis=0, keepdims=True)
-            better = tmin < bt
-            return (jnp.where(better, tmin, bt),
-                    jnp.where(better,
-                              jnp.where(tmin < inf, pi, -1.0), bi))
-
-        # ---- phase 1 ----
-        carry = (bt0, bi0)
-        for gkind, row0, row1, n_chunks, cbase in seg_plan:
-            def chunk_body(k, c2, gkind=gkind, row0=row0, cbase=cbase):
-                bt, bi = c2
-                p0 = row0 + k * CHUNK
-                cb = cbase + k
-                tn, tf = slab_of(cbox_ref, cb, bt)
-
-                def eval_chunk(c3):
-                    bt, bi = c3
-                    fetch(p0)
-                    if not subc:
-                        t_c = cand_for(gkind, p0)          # [CHUNK, W]
-                        return merge_best(t_c, p0.astype(jnp.float32),
-                                          CHUNK, bt, bi)
-                    # second consensus level: 64-prim sub-clusters
-                    # (pack_clusters granularity) — a visited chunk
-                    # usually needs only a few of its 8 sub-sweeps, and
-                    # the tighter AABBs reject what the chunk box can't
-                    for s in range(CHUNK // CLUSTER):
-                        kcl = p0 // CLUSTER + s
-
-                        def eval_sub(c4, s=s):
-                            bt, bi = c4
-                            t_c = broadcast_cand(
-                                cols_sub(p0, s), gkind, ox, oy, oz,
-                                dx, dy, dz, tm, (ivx, ivy, ivz), tmn,
-                                has_motion)                # [64, W]
-                            base_f = (p0 + s * CLUSTER) \
-                                .astype(jnp.float32)
-                            return merge_best(t_c, base_f, CLUSTER,
-                                              bt, bi)
-
-                        tn_s, tf_s = slab_of(clbox_ref, kcl, c3[0])
-                        c3 = jax.lax.cond(jnp.any(tn_s <= tf_s),
-                                          eval_sub, lambda c4: c4, c3)
-                    return c3
-
-                return jax.lax.cond(jnp.any(tn <= tf), eval_chunk,
-                                    lambda c3: c3, c2)
-            carry = jax.lax.fori_loop(0, n_chunks, chunk_body, carry)
-        bt, bi = carry
+        bt, bi, gt = row_phases(
+            tbl_ref, cbox_ref, clbox_ref, ox, oy, oz, dx, dy, dz, tm,
+            seg_plan=seg_plan, t_min=t_min, has_motion=has_motion,
+            subc=subc, stream=stream, scratch=scratch)
         hit = bt < inf
-
-        # ---- phase 2: winner one-hot gather, winner chunks only ----
-        gt0 = jnp.zeros((N_COLS, w), jnp.float32)
-        gt = gt0
-        for gkind, row0, row1, n_chunks, cbase in seg_plan:
-            row1f = jnp.float32(row1)
-
-            def chunk2(k, gt, row0=row0, row1f=row1f):
-                p0 = row0 + k * CHUNK
-                p0f = p0.astype(jnp.float32)
-                in_c = (bi >= p0f) & (bi < jnp.minimum(p0f + CHUNK, row1f))
-
-                def add(gt):
-                    fetch(p0)
-                    piota = (p0f + jax.lax.broadcasted_iota(
-                        jnp.int32, (CHUNK, 1), 0).astype(jnp.float32))
-                    # clamp to the segment: overrun rows belong to the
-                    # NEXT segment's chunks (no double gather)
-                    oh = ((piota == bi)
-                          & (piota < row1f)).astype(jnp.float32)
-                    # streamed scratch is [CHUNK, 128]; slice the RESULT
-                    # to N_COLS (a 36-wide lane slice of the operand is
-                    # not tile-aligned)
-                    rows = scratch[0][...] if stream \
-                        else tbl_ref[pl.ds(p0, CHUNK), :]
-                    g_c = jax.lax.dot_general(
-                        rows, oh, (((0,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-                    if stream:
-                        g_c = g_c[:N_COLS]
-                    return gt + g_c
-
-                return jax.lax.cond(jnp.any(in_c), add, lambda x: x, gt)
-            gt = jax.lax.fori_loop(0, n_chunks, chunk2, gt)
-
         c = lambda j: gt[j:j + 1, :]
         kinds = tuple(sorted({sp[0] for sp in seg_plan}))
         n_x, n_y, n_z, fr, uu, vv, sphf = _winner_attrs(
@@ -706,6 +726,51 @@ def _dyn_kernel(tbl_ref, cbox_ref, clbox_ref, ox_ref, oy_ref, oz_ref,
 # kernel takes over (it also brings per-row chunk skipping, which small
 # mostly-visited tables don't want)
 DYN_MIN_CHUNKS = int(os.environ.get("RT_AP_DYN_CHUNKS", "8"))
+
+
+def dyn_tables(tbl, ctbl, segments, n_prims: int, stream: bool = False):
+    """(padded tbl, cbox, padded clbox, seg_plan) for the dynamic-chunk
+    sweep — shared by :func:`allpairs_nearest_record` and the fused
+    iteration kernel's mesh-scale intersect stage (iter_kernel.py).
+
+    Dynamic chunk slices may overrun the true rows, so the table is
+    padded to each segment's chunk extent with kind = -1 rows (never
+    match); cluster boxes are padded with inverted AABBs (never pass a
+    slab test)."""
+    plan = chunk_plan(segments, n_prims)
+    seg_plan = []
+    cbase = 0
+    rows_needed = tbl.shape[0]
+    for gkind, k0, k1 in segments:
+        row0 = k0 * CLUSTER
+        row1 = min(k1 * CLUSTER, n_prims)
+        n_chunks = -(-(row1 - row0) // CHUNK)
+        seg_plan.append((int(gkind), row0, row1, n_chunks, cbase))
+        cbase += n_chunks
+        # a segment whose start is not CHUNK-aligned reads past the
+        # nominal table end in its last chunk — pad to the true chunk
+        # extent (OOB reads returned garbage rows whose kind column
+        # could alias a real kind)
+        rows_needed = max(rows_needed, row0 + n_chunks * CHUNK)
+    seg_plan = tuple(seg_plan)
+    if rows_needed > tbl.shape[0] or (stream and tbl.shape[1] != 128):
+        # streamed tables also pad the minor dim to 128 (Mosaic HBM
+        # DMA slices must be 128-aligned along lanes)
+        cols = 128 if stream else tbl.shape[1]
+        out = jnp.zeros((rows_needed, cols),
+                        jnp.float32).at[:, 16].set(-1.0)
+        tbl = out.at[:tbl.shape[0], :tbl.shape[1]].set(tbl)
+    cbox = chunk_boxes(ctbl, plan) if ctbl is not None \
+        else jnp.zeros((1, 8), jnp.float32)
+    clbox = ctbl if ctbl is not None else jnp.zeros((1, 8), jnp.float32)
+    need = rows_needed // CLUSTER
+    if ctbl is not None and clbox.shape[0] < need:
+        pad = jnp.zeros((need - clbox.shape[0], clbox.shape[1]),
+                        jnp.float32)
+        # pad clusters: inverted boxes never pass a slab test
+        pad = pad.at[:, 0:3].set(jnp.inf).at[:, 3:6].set(-jnp.inf)
+        clbox = jnp.concatenate([clbox, pad])
+    return tbl, cbox, clbox, seg_plan
 
 
 @functools.partial(
@@ -735,31 +800,8 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
     stream = n_prims > MAX_PRIMS
     dyn = stream or (ctbl is not None and len(plan) >= DYN_MIN_CHUNKS)
     if dyn:
-        cbox = chunk_boxes(ctbl, plan)
-        # pad the table to a CHUNK multiple: dynamic chunk slices may
-        # overrun the true rows; pad rows are kind -1 (never match)
-        seg_plan = []
-        cbase = 0
-        rows_needed = tbl.shape[0]
-        for gkind, k0, k1 in segments:
-            row0 = k0 * CLUSTER
-            row1 = min(k1 * CLUSTER, n_prims)
-            n_chunks = -(-(row1 - row0) // CHUNK)
-            seg_plan.append((int(gkind), row0, row1, n_chunks, cbase))
-            cbase += n_chunks
-            # a segment whose start is not CHUNK-aligned reads past the
-            # nominal table end in its last chunk — pad to the true
-            # chunk extent (OOB reads returned garbage rows whose kind
-            # column could alias a real kind)
-            rows_needed = max(rows_needed, row0 + n_chunks * CHUNK)
-        seg_plan = tuple(seg_plan)
-        if rows_needed > tbl.shape[0] or (stream and tbl.shape[1] != 128):
-            # streamed tables also pad the minor dim to 128 (Mosaic HBM
-            # DMA slices must be 128-aligned along lanes)
-            cols = 128 if stream else tbl.shape[1]
-            out = jnp.zeros((rows_needed, cols),
-                            jnp.float32).at[:, 16].set(-1.0)
-            tbl = out.at[:tbl.shape[0], :tbl.shape[1]].set(tbl)
+        tbl, cbox, clbox, seg_plan = dyn_tables(
+            tbl, ctbl, segments, n_prims, stream=stream)
     else:
         # chunk-AABB row skipping DEFAULT-ON for the static kernel since
         # round 5: pawn e2e 8.49 -> 7.83 s, demo2 5.81 -> 5.12 s (the
@@ -841,15 +883,6 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
         jax.ShapeDtypeStruct((g, w), i32),   # mat
     ]
     if dyn:
-        clbox = ctbl if ctbl is not None \
-            else jnp.zeros((1, 8), jnp.float32)
-        need = rows_needed // CLUSTER
-        if clbox.shape[0] < need:
-            pad = jnp.zeros((need - clbox.shape[0], clbox.shape[1]),
-                            jnp.float32)
-            # pad clusters: inverted boxes never pass a slab test
-            pad = pad.at[:, 0:3].set(jnp.inf).at[:, 3:6].set(-jnp.inf)
-            clbox = jnp.concatenate([clbox, pad])
         kernel = functools.partial(_dyn_kernel, seg_plan=seg_plan,
                                    n_prims=n_prims, t_min=t_min,
                                    has_motion=has_motion, rg=rg, w=w,

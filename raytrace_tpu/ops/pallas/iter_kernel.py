@@ -111,7 +111,7 @@ def _iter_kernel(ptbl, ctbl, gtbl, mtbl, ttbl, cam, kt, *refs,
                  has_motion: bool, use_prim_albedo: bool, has_box: bool,
                  segments, kinds, two_level: bool, n_u: int,
                  rr_depth, max_depth: int, width: int, bg_kind: int,
-                 with_uv: bool = False):
+                 with_uv: bool = False, ap_plan=None):
     (pix, smp, dep, al, ox, oy, oz, dx, dy, dz, tm,
      rr, rg, rb, tr, tg, tb) = refs[:N_LANE_IN]
     (ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tm_o, rr_o, rg_o, rb_o,
@@ -119,6 +119,8 @@ def _iter_kernel(ptbl, ctbl, gtbl, mtbl, ttbl, cam, kt, *refs,
         = refs[N_LANE_IN:N_LANE_IN + 19]
     if with_uv:
         uu_o, vv_o = refs[N_LANE_IN + 19:N_LANE_IN + 21]
+    n_out = 19 + (2 if with_uv else 0)
+    scr = refs[N_LANE_IN + n_out:]
 
     pixv = pix[...]
     smpv = smp[...]
@@ -181,13 +183,73 @@ def _iter_kernel(ptbl, ctbl, gtbl, mtbl, ttbl, cam, kt, *refs,
     boy = jnp.where(alive_pre, oyv, far)
     boz = jnp.where(alive_pre, ozv, far)
 
-    # ---- bounce: shared intersect + shade stages ----
-    hit_res = prim_loop(
-        ptbl, box, boy, boz, dxv, dyv, dzv, tmv if has_motion else None,
-        n_prims=n_prims, t_min=t_min, has_motion=has_motion,
-        ctbl_ref=ctbl, with_albedo=use_prim_albedo, has_box=has_box,
-        segments=segments, kinds=kinds,
-        gtbl_ref=gtbl if two_level else None)
+    # ---- bounce: intersect + shared shade stages ----
+    if ap_plan is not None:
+        # mesh-scale: broadcast all-pairs sweep (prims on sublanes, rays
+        # on lanes; per-row chunk/sub-cluster slab consensus — the split
+        # path's intersect engine, allpairs_kernel.row_phases) instead
+        # of the per-prim clustered loop.  Ray comps round-trip through
+        # VMEM scratch so rows can be ref-sliced; winner attrs come from
+        # the phase-2 one-hot gather.  ctbl carries the CLUSTER boxes,
+        # gtbl the CHUNK boxes here.
+        from .allpairs_kernel import _winner_attrs, row_phases
+        (sox, soy, soz, sdx, sdy, sdz, stm, s_t, s_bi, s_nx, s_ny,
+         s_nz, s_fr, s_uu, s_vv, s_mat, s_sph) = scr[:17]
+        if use_prim_albedo:
+            s_ar, s_ag, s_ab, s_pp = scr[17:21]
+        for ref, v in zip((sox, soy, soz, sdx, sdy, sdz, stm),
+                          (box, boy, boz, dxv, dyv, dzv, tmv)):
+            ref[...] = v
+        inf = jnp.float32(jnp.inf)
+        ap_kinds = tuple(sorted({sp[0] for sp in ap_plan}))
+
+        def rb(g, _):
+            sl = (pl.ds(g, 1), slice(None))
+            ox_r, oy_r, oz_r = sox[sl], soy[sl], soz[sl]
+            dx_r, dy_r, dz_r = sdx[sl], sdy[sl], sdz[sl]
+            tm_r = stm[sl] if has_motion else None
+            bt, bi, gt = row_phases(
+                ptbl, gtbl, ctbl, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
+                tm_r, seg_plan=ap_plan, t_min=t_min,
+                has_motion=has_motion, subc=True, stream=False)
+            c = lambda j: gt[j:j + 1, :]
+            n_x, n_y, n_z, fr, uu2, vv2, sphf = _winner_attrs(
+                c, bt, bt < inf, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
+                tm_r, kinds=ap_kinds, has_motion=has_motion)
+            # prim_loop contract: normal already faces the ray
+            flip = jnp.where(fr > 0.5, 1.0, -1.0)
+            s_t[sl] = bt
+            s_bi[sl] = bi
+            s_nx[sl] = n_x * flip
+            s_ny[sl] = n_y * flip
+            s_nz[sl] = n_z * flip
+            s_fr[sl] = fr
+            s_uu[sl] = uu2
+            s_vv[sl] = vv2
+            s_mat[sl] = c(17)
+            s_sph[sl] = sphf
+            if use_prim_albedo:
+                s_ar[sl] = c(31)
+                s_ag[sl] = c(32)
+                s_ab[sl] = c(33)
+                s_pp[sl] = c(34)
+            return 0
+
+        jax.lax.fori_loop(0, pixv.shape[0], rb, 0)
+        hit_res = (s_t[...], s_bi[...], s_nx[...], s_ny[...], s_nz[...],
+                   s_fr[...], s_uu[...], s_vv[...], s_mat[...],
+                   s_sph[...])
+        if use_prim_albedo:
+            hit_res = hit_res + (s_ar[...], s_ag[...], s_ab[...],
+                                 s_pp[...])
+    else:
+        hit_res = prim_loop(
+            ptbl, box, boy, boz, dxv, dyv, dzv,
+            tmv if has_motion else None,
+            n_prims=n_prims, t_min=t_min, has_motion=has_motion,
+            ctbl_ref=ctbl, with_albedo=use_prim_albedo, has_box=has_box,
+            segments=segments, kinds=kinds,
+            gtbl_ref=gtbl if two_level else None)
     sh = _shade_values(
         hit_res, mtbl, ttbl, box, boy, boz, dxv, dyv, dzv,
         thr_r, thr_g, thr_b, alive_pre, us[:N_U],
@@ -260,13 +322,15 @@ def _iter_kernel(ptbl, ctbl, gtbl, mtbl, ttbl, cam, kt, *refs,
     static_argnames=("n_prims", "n_mats", "n_targets", "t_min",
                      "has_motion", "use_prim_albedo", "has_box",
                      "segments", "kinds", "n_u", "rr_depth", "max_depth",
-                     "width", "bg_kind", "with_uv", "interpret"))
+                     "width", "bg_kind", "with_uv", "use_ap",
+                     "interpret"))
 def iter_megakernel(ptbl, ctbl, mtbl, ttbl, cam, kt, lane_in, *,
                     n_prims: int, n_mats: int, n_targets: int,
                     t_min: float, has_motion: bool, use_prim_albedo: bool,
                     has_box: bool, segments, kinds, n_u: int, rr_depth,
                     max_depth: int, width: int, bg_kind: int,
-                    with_uv: bool = False, interpret: bool = False):
+                    with_uv: bool = False, use_ap=None,
+                    interpret: bool = False):
     """``lane_in``: 17 [G, 128] arrays (pix/smp/dep i32, al f32, comps 7,
     rad 3, thr 3).  Returns the 19 [G, 128] outputs of ``_iter_kernel``
     (comps2 7, rad2 3, thr2 3, alive2, smp2 i32, dep2 i32, died_f,
@@ -277,6 +341,22 @@ def iter_megakernel(ptbl, ctbl, mtbl, ttbl, cam, kt, lane_in, *,
         BLOCK_G_CLUSTERED, CLUSTER, CLUSTER_MIN_PRIMS, GROUP_MIN_CLUSTERS,
         MAX_SMEM_PRIMS, pack_cluster_groups,
     )
+    # mesh-scale intersect stage: broadcast all-pairs sweep inside the
+    # fused kernel (lane state relabeled to W-wide rows) — the same
+    # engine that beats the clustered loop ~3.6x on the forward split
+    # path.  ``use_ap=None`` resolves from RT_ITER_AP_MIN at trace time;
+    # callers that must honor per-call env changes (A/B tests) resolve
+    # it themselves and pass a bool (this function's jit caches on it).
+    if use_ap is None:
+        use_ap = resolve_use_ap(n_prims, segments)
+    if use_ap:
+        return _iter_mega_ap(
+            ptbl, ctbl, mtbl, ttbl, cam, kt, lane_in, n_prims=n_prims,
+            n_mats=n_mats, n_targets=n_targets, t_min=t_min,
+            has_motion=has_motion, use_prim_albedo=use_prim_albedo,
+            has_box=has_box, segments=segments, kinds=kinds, n_u=n_u,
+            rr_depth=rr_depth, max_depth=max_depth, width=width,
+            bg_kind=bg_kind, with_uv=with_uv, interpret=interpret)
     two_level = (n_prims >= CLUSTER_MIN_PRIMS
                  and -(-n_prims // CLUSTER) >= GROUP_MIN_CLUSTERS)
     gtbl = pack_cluster_groups(ctbl) if two_level \
@@ -334,6 +414,106 @@ def iter_megakernel(ptbl, ctbl, mtbl, ttbl, cam, kt, lane_in, *,
         out_shape=out_shape,
         interpret=interpret,
     )(ctbl, gtbl, mtbl, ttbl, cam, kt, ptbl, *lane_in)
+
+
+import os as _os
+
+# prim-count threshold above which the fused iteration kernel swaps its
+# clustered per-prim intersect loop for the broadcast all-pairs sweep
+# (per-W-lane-row chunk + 64-prim sub-cluster slab consensus).  A/B on
+# the bunny (4,992 tris, 2^17 lanes, diff wavefront) — see ROADMAP.
+# Bunny A/B (4,992 tris, 2^17 lanes, diff wavefront, v5e): clustered
+# loop 5.25 M fwd+bwd -> ap 7.17 at W=512 -> 7.88 at W=1024 (W=2048
+# trips a Mosaic 'closed_call' lowering bug) -> ~7.98 at 32k-lane
+# blocks; 10.4-10.6 M with the retuned completion schedule
+# (tools/prof_bunny_grad.py).  512 keeps demo1 (exactly 512 rows) and
+# every small scene on the clustered loop.
+ITER_AP_MIN = 512
+ITER_AP_W = int(_os.environ.get("RT_ITER_AP_W", "1024"))
+ITER_AP_BLOCK = int(_os.environ.get("RT_ITER_AP_BLOCK", "32768"))
+
+
+def resolve_use_ap(n_prims: int, segments) -> bool:
+    """Env-resolved (per call) choice of the fused kernel's intersect
+    stage — builders call this OUTSIDE jit so RT_ITER_AP_MIN changes
+    take effect between calls."""
+    ap_min = int(_os.environ.get("RT_ITER_AP_MIN", str(ITER_AP_MIN)))
+    return segments is not None and ap_min < n_prims <= 65536
+
+
+def _iter_mega_ap(ptbl, ctbl, mtbl, ttbl, cam, kt, lane_in, *,
+                  n_prims: int, n_mats: int, n_targets: int, t_min: float,
+                  has_motion: bool, use_prim_albedo: bool, has_box: bool,
+                  segments, kinds, n_u: int, rr_depth, max_depth: int,
+                  width: int, bg_kind: int, with_uv: bool,
+                  interpret: bool):
+    """Mesh-scale fused iteration: same one-kernel body, but the
+    intersect stage is the broadcast all-pairs sweep
+    (allpairs_kernel.row_phases) over lane state relabeled from
+    [G, 128] to W-wide rows (pure relabel; fewer, wider row iterations
+    amortize the per-row slab/cond fixed costs exactly as in the
+    standalone kernel).  The primitive table lives whole in VMEM;
+    CHUNK boxes ride the gtbl slot, CLUSTER boxes the ctbl slot."""
+    from .allpairs_kernel import dyn_tables
+
+    w = ITER_AP_W
+    g = lane_in[0].shape[0]
+    mult = w // LANES
+    pad_rows = (-g) % mult
+    if pad_rows:
+        # pad lanes: dead (al=0), sample budget exhausted (never
+        # regenerate), parked far away; outputs sliced off below
+        fills = ([0, 2 ** 30, 0, 0.0] + [3e18] * 3 + [1.0, 0.0, 0.0]
+                 + [0.0] * 7)
+        lane_in = tuple(
+            jnp.concatenate(
+                [a, jnp.full((pad_rows, LANES), f, a.dtype)])
+            for a, f in zip(lane_in, fills))
+    rows = (g + pad_rows) // mult
+    lane_r = tuple(x.reshape(rows, w) for x in lane_in)
+    tbl, cbox, clbox, seg_plan = dyn_tables(ptbl, ctbl, segments, n_prims)
+
+    rg = min(max(ITER_AP_BLOCK // w, 4), rows)
+    grid = (pl.cdiv(rows, rg),)
+    spec = pl.BlockSpec((rg, w), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)
+    n_out = 19 + (2 if with_uv else 0)
+    out_shape = ([jax.ShapeDtypeStruct((rows, w), jnp.float32)] * 14
+                 + [jax.ShapeDtypeStruct((rows, w), jnp.int32)] * 2
+                 + [jax.ShapeDtypeStruct((rows, w), jnp.float32)]
+                 * (n_out - 16))
+    n_scr = 17 + (4 if use_prim_albedo else 0)
+    scratch = [pltpu.VMEM((rg, w), jnp.float32)] * n_scr
+    kernel = functools.partial(
+        _iter_kernel, n_prims=n_prims, n_mats=n_mats,
+        n_targets=n_targets, t_min=t_min, has_motion=has_motion,
+        use_prim_albedo=use_prim_albedo, has_box=has_box,
+        segments=segments, kinds=kinds, two_level=False, n_u=n_u,
+        rr_depth=rr_depth, max_depth=max_depth, width=width,
+        bg_kind=bg_kind, with_uv=with_uv, ap_plan=seg_plan)
+
+    # VMEM primitive table; small scalar tables prefetched.  Kernel arg
+    # order is (ptbl, ctbl=clbox, gtbl=cbox, mtbl, ttbl, cam, kt, ...).
+    def kernel_vmem(clbox_ref, cbox_ref, mtbl_ref, ttbl_ref, cam_ref,
+                    kt_ref, ptbl_ref, *rest):
+        kernel(ptbl_ref, clbox_ref, cbox_ref, mtbl_ref, ttbl_ref,
+               cam_ref, kt_ref, *rest)
+
+    tbl_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=grid,
+        in_specs=[tbl_spec] + [spec] * N_LANE_IN,
+        out_specs=[spec] * n_out,
+        scratch_shapes=scratch,
+    )
+    outs = pl.pallas_call(
+        kernel_vmem,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(clbox, cbox, mtbl, ttbl, cam, kt, tbl, *lane_r)
+    return tuple(o.reshape(-1, LANES)[:g] for o in outs)
 
 
 def pack_cam(s, frame, bg_color):

@@ -90,7 +90,13 @@ def engine_report(scene, s, *, n_pix: int | None = None,
         forward = "xla-split"
 
     # ---- intersect engine (integrator._surface_hit) ----
-    if forward in ("fused-iter-megakernel", "bounce-megakernel"):
+    if forward == "fused-iter-megakernel":
+        from ..ops.pallas.iter_kernel import resolve_use_ap
+        intersect = ("in-kernel-allpairs"
+                     if resolve_use_ap(_n_scan_prims(scene.prims),
+                                       scene.prims.kind_segments)
+                     else "in-kernel")
+    elif forward == "bounce-megakernel":
         intersect = "in-kernel"
     elif use_pallas:
         from ..ops.pallas.allpairs_kernel import MIN_PRIMS

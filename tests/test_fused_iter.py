@@ -204,6 +204,38 @@ def test_fused_iter_vmem_table_variant(monkeypatch):
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=2e-3)
 
 
+def test_fused_iter_allpairs_stage_matches(monkeypatch):
+    """The mesh-scale broadcast all-pairs intersect stage inside the
+    fused iteration kernel (RT_ITER_AP_MIN) must agree with the
+    clustered per-prim loop — same winner/tie semantics (strict
+    running-min, lowest index), same attrs via the phase-2 one-hot
+    gather."""
+    from test_lane_replay import _scene_mesh
+    from raytrace_tpu.ops.pallas.intersect_kernel import MAX_SMEM_PRIMS
+    from raytrace_tpu.render.camera import CameraSettings, sky
+    from raytrace_tpu.render.integrator import trace_wavefront_stationary
+    import jax.numpy as jnp2
+
+    monkeypatch.setenv("RT_MEGA_MAX_PRIMS_FWD", "8192")
+    scene = _scene_mesh(n_grid=18)        # 648 tris + extras > 512 rows
+    assert scene.prims.kind.shape[0] > MAX_SMEM_PRIMS
+    s = CameraSettings(center=jnp2.asarray([0.0, 2.0, 8.0]),
+                       look_at=jnp2.zeros(3), image_width=32,
+                       aspect_ratio=1.0, max_depth=6, background=sky)
+    n_pix = 32 * 32
+    key = rng.base_key(2)
+    monkeypatch.setenv("RT_ITER_AP_MIN", "512")
+    acc_ap = trace_wavefront_stationary(scene, s, key, n_pix, 2,
+                                        fused_interpret=True)
+    monkeypatch.setenv("RT_ITER_AP_MIN", "100000000")
+    acc_cl = trace_wavefront_stationary(scene, s, key, n_pix, 2,
+                                        fused_interpret=True)
+    a, b = np.asarray(acc_ap), np.asarray(acc_cl)
+    frac_diff = (np.abs(a - b).max(axis=1) > 1e-5).mean()
+    assert frac_diff < 0.02, frac_diff
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=2e-3)
+
+
 # ---------------------------------------------------------------------------
 # Deferred rich-texture albedo (VERDICT r4 weak #5): image/noise scenes
 # stay on the fused-iteration kernel; the texel multiplies into

@@ -1,9 +1,12 @@
 """Mesh-scale differentiable rendering rate: fwd+bwd rays/s on the
-4,968-tri bunny.  Default path (round 5): fused-iteration forward +
+4,968-tri bunny.  Default path (round 5): fused-iteration forward with
+the in-kernel broadcast all-pairs intersect stage (RT_ITER_AP_MIN) +
 pre-gathered regen backward (diff/fused_iter.py) + two-phase completion
-— measured 5.3-5.4 M fwd+bwd rays/s (group consensus at 48 clusters,
-schedule sweep) vs 2.71 M generic XLA replay (--generic) and 1.78 M
-for the deleted round-4 self-gathering kernel.
+— measured 10.4-10.6 M fwd+bwd rays/s (28 full + 10:32768,28:8192
+peak; the default 30 full + 12:32768,30:8192 keeps completion margin)
+vs 5.25-5.44 M for the clustered in-kernel loop, 2.71 M generic XLA
+replay (--generic), and 1.78 M for the deleted round-4 self-gathering
+kernel.
 
 Usage: python tools/prof_bunny_grad.py [--generic]
 """
@@ -32,10 +35,13 @@ def main():
                          "pre-round-4 mesh-scale path) for the A/B")
     ap.add_argument("--lanes", type=int, default=1 << 17)
     ap.add_argument("--spp", type=int, default=16)
-    # two-phase completion: 50 full-width + compacted tail phases keeps
-    # frac = 1.0 with ~2x margin (round-5 sweep: 46+3-phase measured
-    # 5.44 M, 50+2-phase 5.34 M, unscheduled n_iters=110 4.69 M)
-    ap.add_argument("--iters", type=int, default=50)
+    # two-phase completion: full-width + compacted tail phases keeps
+    # frac = 1.0; retuned for the ap intersect stage (round-5 sweep:
+    # 28+10:32768,28:8192 = 10.56 M, 30-full default keeps margin)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--schedule", type=str, default=None,
+                    help="comma list 'n1:w1,n2:w2' of compacted tail "
+                         "phases (default 30:32768,70:8192)")
     args = ap.parse_args()
 
     if args.generic:
@@ -65,7 +71,13 @@ def main():
     target = jnp.zeros((args.lanes, 3), jnp.float32)
     vg = jax.jit(jax.value_and_grad(render_loss_wavefront, has_aux=True),
                  static_argnames=("spp", "n_iters", "remat", "schedule"))
-    schedule = ((30, 1 << 15), (70, 1 << 13)) if args.iters <= 64 else None
+    if args.schedule:
+        schedule = tuple(
+            (int(p.split(":")[0]), int(p.split(":")[1]))
+            for p in args.schedule.split(","))
+    else:
+        schedule = ((12, 1 << 15), (30, 1 << 13)) \
+            if args.iters <= 64 else None
 
     def go(seed):
         return vg(params, statics, settings, rng.base_key(seed), pix,
