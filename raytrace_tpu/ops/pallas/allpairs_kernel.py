@@ -54,6 +54,10 @@ WIDE_LANES = int(os.environ.get("RT_AP_W", "512"))
                      # 256 -> 3.96, 512 -> 3.50, 1024 -> 3.37 (plateau;
                      # 512 keeps [CHUNK, W] tiles at 1 MB)
 MIN_PRIMS = 192      # below this the per-prim loops win (small tables)
+CTILE = 64           # chunk boxes per batched-visibility tile: the
+                     # per-row chunk slab tests run as ONE [CTILE, W]
+                     # broadcast sweep instead of n_chunks [1, W] tests
+                     # (a [1, W] op wastes 7/8 of each vreg's sublanes)
 MAX_PRIMS = int(os.environ.get("RT_AP_MAX", "65536"))
                      # with chunk-AABB row skipping the broadcast sweep
                      # holds up to the dense-table cap (measured: see
@@ -86,7 +90,9 @@ def _row(ref, g):
 def chunk_boxes(ctbl, plan):
     """[n_chunks, 8] chunk AABBs from the pack_clusters table (chunks are
     CLUSTER-aligned by construction, so a chunk box is a reduce over its
-    cluster rows)."""
+    cluster rows).  Cols 6-7 carry the chunk's true row bounds
+    [p0, p0+ln) — the batched phase-2 winner test reads them as
+    broadcast columns."""
     boxes = []
     for _, p0, ln in plan:
         k0 = p0 // CLUSTER
@@ -94,7 +100,7 @@ def chunk_boxes(ctbl, plan):
         rows = ctbl[k0:k1]
         boxes.append(jnp.concatenate(
             [rows[:, 0:3].min(axis=0), rows[:, 3:6].max(axis=0),
-             jnp.zeros((2,), jnp.float32)]))
+             jnp.asarray([p0, p0 + ln], jnp.float32)]))
     return jnp.stack(boxes)
 
 
@@ -506,7 +512,8 @@ def broadcast_cand(col, gkind, ox, oy, oz, dx, dy, dz, tm, inv,
 
 def row_phases(tbl_ref, cbox_ref, clbox_ref, ox, oy, oz, dx, dy, dz, tm,
                *, seg_plan, t_min: float, has_motion: bool,
-               subc: bool, stream: bool = False, scratch=()):
+               subc: bool, stream: bool = False, scratch=(),
+               vis_ref=None, list_ref=None):
     """Phases 1+2 of the dynamic all-pairs sweep for ONE ray row.
 
     ``ox..tm`` are [1, W] values; returns ``(bt, bi, gt)`` — the row's
@@ -515,7 +522,22 @@ def row_phases(tbl_ref, cbox_ref, clbox_ref, ox, oy, oz, dx, dy, dz, tm,
     standalone dynamic kernel (:func:`_dyn_kernel`) and the fused
     iteration megakernel's mesh-scale intersect stage
     (ops/pallas/iter_kernel.py) — per-(chunk, row) AABB skipping plus
-    the 64-prim sub-cluster consensus level when ``subc``."""
+    the 64-prim sub-cluster consensus level when ``subc``.
+
+    ``vis_ref`` ([c_pad, 1] VMEM scratch) enables the BATCHED
+    visibility prepass: the per-chunk slab tests run as [CTILE, W]
+    broadcast sweeps (chunk boxes on sublanes) instead of n_chunks
+    [1, W] tests that each waste 7/8 of the VPU's sublanes; the chunk
+    loop then reads one cached flag per chunk.  The batched form drops
+    the running-best tf clamp (conservative superset of visited chunks
+    — the best-t rejection almost never fires at W-wide rows, measured
+    round 4).
+
+    ``list_ref`` ([c_pad] SMEM i32 scratch, requires ``vis_ref``)
+    additionally COMPACTS each segment's visited-chunk indices with a
+    scalar pass, so the sweep loops run branch-free over exactly the
+    visited (phase 1) / winner-owning (phase 2) chunks — at mesh scale
+    the per-chunk ``lax.cond`` chain itself is a dominant fixed cost."""
     inf = jnp.float32(jnp.inf)
     tmn = jnp.float32(t_min)
     w = ox.shape[1]
@@ -525,6 +547,33 @@ def row_phases(tbl_ref, cbox_ref, clbox_ref, ox, oy, oz, dx, dy, dz, tm,
 
     bt0 = jnp.full((1, w), inf, jnp.float32)
     bi0 = jnp.full((1, w), -1.0, jnp.float32)
+
+    def batch_vis(phase2: bool):
+        """Fill vis_ref[c, 0] with this row's per-chunk flag: phase 1 =
+        slab overlap count, phase 2 = winner-in-chunk count."""
+        for c0 in range(0, vis_ref.shape[0], CTILE):
+            colb = lambda c: cbox_ref[pl.ds(c0, CTILE), pl.ds(c, 1)]
+            if phase2:
+                lo = colb(6)
+                hi = colb(7)
+                flag = (bi >= lo) & (bi < hi)          # [CTILE, W]
+            else:
+                t0x = (colb(0) - ox) * ivx
+                t1x = (colb(3) - ox) * ivx
+                t0y = (colb(1) - oy) * ivy
+                t1y = (colb(4) - oy) * ivy
+                t0z = (colb(2) - oz) * ivz
+                t1z = (colb(5) - oz) * ivz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.maximum(jnp.minimum(t0z, t1z),
+                                             tmn))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.maximum(t0z, t1z))
+                flag = tn <= tf
+            vis_ref[pl.ds(c0, CTILE), :] = jnp.sum(
+                flag.astype(jnp.float32), axis=1, keepdims=True)
 
     if stream:
         # HBM table: pull the chunk into VMEM scratch on demand.
@@ -586,83 +635,146 @@ def row_phases(tbl_ref, cbox_ref, clbox_ref, ox, oy, oz, dx, dy, dz, tm,
                 jnp.where(better,
                           jnp.where(tmin < inf, pi, -1.0), bi))
 
+    def compact(n_chunks, cbase):
+        """Scalar pass: indices of set vis flags for this segment into
+        list_ref; returns the count."""
+        def cbody(k, cnt):
+            flag = jnp.any(vis_ref[pl.ds(cbase + k, 1), :] > 0.5)
+
+            @pl.when(flag)
+            def _():
+                list_ref[cnt] = k
+
+            return cnt + jnp.where(flag, jnp.int32(1), jnp.int32(0))
+        return jax.lax.fori_loop(0, n_chunks, cbody, jnp.int32(0))
+
     # ---- phase 1 ----
+    if vis_ref is not None:
+        batch_vis(phase2=False)
     carry = (bt0, bi0)
     for gkind, row0, row1, n_chunks, cbase in seg_plan:
-        def chunk_body(k, c2, gkind=gkind, row0=row0, cbase=cbase):
-            bt, bi = c2
+        def eval_chunk_at(k, c3, gkind=gkind, row0=row0):
+            bt, bi = c3
             p0 = row0 + k * CHUNK
-            cb = cbase + k
-            tn, tf = slab_of(cbox_ref, cb, bt)
+            fetch(p0)
+            if not subc:
+                t_c = cand_for(gkind, p0)          # [CHUNK, W]
+                return merge_best(t_c, p0.astype(jnp.float32),
+                                  CHUNK, bt, bi)
+            # second consensus level: 64-prim sub-clusters
+            # (pack_clusters granularity) — a visited chunk
+            # usually needs only a few of its 8 sub-sweeps, and
+            # the tighter AABBs reject what the chunk box can't.
+            # The NSUB slab tests run as ONE [NSUB, W] broadcast
+            # (sub-boxes on sublanes; static per-sub row slices
+            # feed the conds) — 8x the sublane utilization of
+            # per-sub [1, W] tests.
+            NSUB = CHUNK // CLUSTER
+            k0c = p0 // CLUSTER
+            colc = lambda c: clbox_ref[pl.ds(k0c, NSUB),
+                                       pl.ds(c, 1)]
+            t0x = (colc(0) - ox) * ivx
+            t1x = (colc(3) - ox) * ivx
+            t0y = (colc(1) - oy) * ivy
+            t1y = (colc(4) - oy) * ivy
+            t0z = (colc(2) - oz) * ivz
+            t1z = (colc(5) - oz) * ivz
+            tn_all = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x),
+                            jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmn))
+            tf_all = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x),
+                            jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), bt))
+            sub_hit = tn_all <= tf_all             # [NSUB, W]
+            for s in range(NSUB):
 
-            def eval_chunk(c3):
-                bt, bi = c3
-                fetch(p0)
-                if not subc:
-                    t_c = cand_for(gkind, p0)          # [CHUNK, W]
-                    return merge_best(t_c, p0.astype(jnp.float32),
-                                      CHUNK, bt, bi)
-                # second consensus level: 64-prim sub-clusters
-                # (pack_clusters granularity) — a visited chunk
-                # usually needs only a few of its 8 sub-sweeps, and
-                # the tighter AABBs reject what the chunk box can't
-                for s in range(CHUNK // CLUSTER):
-                    kcl = p0 // CLUSTER + s
+                def eval_sub(c4, s=s):
+                    bt, bi = c4
+                    t_c = broadcast_cand(
+                        cols_sub(p0, s), gkind, ox, oy, oz,
+                        dx, dy, dz, tm, (ivx, ivy, ivz), tmn,
+                        has_motion)                # [64, W]
+                    base_f = (p0 + s * CLUSTER) \
+                        .astype(jnp.float32)
+                    return merge_best(t_c, base_f, CLUSTER,
+                                      bt, bi)
 
-                    def eval_sub(c4, s=s):
-                        bt, bi = c4
-                        t_c = broadcast_cand(
-                            cols_sub(p0, s), gkind, ox, oy, oz,
-                            dx, dy, dz, tm, (ivx, ivy, ivz), tmn,
-                            has_motion)                # [64, W]
-                        base_f = (p0 + s * CLUSTER) \
-                            .astype(jnp.float32)
-                        return merge_best(t_c, base_f, CLUSTER,
-                                          bt, bi)
+                c3 = jax.lax.cond(jnp.any(sub_hit[s:s + 1, :]),
+                                  eval_sub, lambda c4: c4, c3)
+            return c3
 
-                    tn_s, tf_s = slab_of(clbox_ref, kcl, c3[0])
-                    c3 = jax.lax.cond(jnp.any(tn_s <= tf_s),
-                                      eval_sub, lambda c4: c4, c3)
-                return c3
+        if list_ref is not None:
+            # branch-free: sweep exactly the visited chunks
+            cnt = compact(n_chunks, cbase)
 
-            return jax.lax.cond(jnp.any(tn <= tf), eval_chunk,
-                                lambda c3: c3, c2)
-        carry = jax.lax.fori_loop(0, n_chunks, chunk_body, carry)
+            def sweep(i, c2, f=eval_chunk_at):
+                return f(list_ref[i], c2)
+            carry = jax.lax.fori_loop(0, cnt, sweep, carry)
+        else:
+            def chunk_body(k, c2, cbase=cbase, f=eval_chunk_at):
+                bt, bi = c2
+                if vis_ref is not None:
+                    take = jnp.any(vis_ref[pl.ds(cbase + k, 1), :]
+                                   > 0.5)
+                else:
+                    tn, tf = slab_of(cbox_ref, cbase + k, bt)
+                    take = jnp.any(tn <= tf)
+                return jax.lax.cond(take, lambda c3, k=k: f(k, c3),
+                                    lambda c3: c3, c2)
+            carry = jax.lax.fori_loop(0, n_chunks, chunk_body, carry)
     bt, bi = carry
 
     # ---- phase 2: winner one-hot gather, winner chunks only ----
+    if vis_ref is not None:
+        batch_vis(phase2=True)
     gt = jnp.zeros((N_COLS, w), jnp.float32)
     for gkind, row0, row1, n_chunks, cbase in seg_plan:
         row1f = jnp.float32(row1)
 
-        def chunk2(k, gt, row0=row0, row1f=row1f):
+        def add_at(k, gt, row0=row0, row1f=row1f):
             p0 = row0 + k * CHUNK
             p0f = p0.astype(jnp.float32)
-            in_c = (bi >= p0f) & (bi < jnp.minimum(p0f + CHUNK, row1f))
+            fetch(p0)
+            piota = (p0f + jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK, 1), 0).astype(jnp.float32))
+            # clamp to the segment: overrun rows belong to the
+            # NEXT segment's chunks (no double gather)
+            oh = ((piota == bi)
+                  & (piota < row1f)).astype(jnp.float32)
+            # streamed scratch is [CHUNK, 128]; slice the RESULT
+            # to N_COLS (a 36-wide lane slice of the operand is
+            # not tile-aligned)
+            rows = scratch[0][...] if stream \
+                else tbl_ref[pl.ds(p0, CHUNK), :]
+            g_c = jax.lax.dot_general(
+                rows, oh, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            if stream:
+                g_c = g_c[:N_COLS]
+            return gt + g_c
 
-            def add(gt):
-                fetch(p0)
-                piota = (p0f + jax.lax.broadcasted_iota(
-                    jnp.int32, (CHUNK, 1), 0).astype(jnp.float32))
-                # clamp to the segment: overrun rows belong to the
-                # NEXT segment's chunks (no double gather)
-                oh = ((piota == bi)
-                      & (piota < row1f)).astype(jnp.float32)
-                # streamed scratch is [CHUNK, 128]; slice the RESULT
-                # to N_COLS (a 36-wide lane slice of the operand is
-                # not tile-aligned)
-                rows = scratch[0][...] if stream \
-                    else tbl_ref[pl.ds(p0, CHUNK), :]
-                g_c = jax.lax.dot_general(
-                    rows, oh, (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-                if stream:
-                    g_c = g_c[:N_COLS]
-                return gt + g_c
+        if list_ref is not None:
+            cnt2 = compact(n_chunks, cbase)
 
-            return jax.lax.cond(jnp.any(in_c), add, lambda x: x, gt)
-        gt = jax.lax.fori_loop(0, n_chunks, chunk2, gt)
+            def sweep2(i, gt, f=add_at):
+                return f(list_ref[i], gt)
+            gt = jax.lax.fori_loop(0, cnt2, sweep2, gt)
+        else:
+            def chunk2(k, gt, row0=row0, row1f=row1f, cbase=cbase,
+                       f=add_at):
+                if vis_ref is not None:
+                    in_c = vis_ref[pl.ds(cbase + k, 1), :] > 0.5
+                else:
+                    p0f = (row0 + k * CHUNK).astype(jnp.float32)
+                    in_c = (bi >= p0f) & (bi < jnp.minimum(
+                        p0f + CHUNK, row1f))
+                return jax.lax.cond(jnp.any(in_c),
+                                    lambda x, k=k: f(k, x),
+                                    lambda x: x, gt)
+            gt = jax.lax.fori_loop(0, n_chunks, chunk2, gt)
     return bt, bi, gt
 
 
@@ -671,7 +783,8 @@ def _dyn_kernel(tbl_ref, cbox_ref, clbox_ref, ox_ref, oy_ref, oz_ref,
                 ny_out, nz_out, fr_out, u_out, v_out, m_out, *scratch,
                 seg_plan, n_prims: int, t_min: float, has_motion: bool,
                 rg: int, w: int, stream: bool = False,
-                subc: bool = False):
+                subc: bool = False, batch: bool = False,
+                chunk_list: bool = False):
     """Dynamic-chunk variant for mesh-scale tables.
 
     The static kernel unrolls one code section per chunk — at 100 chunks
@@ -695,10 +808,13 @@ def _dyn_kernel(tbl_ref, cbox_ref, clbox_ref, ox_ref, oy_ref, oz_ref,
         dx, dy, dz = _row(dx_ref, g), _row(dy_ref, g), _row(dz_ref, g)
         tm = _row(tm_ref, g) if has_motion else None
 
+        si = 2 if stream else 0
         bt, bi, gt = row_phases(
             tbl_ref, cbox_ref, clbox_ref, ox, oy, oz, dx, dy, dz, tm,
             seg_plan=seg_plan, t_min=t_min, has_motion=has_motion,
-            subc=subc, stream=stream, scratch=scratch)
+            subc=subc, stream=stream, scratch=scratch[:2],
+            vis_ref=scratch[si] if batch else None,
+            list_ref=scratch[si + 1] if chunk_list else None)
         hit = bt < inf
         c = lambda j: gt[j:j + 1, :]
         kinds = tuple(sorted({sp[0] for sp in seg_plan}))
@@ -762,6 +878,14 @@ def dyn_tables(tbl, ctbl, segments, n_prims: int, stream: bool = False):
         tbl = out.at[:tbl.shape[0], :tbl.shape[1]].set(tbl)
     cbox = chunk_boxes(ctbl, plan) if ctbl is not None \
         else jnp.zeros((1, 8), jnp.float32)
+    # pad chunk-box rows to a CTILE multiple for the batched visibility
+    # prepass; pad rows are inverted boxes (never visited) with empty
+    # row bounds (cols 6-7 = 0, never own a winner: miss lanes are -1)
+    c_pad = (-cbox.shape[0]) % CTILE
+    if ctbl is not None and c_pad:
+        pad = jnp.zeros((c_pad, 8), jnp.float32)
+        pad = pad.at[:, 0:3].set(jnp.inf).at[:, 3:6].set(-jnp.inf)
+        cbox = jnp.concatenate([cbox, pad])
     clbox = ctbl if ctbl is not None else jnp.zeros((1, 8), jnp.float32)
     need = rows_needed // CLUSTER
     if ctbl is not None and clbox.shape[0] < need:
@@ -883,12 +1007,26 @@ def allpairs_nearest_record(tbl, ox, oy, oz, dx, dy, dz, tm, *,
         jax.ShapeDtypeStruct((g, w), i32),   # mat
     ]
     if dyn:
+        # batched visibility prepass whenever chunk boxes exist (A/B:
+        # RT_AP_NO_BATCHVIS restores the per-chunk [1, W] slab tests);
+        # compacted visited-chunk lists replace the per-chunk cond
+        # chain on top of it (A/B: RT_AP_NO_CHUNKLIST)
+        batch = (ctbl is not None
+                 and not os.environ.get("RT_AP_NO_BATCHVIS"))
+        chunk_list = batch and not os.environ.get("RT_AP_NO_CHUNKLIST")
         kernel = functools.partial(_dyn_kernel, seg_plan=seg_plan,
                                    n_prims=n_prims, t_min=t_min,
                                    has_motion=has_motion, rg=rg, w=w,
-                                   stream=stream, subc=subc)
+                                   stream=stream, subc=subc, batch=batch,
+                                   chunk_list=chunk_list)
         scratch = [pltpu.VMEM((CHUNK, 128), jnp.float32),
                    pltpu.SemaphoreType.DMA(())] if stream else []
+        if batch:
+            scratch = scratch + [pltpu.VMEM((cbox.shape[0], 1),
+                                            jnp.float32)]
+        if chunk_list:
+            scratch = scratch + [pltpu.SMEM((cbox.shape[0],),
+                                            jnp.int32)]
         tbl_spec = pl.BlockSpec(memory_space=pltpu.HBM) if stream \
             else pl.BlockSpec(memory_space=pltpu.VMEM)
         outs = pl.pallas_call(

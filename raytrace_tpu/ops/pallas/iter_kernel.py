@@ -211,7 +211,8 @@ def _iter_kernel(ptbl, ctbl, gtbl, mtbl, ttbl, cam, kt, *refs,
             bt, bi, gt = row_phases(
                 ptbl, gtbl, ctbl, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
                 tm_r, seg_plan=ap_plan, t_min=t_min,
-                has_motion=has_motion, subc=True, stream=False)
+                has_motion=has_motion, subc=True, stream=False,
+                vis_ref=scr[-2], list_ref=scr[-1])
             c = lambda j: gt[j:j + 1, :]
             n_x, n_y, n_z, fr, uu2, vv2, sphf = _winner_attrs(
                 c, bt, bt < inf, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
@@ -483,7 +484,9 @@ def _iter_mega_ap(ptbl, ctbl, mtbl, ttbl, cam, kt, lane_in, *,
                  + [jax.ShapeDtypeStruct((rows, w), jnp.float32)]
                  * (n_out - 16))
     n_scr = 17 + (4 if use_prim_albedo else 0)
-    scratch = [pltpu.VMEM((rg, w), jnp.float32)] * n_scr
+    scratch = [pltpu.VMEM((rg, w), jnp.float32)] * n_scr \
+        + [pltpu.VMEM((cbox.shape[0], 1), jnp.float32),   # batched vis
+           pltpu.SMEM((cbox.shape[0],), jnp.int32)]       # chunk list
     kernel = functools.partial(
         _iter_kernel, n_prims=n_prims, n_mats=n_mats,
         n_targets=n_targets, t_min=t_min, has_motion=has_motion,
@@ -492,18 +495,20 @@ def _iter_mega_ap(ptbl, ctbl, mtbl, ttbl, cam, kt, lane_in, *,
         rr_depth=rr_depth, max_depth=max_depth, width=width,
         bg_kind=bg_kind, with_uv=with_uv, ap_plan=seg_plan)
 
-    # VMEM primitive table; small scalar tables prefetched.  Kernel arg
-    # order is (ptbl, ctbl=clbox, gtbl=cbox, mtbl, ttbl, cam, kt, ...).
-    def kernel_vmem(clbox_ref, cbox_ref, mtbl_ref, ttbl_ref, cam_ref,
-                    kt_ref, ptbl_ref, *rest):
+    # VMEM primitive + box tables (the batched visibility prepass
+    # reads chunk boxes as [CTILE, 1] columns); small scalar tables
+    # prefetched.  Kernel arg order is (ptbl, ctbl=clbox, gtbl=cbox,
+    # mtbl, ttbl, cam, kt, ...).
+    def kernel_vmem(mtbl_ref, ttbl_ref, cam_ref, kt_ref, clbox_ref,
+                    cbox_ref, ptbl_ref, *rest):
         kernel(ptbl_ref, clbox_ref, cbox_ref, mtbl_ref, ttbl_ref,
                cam_ref, kt_ref, *rest)
 
     tbl_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=4,
         grid=grid,
-        in_specs=[tbl_spec] + [spec] * N_LANE_IN,
+        in_specs=[tbl_spec] * 3 + [spec] * N_LANE_IN,
         out_specs=[spec] * n_out,
         scratch_shapes=scratch,
     )
@@ -512,7 +517,7 @@ def _iter_mega_ap(ptbl, ctbl, mtbl, ttbl, cam, kt, lane_in, *,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(clbox, cbox, mtbl, ttbl, cam, kt, tbl, *lane_r)
+    )(mtbl, ttbl, cam, kt, clbox, cbox, tbl, *lane_r)
     return tuple(o.reshape(-1, LANES)[:g] for o in outs)
 
 
