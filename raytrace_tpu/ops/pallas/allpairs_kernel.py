@@ -550,13 +550,18 @@ def row_phases(tbl_ref, cbox_ref, clbox_ref, ox, oy, oz, dx, dy, dz, tm,
 
     def batch_vis(phase2: bool):
         """Fill vis_ref[c, 0] with this row's per-chunk flag: phase 1 =
-        slab overlap count, phase 2 = winner-in-chunk count."""
-        for c0 in range(0, vis_ref.shape[0], CTILE):
+        min slab-entry t over overlapping lanes (3e38 when none — the
+        value doubles as the behind-the-best rejection bound), phase 2
+        = winner-in-chunk count."""
+        n_vis = (vis_ref.shape[0] // CTILE) * CTILE
+        for c0 in range(0, n_vis, CTILE):
             colb = lambda c: cbox_ref[pl.ds(c0, CTILE), pl.ds(c, 1)]
             if phase2:
                 lo = colb(6)
                 hi = colb(7)
                 flag = (bi >= lo) & (bi < hi)          # [CTILE, W]
+                vis_ref[pl.ds(c0, CTILE), :] = jnp.sum(
+                    flag.astype(jnp.float32), axis=1, keepdims=True)
             else:
                 t0x = (colb(0) - ox) * ivx
                 t1x = (colb(3) - ox) * ivx
@@ -571,9 +576,9 @@ def row_phases(tbl_ref, cbox_ref, clbox_ref, ox, oy, oz, dx, dy, dz, tm,
                 tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                              jnp.maximum(t0y, t1y)),
                                  jnp.maximum(t0z, t1z))
-                flag = tn <= tf
-            vis_ref[pl.ds(c0, CTILE), :] = jnp.sum(
-                flag.astype(jnp.float32), axis=1, keepdims=True)
+                vis_ref[pl.ds(c0, CTILE), :] = jnp.min(
+                    jnp.where(tn <= tf, tn, jnp.float32(3e38)),
+                    axis=1, keepdims=True)
 
     if stream:
         # HBM table: pull the chunk into VMEM scratch on demand.
@@ -635,11 +640,19 @@ def row_phases(tbl_ref, cbox_ref, clbox_ref, ox, oy, oz, dx, dy, dz, tm,
                 jnp.where(better,
                           jnp.where(tmin < inf, pi, -1.0), bi))
 
-    def compact(n_chunks, cbase):
+    def vis_set(c, phase2: bool):
+        """Visited test on the cached per-chunk value: phase 1 stores
+        the row's min slab-entry t (3e38 = no overlap), phase 2 a
+        winner count."""
+        v = vis_ref[pl.ds(c, 1), :]
+        return jnp.any(v > 0.5) if phase2 \
+            else jnp.any(v < jnp.float32(1e37))
+
+    def compact(n_chunks, cbase, phase2: bool):
         """Scalar pass: indices of set vis flags for this segment into
         list_ref; returns the count."""
         def cbody(k, cnt):
-            flag = jnp.any(vis_ref[pl.ds(cbase + k, 1), :] > 0.5)
+            flag = vis_set(cbase + k, phase2)
 
             @pl.when(flag)
             def _():
@@ -707,8 +720,12 @@ def row_phases(tbl_ref, cbox_ref, clbox_ref, ox, oy, oz, dx, dy, dz, tm,
 
         if list_ref is not None:
             # branch-free: sweep exactly the visited chunks
-            cnt = compact(n_chunks, cbase)
+            cnt = compact(n_chunks, cbase, False)
 
+            # (a behind-the-best rejection against the prepass entry-t,
+            # bounded by the global scene box for miss lanes, was
+            # measured here and LOST: 200k 0.81 vs 0.83 M — at 1024-lane
+            # rows some lane always keeps a chunk alive)
             def sweep(i, c2, f=eval_chunk_at):
                 return f(list_ref[i], c2)
             carry = jax.lax.fori_loop(0, cnt, sweep, carry)
@@ -716,8 +733,7 @@ def row_phases(tbl_ref, cbox_ref, clbox_ref, ox, oy, oz, dx, dy, dz, tm,
             def chunk_body(k, c2, cbase=cbase, f=eval_chunk_at):
                 bt, bi = c2
                 if vis_ref is not None:
-                    take = jnp.any(vis_ref[pl.ds(cbase + k, 1), :]
-                                   > 0.5)
+                    take = vis_set(cbase + k, False)
                 else:
                     tn, tf = slab_of(cbox_ref, cbase + k, bt)
                     take = jnp.any(tn <= tf)
@@ -757,7 +773,7 @@ def row_phases(tbl_ref, cbox_ref, clbox_ref, ox, oy, oz, dx, dy, dz, tm,
             return gt + g_c
 
         if list_ref is not None:
-            cnt2 = compact(n_chunks, cbase)
+            cnt2 = compact(n_chunks, cbase, True)
 
             def sweep2(i, gt, f=add_at):
                 return f(list_ref[i], gt)
@@ -766,7 +782,7 @@ def row_phases(tbl_ref, cbox_ref, clbox_ref, ox, oy, oz, dx, dy, dz, tm,
             def chunk2(k, gt, row0=row0, row1f=row1f, cbase=cbase,
                        f=add_at):
                 if vis_ref is not None:
-                    in_c = vis_ref[pl.ds(cbase + k, 1), :] > 0.5
+                    in_c = vis_set(cbase + k, True)
                 else:
                     p0f = (row0 + k * CHUNK).astype(jnp.float32)
                     in_c = (bi >= p0f) & (bi < jnp.minimum(
