@@ -131,3 +131,6 @@ def test_forward_cap_splits_forward_and_diff_engines():
     rep_d = engine_report(scene, _CAM, diff=True, interpret=True)
     assert rep_d["forward"] == "fused-iter-megakernel"
     assert rep_d["backward"] == "fused-regen-pre"
+    # >512 rows: the fused kernel's intersect stage is the in-kernel
+    # broadcast all-pairs sweep (RT_ITER_AP_MIN default)
+    assert rep_d["intersect"] == "in-kernel-allpairs"
