@@ -97,9 +97,14 @@ def replay_pre_eligible(scene, defer_rich: bool = True) -> bool:
     from ..textures.textures import TEX_CONSTANT
     base_tex = {TEX_CONSTANT, TEX_CHECKER}
     if defer_rich:
-        tex_ok = (set(scene.materials.light_tex_kinds) <= base_tex
-                  and (scene.prims.kind.shape[0] <= MAX_REPLAY_PRIMS
-                       or set(scene.textures.kinds_present) <= base_tex))
+        # rich textures ride the deferred-albedo multiply at EVERY
+        # megakernel-eligible scale: the per-prim texture routing is
+        # [R, n] one-hot matmuls (fused_iter.apply_rich), the same
+        # shape the pre-gathered backward already runs at 4,992 rows
+        # (measured faster than take/scatter, ops/diff_intersect.py).
+        # Light emission stays in-kernel, so light textures must stay
+        # constant/checker.
+        tex_ok = set(scene.materials.light_tex_kinds) <= base_tex
     else:
         tex_ok = set(scene.textures.kinds_present) <= base_tex
     return (scene.volumes is None

@@ -406,3 +406,79 @@ def test_fused_iter_mesh_scale_gradients_match_generic():
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=2e-5)
+
+
+def test_fused_iter_ap_stage_rich_mesh_gradients():
+    """The in-kernel broadcast all-pairs intersect stage (>512 rows,
+    RT_ITER_AP_MIN default) composed with deferred rich-texture albedo:
+    an image-textured height-field mesh must train through the fused
+    path with gradients (atlas included) matching the generic XLA diff
+    path."""
+    import raytrace_tpu as rt
+    from test_lane_replay import _scene_mesh  # noqa: F401 (pattern ref)
+    from raytrace_tpu.render.camera import CameraSettings
+
+    rng_np = np.random.RandomState(3)
+    n_grid = 18
+    xs = np.linspace(-3, 3, n_grid + 1)
+    zs = np.linspace(-3, 3, n_grid + 1)
+    xx, zz = np.meshgrid(xs, zs, indexing="ij")
+    yy = 0.4 * np.sin(xx * 1.3) * np.cos(zz * 1.1)
+    v = np.stack([xx, yy, zz], -1).reshape(-1, 3)
+    vid = np.arange((n_grid + 1) ** 2).reshape(n_grid + 1, n_grid + 1)
+    f = []
+    for i in range(n_grid):
+        for j in range(n_grid):
+            a, b = vid[i, j], vid[i + 1, j]
+            c, d = vid[i, j + 1], vid[i + 1, j + 1]
+            f += [[a, b, c], [b, d, c]]
+    mesh = rt.Mesh(vertices=v, uv=np.zeros((0, 2)),
+                   faces=np.asarray(f, np.int64),
+                   uv_faces=np.full((len(f), 3), -1, np.int64))
+    img = rng_np.uniform(0.1, 0.9, (8, 16, 3)).astype(np.float32)
+    world = rt.group([
+        rt.with_material(rt.lambertian(rt.image_texture(img)),
+                         rt.triangle_mesh(mesh)),
+        rt.with_material(rt.light_source(
+            rt.constant_texture([4.0, 3.0, 2.0])),
+            rt.parallelogram([-1, 4, -1], [2, 0, 0], [0, 0, 2])),
+    ])
+    scene = rt.compile_scene(world)
+    assert scene.prims.kind.shape[0] > 512
+    s = CameraSettings(center=jnp.asarray([0.0, 2.5, 6.0]),
+                       look_at=jnp.zeros(3), vfov=0.9, image_width=64,
+                       samples_per_pixel=4, max_depth=4,
+                       background=rt.const_background(0.3))
+    from raytrace_tpu.ops.pallas.iter_kernel import resolve_use_ap
+    from raytrace_tpu.render.integrator import _n_scan_prims
+    assert resolve_use_ap(_n_scan_prims(scene.prims),
+                          scene.prims.kind_segments)
+    assert fused_iter_eligible(scene, s, R, interpret=True)
+    params, statics = partition(scene)
+    pix = jnp.arange(R, dtype=jnp.int32) % N_PIX
+    target = jnp.zeros((R, 3), jnp.float32)
+
+    def loss(params, fused):
+        from raytrace_tpu.diff.gradients import combine
+        sc = combine(params, statics)
+        img2, done = trace_wavefront_diff(
+            sc, s, rng.base_key(0), pix, 4, n_iters=20, remat=False,
+            mega_interpret=fused, use_mega=None if fused else False)
+        return jnp.mean((img2 - target) ** 2), jnp.mean(done / 4)
+
+    (l_f, fr_f), g_f = jax.value_and_grad(loss, has_aux=True)(params,
+                                                              True)
+    (l_u, fr_u), g_u = jax.value_and_grad(loss, has_aux=True)(params,
+                                                              False)
+    np.testing.assert_allclose(float(l_f), float(l_u), rtol=2e-4)
+    assert abs(float(fr_f) - float(fr_u)) < 0.02
+    ga_f = np.asarray(g_f.textures.images)
+    ga_u = np.asarray(g_u.textures.images)
+    assert np.sum(np.abs(ga_f)) > 0.0
+    np.testing.assert_allclose(ga_f, ga_u, rtol=5e-3, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f.prims),
+                    jax.tree_util.tree_leaves(g_u.prims)):
+        if a is None or not hasattr(a, "dtype"):
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-5)
