@@ -408,12 +408,14 @@ def test_fused_iter_mesh_scale_gradients_match_generic():
                                    rtol=5e-3, atol=2e-5)
 
 
-def test_fused_iter_ap_stage_rich_mesh_gradients():
+@pytest.mark.parametrize("texkind", ["image", "marble"])
+def test_fused_iter_ap_stage_rich_mesh_gradients(texkind):
     """The in-kernel broadcast all-pairs intersect stage (>512 rows,
     RT_ITER_AP_MIN default) composed with deferred rich-texture albedo:
-    an image-textured height-field mesh must train through the fused
-    path with gradients (atlas included) matching the generic XLA diff
-    path."""
+    a rich-textured height-field mesh must train through the fused
+    path with gradients (atlas / noise-scale included) matching the
+    generic XLA diff path — covers both apply_rich branches (the
+    image-only SoA fast path and the eval_texture one-hot path)."""
     import raytrace_tpu as rt
     from test_lane_replay import _scene_mesh  # noqa: F401 (pattern ref)
     from raytrace_tpu.render.camera import CameraSettings
@@ -436,8 +438,10 @@ def test_fused_iter_ap_stage_rich_mesh_gradients():
                    faces=np.asarray(f, np.int64),
                    uv_faces=np.full((len(f), 3), -1, np.int64))
     img = rng_np.uniform(0.1, 0.9, (8, 16, 3)).astype(np.float32)
+    tex = rt.image_texture(img) if texkind == "image" \
+        else rt.marble_texture([0.0, 0.0, 1.0], 2.0)
     world = rt.group([
-        rt.with_material(rt.lambertian(rt.image_texture(img)),
+        rt.with_material(rt.lambertian(tex),
                          rt.triangle_mesh(mesh)),
         rt.with_material(rt.light_source(
             rt.constant_texture([4.0, 3.0, 2.0])),
@@ -472,10 +476,11 @@ def test_fused_iter_ap_stage_rich_mesh_gradients():
                                                               False)
     np.testing.assert_allclose(float(l_f), float(l_u), rtol=2e-4)
     assert abs(float(fr_f) - float(fr_u)) < 0.02
-    ga_f = np.asarray(g_f.textures.images)
-    ga_u = np.asarray(g_u.textures.images)
-    assert np.sum(np.abs(ga_f)) > 0.0
-    np.testing.assert_allclose(ga_f, ga_u, rtol=5e-3, atol=2e-5)
+    if texkind == "image":
+        ga_f = np.asarray(g_f.textures.images)
+        ga_u = np.asarray(g_u.textures.images)
+        assert np.sum(np.abs(ga_f)) > 0.0
+        np.testing.assert_allclose(ga_f, ga_u, rtol=5e-3, atol=2e-5)
     for a, b in zip(jax.tree_util.tree_leaves(g_f.prims),
                     jax.tree_util.tree_leaves(g_u.prims)):
         if a is None or not hasattr(a, "dtype"):
