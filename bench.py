@@ -157,6 +157,26 @@ def main():
         f"({bwd_rays} rays in {dt:.2f}s)  loss={float(loss):.4f} "
         f"samples_completed={float(frac):.4f}")
 
+    # mesh-scale differentiability (VERDICT r4 #1: bunny >= 10 M): the
+    # 4,968-tri bunny fwd+bwd rate, in its OWN subprocess so a tunnel
+    # fault there cannot take down the headline metric above
+    bunny_rays_s = None
+    try:
+        import re
+        import subprocess
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "prof_bunny_grad.py")],
+            capture_output=True, text=True, timeout=900)
+        m = re.search(r"bunny fwd\+bwd \[fused-pre\]: ([0-9.]+)M",
+                      out.stdout + out.stderr)
+        if m:
+            bunny_rays_s = float(m.group(1)) * 1e6
+            log(f"bunny fwd+bwd: {m.group(1)}M rays/s")
+    except Exception as e:              # pragma: no cover - best effort
+        log(f"bunny sub-bench skipped ({type(e).__name__}: {e})")
+
     from raytrace_tpu.utils.engines import engine_report
     print(json.dumps({
         "metric": "cornell600_200spp_depth50_fwd_bwd_primary_rays_per_sec_per_chip",
@@ -168,6 +188,7 @@ def main():
             round(fwd_rays_s_exact, 1),
         "samples_completed": round(float(frac), 4),
         "russian_roulette": "depth>=2 (unbiased; exact-estimator numbers also reported)",
+        "bunny_mesh_fwd_bwd_rays_per_sec": bunny_rays_s,
         "engines": engine_report(scene, settings_rr, diff=True),
         "engines_fwd": engine_report(scene, settings_rr),
     }))
